@@ -1,0 +1,62 @@
+"""Top-level engine API: one call from RML mapping text to triples.
+
+Mirrors the reference CLI lifecycle
+(`/root/reference/src/bin/translator/main.rs:23-126`: parse → translate
+→ emit plan) and then *executes* the plan on Spark — the half the
+reference leaves to a companion engine.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .exec.binder import SparkBinder, write_sinks
+from .rml.extract import extract_document
+from .rml.translate import CompiledMapping, translate_to_plan
+from .rml.turtle import parse_turtle
+
+
+def compile_rml(mapping_text: str,
+                source_overrides: Optional[dict[str, dict]] = None
+                ) -> CompiledMapping:
+    """mapping.ttl text → operator plan (parse → extract → translate)."""
+    graph = parse_turtle(mapping_text)
+    doc = extract_document(graph)
+    return translate_to_plan(doc, source_overrides=source_overrides)
+
+
+def run_rml(spark: SparkSession, mapping_text: str,
+            base_dir: Optional[str] = None,
+            dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:
+    """Compile + execute an RML mapping; returns the union of all sink
+    outputs as one distinct (subj, pred, obj, graph) DataFrame."""
+    compiled = compile_rml(mapping_text)
+    binder = SparkBinder(spark=spark, dataframes=dataframes or {},
+                         base_dir=base_dir)
+    results = binder.execute(compiled.graph)
+    sinks = write_sinks(results)
+    dfs = list(sinks.values())
+    if not dfs:
+        raise ValueError("mapping produced no DataFrame sinks")
+    return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+
+
+def run_rml_file(spark: SparkSession, mapping_path: str,
+                 base_dir: Optional[str] = None,
+                 dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:
+    with open(mapping_path, "r", encoding="utf-8") as f:
+        text = f.read()
+    return run_rml(spark, text,
+                   base_dir=base_dir or os.path.dirname(mapping_path),
+                   dataframes=dataframes)
+
+
+def nquads(df: DataFrame) -> list[str]:
+    """Collect a structured triple DataFrame as sorted N-Quads lines
+    (test/driver helper — not the scale path)."""
+    from .exec.binder import to_nquads_lines
+    return sorted(r.value for r in to_nquads_lines(df).collect())

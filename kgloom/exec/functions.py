@@ -1,0 +1,211 @@
+"""Function-tree → pyspark Column compiler.
+
+Executes the reference's scalar ``Function`` surface
+(`/root/reference/operator/src/lib.rs:280-331`) as Catalyst expressions.
+Everything stays JVM-side (whole-stage codegen) except RFC-3986
+percent-encoding, which is an Arrow-vectorized pandas UDF wrapping
+``urllib.parse.quote(s, safe='')`` — exactly the Rust ``urlencoding``
+crate the reference depends on (`/root/reference/Cargo.toml:44`:
+encode everything outside ``[A-Za-z0-9_.~-]``).
+
+Golden-corpus semantics implemented here:
+
+- TemplateString: any null substitution value ⇒ null term (Spark
+  ``concat`` null-propagation gives this for free);
+- UriEncode over a TemplateString encodes the *substituted values only*,
+  never the template's literal text (RMLTC0005a: the ``;`` in
+  ``http://example.com/{fname};{lname}`` survives unencoded);
+- Iri: relative results are resolved against the document ``@base``
+  *after* encoding (RMLTC0020a: ``http%3A%2F%2F...`` is relative ⇒ base
+  is prepended); reference-valued IRIs are not encoded (RMLTC0019a);
+- Literal: N-Triples string escaping + optional ``@lang`` / ``^^<dtype>``
+  (serializer/util.rs:31-37 — lang wins over dtype, never both).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..algebra import Function, template_split
+
+_ABS_IRI_PATTERN = "^[A-Za-z][A-Za-z0-9+.-]*:"
+_INVALID_IRI_CHARS = "[\\x00-\\x20<>\"{}|^`\\\\]"
+
+
+# --- vectorized percent-encoding (the one unavoidable Python stage) -----
+
+_URI_ENCODE_UDF = None
+
+
+def _make_uri_encode_udf():
+    from pyspark.sql.types import StringType
+
+    def _encode(s: pd.Series) -> pd.Series:
+        from urllib.parse import quote
+        return s.map(lambda v: quote(v, safe="") if v is not None else None)
+
+    return pandas_udf(_encode, StringType())
+
+
+def uri_encode(col: Column) -> Column:
+    global _URI_ENCODE_UDF
+    if _URI_ENCODE_UDF is None:
+        _URI_ENCODE_UDF = _make_uri_encode_udf()
+    return _URI_ENCODE_UDF(col)
+
+
+# --- N-Triples literal escaping (pure Catalyst, codegen'd) ---------------
+
+def escape_literal(col: Column) -> Column:
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+class FunctionCompileError(Exception):
+    pass
+
+
+#: FnO registry — IRI → callable(params: dict[str, Column]) -> Column.
+#: GREL basics registered; extend via register_fno().
+FNO_REGISTRY: dict[str, Callable[[dict[str, Column]], Column]] = {}
+
+
+def register_fno(iri: str, fn: Callable[[dict[str, Column]], Column]) -> None:
+    FNO_REGISTRY[iri] = fn
+
+
+def _grel_param(params: dict[str, Column], *names: str) -> Column:
+    for n in names:
+        for k, v in params.items():
+            if k.endswith(n):
+                return v
+    if params:
+        return next(iter(params.values()))
+    raise FunctionCompileError(f"FnO call missing parameter {names}")
+
+
+for _iri, _impl in {
+    "http://users.ugent.be/~bjdmeest/function/grel.ttl#toUpperCase":
+        lambda p: F.upper(_grel_param(p, "valueParameter", "valueParam")),
+    "http://users.ugent.be/~bjdmeest/function/grel.ttl#toLowerCase":
+        lambda p: F.lower(_grel_param(p, "valueParameter", "valueParam")),
+    "http://users.ugent.be/~bjdmeest/function/grel.ttl#trim":
+        lambda p: F.trim(_grel_param(p, "valueParameter", "valueParam")),
+}.items():
+    register_fno(_iri, _impl)
+
+
+def compile_function(fn: Function, encode_values: bool = False) -> Column:
+    """Compile one Function node to a Column producing the *rendered*
+    RDF term lexical form (``<iri>`` / ``"literal"@lang`` / ``_:label``)
+    for term-kind nodes, or the raw string for inner value nodes.
+
+    ``encode_values`` is set when compiling under a UriEncode wrapper —
+    for templates it encodes substituted values only.
+    """
+    k = fn.kind
+
+    if k == "Reference":
+        col = F.col("`" + fn.value.replace("`", "``") + "`")
+        return uri_encode(col) if encode_values else col
+
+    if k == "Constant":
+        return uri_encode(F.lit(fn.value)) if encode_values else F.lit(fn.value)
+
+    if k == "TemplateString":
+        parts = template_split(fn.value)
+        cols: list[Column] = []
+        for kind, text in parts:
+            if kind == "lit":
+                cols.append(F.lit(text))
+            else:
+                c = F.col("`" + text.replace("`", "``") + "`")
+                cols.append(uri_encode(c) if encode_values else c)
+        if not cols:
+            return F.lit("")
+        # concat propagates null: any null substitution ⇒ null term
+        return F.concat(*cols) if len(cols) > 1 else cols[0]
+
+    if k == "Concatenate":
+        return F.concat(compile_function(fn.left, encode_values),
+                        F.lit(fn.separator or ""),
+                        compile_function(fn.right, encode_values))
+
+    if k == "Replace":
+        inner = compile_function(fn.inner)
+        out: Optional[Column] = None
+        for key, values in fn.replace_map:
+            cond = inner.isin(*values) if values else F.lit(False)
+            out = F.when(cond, F.lit(key)) if out is None \
+                else out.when(cond, F.lit(key))
+        return inner if out is None else out.otherwise(inner)
+
+    if k == "TemplateFunctionValue":
+        pair_map = dict(fn.pairs)
+        parts = template_split(fn.value or "")
+        cols = []
+        for kind, text in parts:
+            if kind == "lit":
+                cols.append(F.lit(text))
+            elif text in pair_map:
+                sub = compile_function(pair_map[text])
+                cols.append(uri_encode(sub) if encode_values else sub)
+            else:
+                raise FunctionCompileError(
+                    f"template variable {text!r} has no bound function")
+        return F.concat(*cols) if len(cols) > 1 else (cols[0] if cols else F.lit(""))
+
+    if k == "UriEncode":
+        return compile_function(fn.inner, encode_values=True)
+
+    if k == "Iri":
+        value = compile_function(fn.inner, encode_values)
+        if fn.base:
+            value = F.when(value.rlike(_ABS_IRI_PATTERN), value) \
+                     .otherwise(F.concat(F.lit(fn.base), value))
+        # IRI validity: values containing chars outlawed in IRIs (space,
+        # control chars, <>"{}|^`\) yield NO term — golden RMLTC0019b /
+        # 0020b drop the "Juan Daniel" / "Emily Smith" rows entirely.
+        value = F.when(value.rlike(_INVALID_IRI_CHARS), F.lit(None)) \
+                 .otherwise(value)
+        return F.concat(F.lit("<"), value, F.lit(">"))
+
+    if k == "Literal":
+        body = F.concat(F.lit('"'),
+                        escape_literal(compile_function(fn.inner)),
+                        F.lit('"'))
+        # lang wins; never both (serializer/util.rs:31-37)
+        if fn.langtype is not None:
+            return F.concat(body, F.lit("@"), compile_function(fn.langtype))
+        if fn.dtype is not None:
+            return F.concat(body, F.lit("^^<"),
+                            compile_function(fn.dtype), F.lit(">"))
+        return body
+
+    if k == "BlankNode":
+        return F.concat(F.lit("_:"), compile_function(fn.inner))
+
+    if k == "Upper":
+        return F.upper(compile_function(fn.inner, encode_values))
+
+    if k == "Lower":
+        return F.lower(compile_function(fn.inner, encode_values))
+
+    if k == "FnO":
+        impl = FNO_REGISTRY.get(fn.value)
+        if impl is None:
+            raise FunctionCompileError(
+                f"no FnO implementation registered for {fn.value!r}")
+        params = {name: compile_function(f) for name, f in fn.pairs}
+        return impl(params)
+
+    raise FunctionCompileError(f"unknown Function kind {k!r}")
