@@ -56,13 +56,13 @@ def uri_encode(col: Column) -> Column:
     global _URI_ENCODE_UDF
     if _URI_ENCODE_UDF is None:
         _URI_ENCODE_UDF = _make_uri_encode_udf()
-    return _URI_ENCODE_UDF(col)
+    return _URI_ENCODE_UDF(col.cast("string"))
 
 
 # --- N-Triples literal escaping (pure Catalyst, codegen'd) ---------------
 
 def escape_literal(col: Column) -> Column:
-    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(col.cast("string"), F.lit("\\"), F.lit("\\\\"))
     c = F.replace(c, F.lit('"'), F.lit('\\"'))
     c = F.replace(c, F.lit("\n"), F.lit("\\n"))
     c = F.replace(c, F.lit("\r"), F.lit("\\r"))
@@ -168,7 +168,7 @@ def compile_function(fn: Function, encode_values: bool = False) -> Column:
         return compile_function(fn.inner, encode_values=True)
 
     if k == "Iri":
-        value = compile_function(fn.inner, encode_values)
+        value = compile_function(fn.inner, encode_values).cast("string")
         if fn.base:
             value = F.when(value.rlike(_ABS_IRI_PATTERN), value) \
                      .otherwise(F.concat(F.lit(fn.base), value))

@@ -1,0 +1,262 @@
+"""The north-rule KG-construction pipeline over transcript tables.
+
+Stages (each one checkpoints to a SnapshotStore snapshot with lineage +
+metrics, and resumes from its snapshot when inputs are unchanged):
+
+1. ``transcripts`` — ingest (or synthesize) the transcript table;
+   salted repartition on (conv_id, salt) to defuse hot-conversation
+   skew before downstream work.
+2. ``mentions``   — batched mention detection (Catalyst regex path or
+   Arrow pandas-UDF path) + normalization.
+3. ``entities``   — entity resolution: two-stage blocking + iterative
+   hash-join connected components → surface → canonical map.
+4. ``triples``    — turn triples built through the *operator algebra*
+   (Source → Project → Extend → Serialize, the same plan shape the RML
+   corpus runs) unioned with mention triples (canonical-entity join);
+   distinct; partitioned write.
+
+Scale notes: mention detection and term construction are narrow
+(no shuffle); the only shuffles are the ER node/edge joins (keyed on
+surface, AQE-sized), the canonical-map join (broadcast when small —
+AQE decides), and the final distinct.  The canonical map is orders of
+magnitude smaller than the mention stream (distinct surfaces), so the
+join is broadcastable even at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..algebra import (
+    DataFormat,
+    ExtendOp,
+    Function,
+    IOType,
+    ProjectOp,
+    SerializerOp,
+    SourceIterator,
+    SourceOp,
+    TargetOp,
+    ReferenceFormulation,
+)
+from ..exec.binder import SparkBinder, write_sinks
+from ..plan import Plan
+from ..tables import SnapshotStore
+from .er import canonical_map
+from .generate import generate_transcripts
+from .mentions import detect_mentions, normalize_surface
+
+KG = "http://kg.example/"
+
+TURN_TEMPLATE = KG + "conv/{conv_id}/turn/{turn_idx}"
+
+
+def turn_triples_plan() -> Plan:
+    """Turn-level triples as an operator-algebra plan — the same
+    Source → Project → Extend → Serialize shape the reference compiles
+    for RML mappings (SURVEY.md §2), over the transcripts schema."""
+    g = Plan()
+    plan = g.source(SourceOp.make(
+        {"source": "transcripts"}, IOType.DATAFRAME,
+        SourceIterator(reference_formulation=ReferenceFormulation.TABLE)))
+    plan = plan.apply(ProjectOp(projection_attributes=frozenset(
+        {"conv_id", "turn_idx", "role", "text", "tool", "ts"})), "Projection")
+
+    def iri_const(v: str) -> Function:
+        return Function.iri(Function.constant(v))
+
+    extend = ExtendOp.make({
+        "turn": Function.iri(Function.uri_encode(
+            Function.template(TURN_TEMPLATE))),
+        "conv": Function.iri(Function.uri_encode(
+            Function.template(KG + "conv/{conv_id}"))),
+        "p_partof": iri_const(KG + "ontology/partOf"),
+        "p_role": iri_const(KG + "ontology/role"),
+        "p_text": iri_const(KG + "ontology/text"),
+        "p_tool": iri_const(KG + "ontology/usedTool"),
+        "o_role": Function.literal(Function.reference("role")),
+        "o_text": Function.literal(Function.reference("text")),
+        "o_tool": Function.iri(Function.uri_encode(
+            Function.template(KG + "tool/{tool}"))),
+    })
+    plan = plan.apply(extend, "Extend")
+    template = "\n".join([
+        "?turn ?p_partof ?conv .",
+        "?turn ?p_role ?o_role .",
+        "?turn ?p_text ?o_text .",
+        "?turn ?p_tool ?o_tool .",  # tool null ⇒ suppressed (non-tool turns)
+    ])
+    plan = plan.serialize(SerializerOp(template=template,
+                                       format=DataFormat.NQUADS))
+    return plan.sink(TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS))
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    metrics: dict = dc_field(default_factory=dict)
+
+
+class TranscriptPipeline:
+    def __init__(self, spark: SparkSession, store_root: str,
+                 shuffle_partitions: Optional[int] = None,
+                 salt_buckets: int = 16, use_arrow_mentions: bool = False):
+        self.spark = spark
+        self.store = SnapshotStore(spark, store_root)
+        self.salt_buckets = salt_buckets
+        self.use_arrow_mentions = use_arrow_mentions
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_partitions))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    # -- stage helpers -----------------------------------------------------
+    def _stage(self, name: str, parents: list[str], build,
+               resume: bool, partition_by: Optional[list[str]] = None,
+               metrics: Optional[dict] = None):
+        """Run one stage with checkpoint/resume-by-lineage: reuse the
+        snapshot iff it exists AND its recorded parent snapshot ids
+        match the current upstream snapshot ids."""
+        snap = self.store.latest(name)
+        if resume and snap is not None and snap.manifest.get("parents") == parents:
+            return snap
+        t0 = time.time()
+        df = build()
+        extra = dict(metrics or {})
+        extra["build_seconds"] = round(time.time() - t0, 3)
+        return self.store.write(name, df, parents=parents,
+                                partition_by=partition_by,
+                                extra_metrics=extra)
+
+    # -- pipeline ----------------------------------------------------------
+    def ingest(self, transcripts: DataFrame, resume: bool = False):
+        def build():
+            salt = (F.abs(F.xxhash64(F.col("turn_idx"), F.lit("salt")))
+                    % self.salt_buckets).alias("salt")
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            # salted repartition: hot conversations spread over
+            # salt_buckets partitions instead of one
+            return (transcripts.withColumn("salt", salt)
+                    .repartition(n, "conv_id", "salt")
+                    .drop("salt"))
+        return self._stage("transcripts", parents=[], build=build,
+                           resume=resume)
+
+    def run(self, transcripts: Optional[DataFrame] = None,
+            resume: bool = False, with_nquads: bool = False) -> PipelineResult:
+        t_start = time.time()
+        if transcripts is not None:
+            in_snap = self.ingest(transcripts, resume=resume)
+        else:
+            in_snap = self.store.latest("transcripts")
+            if in_snap is None:
+                raise FileNotFoundError(
+                    "no transcripts snapshot; pass transcripts= or ingest()")
+
+        turns = self.store.read("transcripts")
+
+        m_snap = self._stage(
+            "mentions", parents=[in_snap.snapshot_id],
+            build=lambda: detect_mentions(
+                turns, use_arrow=self.use_arrow_mentions),
+            resume=resume)
+        mentions = self.store.read("mentions")
+
+        e_snap = self._stage(
+            "entities", parents=[m_snap.snapshot_id],
+            build=lambda: canonical_map(mentions),
+            resume=resume)
+        entities = self.store.read("entities")
+
+        def build_triples():
+            binder = SparkBinder(self.spark,
+                                 dataframes={"transcripts": turns})
+            sunk = turn_triples_plan()
+            results = binder.execute(sunk.graph)
+            turn_triples = list(write_sinks(results).values())[0]
+
+            mention_triples = (
+                mentions.join(entities, "surface")
+                .select(
+                    F.concat(F.lit(f"<{KG}conv/"), F.col("conv_id"),
+                             F.lit("/turn/"), F.col("turn_idx"),
+                             F.lit(">")).alias("subj"),
+                    F.lit(f"<{KG}ontology/mentions>").alias("pred"),
+                    F.concat(F.lit(f"<{KG}entity/"),
+                             normalize_surface(F.col("canonical")),
+                             F.lit(">")).alias("obj"),
+                    F.lit(None).cast("string").alias("graph")))
+            return turn_triples.unionByName(mention_triples).distinct()
+
+        t_snap = self._stage("triples",
+                             parents=[in_snap.snapshot_id,
+                                      m_snap.snapshot_id,
+                                      e_snap.snapshot_id],
+                             build=build_triples, resume=resume)
+        triples = self.store.read("triples")
+
+        metrics = {
+            "turns": in_snap.manifest["row_count"],
+            "mentions": m_snap.manifest["row_count"],
+            "entities": e_snap.manifest["row_count"],
+            "triples": t_snap.manifest["row_count"],
+            "wall_seconds": round(time.time() - t_start, 3),
+            "snapshots": {
+                "transcripts": in_snap.snapshot_id,
+                "mentions": m_snap.snapshot_id,
+                "entities": e_snap.snapshot_id,
+                "triples": t_snap.snapshot_id,
+            },
+        }
+        if with_nquads:
+            from ..exec.binder import to_nquads_lines
+            self._stage("nquads", parents=[t_snap.snapshot_id],
+                        build=lambda: to_nquads_lines(triples),
+                        resume=resume)
+        return PipelineResult(triples=triples, metrics=metrics)
+
+
+def ordered_turns(df: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering — the per-turn text-equality
+    invariant is checked under this order (BASELINE.json input_hint)."""
+    return df.orderBy("conv_id", "turn_idx")
+
+
+def main() -> None:
+    import argparse
+    import json
+    p = argparse.ArgumentParser(description="north-rule transcript KG pipeline")
+    p.add_argument("--turns", type=int, default=100_000)
+    p.add_argument("--convs", type=int, default=1000)
+    p.add_argument("--root", default="/tmp/kgloom_pipeline")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--arrow-mentions", action="store_true")
+    args = p.parse_args()
+
+    spark = (SparkSession.builder.master(args.master)
+             .appName("kgloom-transcripts")
+             .config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    pipe = TranscriptPipeline(spark, args.root,
+                              shuffle_partitions=args.shuffle_partitions,
+                              use_arrow_mentions=args.arrow_mentions)
+    transcripts = None if args.resume else generate_transcripts(
+        spark, args.turns, n_convs=args.convs)
+    result = pipe.run(transcripts=transcripts, resume=args.resume)
+    print(json.dumps(result.metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

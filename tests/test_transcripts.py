@@ -1,0 +1,134 @@
+"""North-rule pipeline tests: determinism, invariants, ER correctness,
+checkpoint/resume with lineage (SURVEY.md §5 our-test-plan items c/d)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgloom.transcripts.er import canonical_map, connected_components
+from kgloom.transcripts.generate import generate_transcripts
+from kgloom.transcripts.mentions import detect_mentions, normalize_surface
+from kgloom.transcripts.pipeline import TranscriptPipeline, ordered_turns
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return generate_transcripts(spark, N_TURNS, n_convs=50,
+                                n_entities=40).cache()
+
+
+def test_schema_matches_input_hint(turns):
+    # conv_id:string, turn_idx:int32, role:string, text:string,
+    # tool:string, ts:timestamp (BASELINE.json input_hint)
+    fields = {f.name: f.dataType.simpleString() for f in turns.schema.fields}
+    assert fields == {"conv_id": "string", "turn_idx": "int",
+                      "role": "string", "text": "string",
+                      "tool": "string", "ts": "timestamp"}
+
+
+def test_generator_deterministic_across_parallelism(spark, turns):
+    a = set(map(tuple, turns.collect()))
+    b = set(map(tuple, generate_transcripts(
+        spark, N_TURNS, n_convs=50, n_entities=40, partitions=3).collect()))
+    assert a == b
+
+
+def test_conv_skew_exists(turns):
+    counts = [r["count"] for r in
+              turns.groupBy("conv_id").count().collect()]
+    assert max(counts) > 5 * (sum(counts) / len(counts))  # hot conv
+
+
+def test_ts_monotone_within_conversation(turns):
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bad = (turns.withColumn("prev", F.lag("ts").over(w))
+           .where(F.col("prev").isNotNull() & (F.col("ts") <= F.col("prev")))
+           .count())
+    assert bad == 0
+
+
+def test_mention_detection_both_paths(spark, turns):
+    jvm = detect_mentions(turns, use_arrow=False)
+    arrow = detect_mentions(turns, use_arrow=True)
+    assert jvm.count() > N_TURNS  # ≥1 mention/turn, some have 2
+    assert set(map(tuple, jvm.collect())) == set(map(tuple, arrow.collect()))
+    # every mention normalizes to a digit key
+    assert jvm.where(~F.col("norm_key").rlike("^[0-9]+$")).count() == 0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2")],
+        ["src", "dst"])
+    comp = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["p"] == comp["p2"] == "p"
+
+
+def test_entity_resolution_ground_truth(spark, turns):
+    """All surface variants of entity k must canonicalize together —
+    the generator's grammar is the ground truth."""
+    mentions = detect_mentions(turns)
+    cmap = canonical_map(mentions)
+    check = (cmap
+             .withColumn("true_key", normalize_surface(F.col("surface")))
+             .withColumn("canon_key", normalize_surface(F.col("canonical"))))
+    # correct: same true entity ⇒ same canonical (no splits)
+    splits = (check.groupBy("true_key")
+              .agg(F.countDistinct("canonical").alias("n"))
+              .where(F.col("n") > 1).count())
+    assert splits == 0
+    # no merges across different true entities
+    merges = (check.groupBy("canonical")
+              .agg(F.countDistinct("true_key").alias("n"))
+              .where(F.col("n") > 1).count())
+    assert merges == 0
+
+
+def test_pipeline_end_to_end_and_resume(spark, turns, tmp_path):
+    pipe = TranscriptPipeline(spark, str(tmp_path / "store"),
+                              shuffle_partitions=8)
+    res = pipe.run(transcripts=turns)
+    assert res.metrics["triples"] > 3 * N_TURNS  # ≥3 triples/turn + mentions
+    assert res.metrics["mentions"] > 0 and res.metrics["entities"] > 0
+
+    # per-turn text equality under stable (conv_id, turn_idx) ordering:
+    # round-trip the text triples back and compare
+    text_triples = res.triples.where(
+        F.col("pred") == "<http://kg.example/ontology/text>")
+    got = [r.obj for r in ordered_turns(
+        text_triples.withColumn("conv_id", F.regexp_extract(
+            "subj", r"conv/(.+?)/turn", 1))
+        .withColumn("turn_idx", F.regexp_extract(
+            "subj", r"turn/([0-9]+)>", 1).cast("int"))).collect()]
+    want = ['"' + r.text.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            for r in ordered_turns(turns).collect()]
+    assert got == want
+
+    # resume: snapshots unchanged ⇒ same snapshot ids reused
+    res2 = pipe.run(resume=True)
+    assert res2.metrics["snapshots"] == res.metrics["snapshots"]
+
+    # manifests carry lineage + per-partition metrics
+    snap = pipe.store.latest("triples")
+    assert snap.manifest["parents"] == [
+        res.metrics["snapshots"]["transcripts"],
+        res.metrics["snapshots"]["mentions"],
+        res.metrics["snapshots"]["entities"]]
+    assert sum(snap.manifest["partition_row_counts"].values()) == \
+        snap.manifest["row_count"]
+
+
+def test_pipeline_deterministic_across_parallelism(spark, turns, tmp_path):
+    """Same triples regardless of partitioning (scaling invariance)."""
+    p1 = TranscriptPipeline(spark, str(tmp_path / "s1"), shuffle_partitions=4)
+    p2 = TranscriptPipeline(spark, str(tmp_path / "s2"), shuffle_partitions=16)
+    r1 = p1.run(transcripts=turns.repartition(2))
+    r2 = p2.run(transcripts=turns.repartition(13))
+    a = set(map(tuple, r1.triples.collect()))
+    b = set(map(tuple, r2.triples.collect()))
+    assert a == b
