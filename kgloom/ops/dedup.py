@@ -1,0 +1,178 @@
+"""Deduplication operators over a document table (doc_id, text, ...).
+
+Scale design:
+
+- ``exact_dedup`` — one hash-aggregate on text (map-side partial
+  aggregation; the shuffle key is the text hash, never the text).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard via an *inverted-index
+  self-join* on shingles: |candidate pairs| is bounded by co-occurring
+  shingles, never the O(n²) document cross product.  At 100 TB, add a
+  document-frequency cap on shingles (drop shingles appearing in > K
+  docs) — exposed as ``max_shingle_df``.
+- ``minhash_lsh_pairs`` — MinHash signatures (k hash functions via
+  md5(j || shingle)) + banding: candidates are pairs sharing ≥1 band
+  bucket; the band join is an equi-join on (band_idx, band_key).
+  Everything is built-in Spark SQL (md5/substring/min/groupBy) so the
+  whole signature computation is whole-stage-codegen'd — and exactly
+  reproducible in any engine with md5 (the DuckDB oracle runs the same
+  formula).
+- ``simhash64`` — 64-bit SimHash over token md5s; near-dups = pairs
+  within Hamming distance d, found by banding the 64 bits into
+  (d+1) blocks (pigeonhole: any pair within distance d agrees on ≥1
+  block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col="text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def word_shingles(col="text", n: int = 3):
+    """Array of n-gram word shingles of the text (JVM-side transform);
+    texts shorter than n tokens yield an empty array (guarded — Spark's
+    sequence(0, -1) would count DOWN, not produce empty)."""
+    t = tokens(col)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    return F.when(F.size(t) >= n, windows) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: md5 key, duplicate count, minimal
+    doc_id as the kept representative."""
+    return (docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("rep_doc_id")))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return (docs.select("doc_id",
+                        F.explode(word_shingles("text", n)).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard ≥ threshold,
+    via inverted-index join — no document cross product."""
+    sh = doc_shingles(docs, n)
+    if max_shingle_df is not None:
+        df_ok = (sh.groupBy("shingle").count()
+                 .where(F.col("count") <= max_shingle_df)
+                 .select("shingle"))
+        sh = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"), "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sa"}),
+                 "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sb"}),
+                 "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_inter")
+                               / (F.col("sa") + F.col("sb") - F.col("n_inter")),
+                               4))
+           .where(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
+                       n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{k-1}): MinHash signature, h_j = min over shingles
+    of the first 16 hex chars of md5('{j}|' || shingle)."""
+    sh = doc_shingles(docs, n)
+    aggs = [
+        F.min(F.substring(
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 16))
+        .alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
+                      band_size: int = 2, n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH
+    band bucket (band key = concatenated hashes of the band)."""
+    sig = minhash_signatures(docs, num_hashes, n)
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
+        part = sig.select("doc_id", F.lit(b).alias("band"),
+                          F.concat_ws("|", *cols).alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    pairs = (bands.alias("a")
+             .join(bands.alias("b"), ["band", "band_key"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash of the token set.
+
+    Bit i of the hash is the sign of sum over tokens of (+1 if bit i of
+    md5(token) else -1) — computed as array math over the token stream,
+    all built-ins.
+    """
+    tok = (docs.select("doc_id", F.explode(tokens()).alias("token"))
+           .withColumn("th", F.conv(F.substring(F.md5("token"), 1, 15),
+                                    16, 10).cast("decimal(20,0)")
+                       .cast("long")))
+    # per (doc, bit): vote = sum(±1); simhash bit = vote > 0
+    bits = (tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("th"))
+        .withColumn("vote", F.when(
+            F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("v") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs within Hamming distance ``max_hamming``
+    via bit-block banding (pigeonhole over max_hamming+1 blocks),
+    verified with an exact popcount filter."""
+    sig = simhash64(docs)
+    blocks = max_hamming + 1
+    width = 60 // blocks
+    parts = None
+    for b in range(blocks):
+        key = F.shiftright(F.col("simhash"), b * width) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+        p = sig.select("doc_id", "simhash", F.lit(b).alias("block"),
+                       key.alias("key"))
+        parts = p if parts is None else parts.unionByName(p)
+    cand = (parts.alias("a").join(parts.alias("b"), ["block", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

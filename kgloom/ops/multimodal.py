@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are not present in this
+container, so the *decode kernels* are stubbed — either raising
+``NotImplementedError`` (real mode) or applying a deterministic fake
+(test mode) — while everything Spark-side is real and tested: schema,
+``mapInPandas`` batch shape, Arrow transfer of binary columns,
+partition sizing, and the UDF signatures a real decoder drops into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of a multimodal asset table
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("modality", StringType(), False),   # image|audio|video
+    StructField("mime", StringType(), True),
+    StructField("payload", BinaryType(), True),     # opaque bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("modality", StringType(), False),
+    StructField("n_bytes", IntegerType(), True),
+    StructField("feature", ArrayType(FloatType()), True),
+])
+
+
+def _fake_decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode+embed: a byte-histogram sketch.
+    Replace with a real decoder (PIL → model) in production."""
+    if payload is None:
+        return None
+    buckets = [0] * dim
+    for b in payload:
+        buckets[b % dim] += 1
+    total = max(1, len(payload))
+    return [round(c / total, 6) for c in buckets]
+
+
+def extract_features(assets: DataFrame, batch_fake: bool = True,
+                     dim: int = 8) -> DataFrame:
+    """Batched decode/feature-extract over ``mapInPandas``.
+
+    Real-mode contract: each Arrow batch arrives as a pandas DataFrame
+    with the full asset schema; the decoder runs per batch (model call
+    amortized), yielding FEATURE_SCHEMA rows.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not batch_fake:
+                raise NotImplementedError(
+                    "real decoders (PIL/ffmpeg) are not available in this "
+                    "environment; run with batch_fake=True")
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0),
+                "feature": pdf["payload"].map(
+                    lambda p: _fake_decode_image(p, dim)),
+            })
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (asset, frame_ts) —
+    the explode is real Spark; the frame decode is the stubbed kernel."""
+    n_frames = F.greatest(
+        (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms)
+        .cast("int"), F.lit(0))
+    return (assets.where(F.col("modality") == "video")
+            .select("asset_id",
+                    F.explode(F.sequence(F.lit(0), n_frames))
+                     .alias("frame_idx"))
+            .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
+
+
+def synth_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    df = spark.range(n).select(
+        F.concat(F.lit("asset-"), F.col("id")).alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.repeat(F.concat(F.lit("blob"), F.col("id")), 10),
+                 "utf-8").alias("payload"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        (F.col("id") * 500).cast("int").alias("duration_ms"))
+    return df

@@ -1,0 +1,85 @@
+"""Text-analysis operators: token counting, quality scoring,
+language-ID, document fingerprinting.  Pure Catalyst (whole-stage
+codegen); integer/string outputs so cross-engine oracles compare
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+#: tiny per-language stop/marker word sets for n-gram-free language ID
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "es": ["el", "de", "la", "los", "que"],
+    "fr": ["le", "la", "les", "des", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_uniq_tokens, n_chars, max_token_len)."""
+    t = tokens()
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars"),
+        F.array_max(F.transform(t, lambda x: F.length(x)))
+         .alias("max_token_len"))
+
+
+def quality_score(docs: DataFrame,
+                  stopwords: list[str] | None = None) -> DataFrame:
+    """(doc_id, n_tokens, n_stopwords, n_digits, n_punct) — the integer
+    signals a quality classifier thresholds on (ratios are left to the
+    consumer to avoid float drift across engines)."""
+    sw = stopwords or LANG_MARKERS["en"]
+    t = tokens()
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda x: F.array_contains(sw_arr, x)))
+         .alias("n_stopwords"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("n_punct"))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang): stopword-vote language identification.
+
+    Votes = count of language marker words among the tokens; prediction
+    = language with the most votes (deterministic tie-break by language
+    code), 'und' when no marker hits.
+    """
+    t = tokens()
+    df = docs.select("doc_id", t.alias("toks"))
+
+    def _vote(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(F.col("toks"),
+                               lambda x: F.array_contains(arr, x)))
+
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        df = df.withColumn(f"v_{lang}", _vote(markers))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        pred = F.when((F.col(f"v_{lg}") == best) & (best > 0), F.lit(lg)) \
+                .otherwise(pred)
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 of the sorted distinct token set —
+    word-order/duplication-insensitive near-dup key."""
+    t = tokens()
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
+         .alias("fingerprint"))
