@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs every ``__spark_entry__.queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` datasource writer
+(full computation, no output, no driver collect).  Also measures the
+north-rule transcripts pipeline and reports turns/sec.
+
+Scaling evidence (N vs 4N cores) is produced by
+``scripts/bench_scaling.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: str):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("kgloom-bench")
+            .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.driver.memory",
+                    os.environ.get("KGLOOM_DRIVER_MEM", "48g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_turns = int(os.environ.get("KGLOOM_BENCH_TURNS", "300000"))
+
+    import __spark_entry__ as entry_mod
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + Arrow path
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # north-rule pipeline throughput (generate excluded from the timing)
+    from kgloom.transcripts.generate import generate_transcripts
+    from kgloom.transcripts.pipeline import TranscriptPipeline
+    with tempfile.TemporaryDirectory() as root:
+        turns = generate_transcripts(spark, n_turns,
+                                     n_convs=max(200, n_turns // 200))
+        turns.write.mode("overwrite").parquet(f"{root}/input")
+        turns = spark.read.parquet(f"{root}/input")
+        pipe = TranscriptPipeline(spark, f"{root}/store")
+        t0 = time.time()
+        res = pipe.run(transcripts=turns)
+        pipeline_sec = time.time() - t0
+    times["transcripts_pipeline"] = round(pipeline_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "total_query_plus_pipeline_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "transcripts_turns": n_turns,
+        "transcripts_turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "transcripts_triples": res.metrics["triples"],
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -229,7 +229,7 @@ class SparkBinder:
                 f"serializer format {op.format} not implemented "
                 "(reference implements NTriples+NQuads only — "
                 "serializer/mod.rs:39-56)")
-        parts: list[DataFrame] = []
+        quads: list = []
         for raw_line in op.template.splitlines():
             line = raw_line.strip()
             if not line:
@@ -240,22 +240,30 @@ class SparkBinder:
             if len(vars_) not in (3, 4):
                 raise BindError(f"bad serializer template line {raw_line!r}")
             s, p, o = vars_[:3]
-            sel = df.select(
-                F.col(s).alias("subj"), F.col(p).alias("pred"),
-                F.col(o).alias("obj"),
-                (F.col(vars_[3]) if len(vars_) == 4
-                 else F.lit(None).cast("string")).alias("graph"))
-            cond = (F.col("subj").isNotNull() & F.col("pred").isNotNull()
-                    & F.col("obj").isNotNull())
+            g = (F.col(vars_[3]) if len(vars_) == 4
+                 else F.lit(None).cast("string"))
+            keep = (F.col(s).isNotNull() & F.col(p).isNotNull()
+                    & F.col(o).isNotNull())
             if len(vars_) == 4:
-                cond = cond & F.col("graph").isNotNull()
-            parts.append(sel.where(cond))
-        if not parts:
+                keep = keep & g.isNotNull()
+            quads.append(F.when(keep, F.struct(
+                F.col(s).alias("subj"), F.col(p).alias("pred"),
+                F.col(o).alias("obj"), g.alias("graph"))))
+        if not quads:
             raise BindError("serializer with empty template")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.distinct()
+        # ONE scan: per row build the array of template-line quads and
+        # explode (a union of per-line projections would re-scan the
+        # input once per line); suppressed terms yield null array slots
+        # dropped by the explode filter
+        out = (df.select(F.explode(F.array(*quads)).alias("q"))
+               .where(F.col("q").isNotNull())
+               .select("q.subj", "q.pred", "q.obj", "q.graph"))
+        # RDF set semantics by default; a compiler that can prove row
+        # uniqueness (e.g. keyed transcript turns) may disable the dedup
+        # shuffle via options={"distinct": "false"}
+        if dict(op.options).get("distinct", "true") != "false":
+            out = out.distinct()
+        return out
 
 
 def to_nquads_lines(df: DataFrame) -> DataFrame:

@@ -37,9 +37,21 @@ _ABS_IRI_PATTERN = "^[A-Za-z][A-Za-z0-9+.-]*:"
 _INVALID_IRI_CHARS = "[\\x00-\\x20<>\"{}|^`\\\\]"
 
 
-# --- vectorized percent-encoding (the one unavoidable Python stage) -----
+# --- RFC-3986 percent-encoding ------------------------------------------
+#
+# Two implementations, bit-identical on all inputs:
+#
+# 1. Catalyst (default, JVM whole-stage path): Spark's ``url_encode``
+#    (Java URLEncoder, application/x-www-form-urlencoded) differs from
+#    RFC-3986 ``quote(s, safe='')`` in exactly three tokens — space→'+'
+#    (must be %20), '*' kept (must be %2A), '~'→%7E (must stay '~') —
+#    fixed up with three replaces.  No Python worker in the hot path.
+# 2. Arrow pandas UDF wrapping ``urllib.parse.quote`` — kept for parity
+#    testing and as the documented fallback (matches the Rust
+#    ``urlencoding`` crate the reference depends on, Cargo.toml:44).
 
 _URI_ENCODE_UDF = None
+USE_ARROW_URI_ENCODE = False
 
 
 def _make_uri_encode_udf():
@@ -52,11 +64,25 @@ def _make_uri_encode_udf():
     return pandas_udf(_encode, StringType())
 
 
-def uri_encode(col: Column) -> Column:
+def uri_encode_arrow(col: Column) -> Column:
     global _URI_ENCODE_UDF
     if _URI_ENCODE_UDF is None:
         _URI_ENCODE_UDF = _make_uri_encode_udf()
     return _URI_ENCODE_UDF(col.cast("string"))
+
+
+def uri_encode_catalyst(col: Column) -> Column:
+    c = F.url_encode(col.cast("string"))
+    c = F.replace(c, F.lit("+"), F.lit("%20"))
+    c = F.replace(c, F.lit("*"), F.lit("%2A"))
+    c = F.replace(c, F.lit("%7E"), F.lit("~"))
+    return c
+
+
+def uri_encode(col: Column) -> Column:
+    if USE_ARROW_URI_ENCODE:
+        return uri_encode_arrow(col)
+    return uri_encode_catalyst(col)
 
 
 # --- N-Triples literal escaping (pure Catalyst, codegen'd) ---------------

@@ -136,19 +136,17 @@ def simhash64(docs: DataFrame) -> DataFrame:
            .withColumn("th", F.conv(F.substring(F.md5("token"), 1, 15),
                                     16, 10).cast("decimal(20,0)")
                        .cast("long")))
-    # per (doc, bit): vote = sum(±1); simhash bit = vote > 0
-    bits = (tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        F.col("th"))
-        .withColumn("vote", F.when(
-            F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v")))
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("v") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+    # one hash-aggregate with 60 ones-counters + total — no bit explode
+    # (map-side partial agg keeps the shuffle at one row per doc)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.expr(f"(th >> {i}) & 1")).alias(f"b{i}") for i in range(60)]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"),
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -85,20 +85,19 @@ class SnapshotStore:
         snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         snap_path = os.path.join(self._table_dir(table), snap_id)
         data_path = os.path.join(snap_path, "data")
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").option("compression", "zstd")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_path)
 
-        written = self.spark.read.parquet(data_path)
-        part_counts = (written.groupBy(F.spark_partition_id().alias("pid"))
-                       .count().collect())
-        per_partition = {int(r.pid): int(r["count"]) for r in part_counts}
+        # per-file row counts straight from parquet footers (no extra
+        # Spark job) — the same granularity Iceberg manifests record
+        per_partition = self._footer_counts(data_path)
         manifest = {
             "table": table,
             "snapshot_id": snap_id,
             "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "schema": written.schema.jsonValue(),
+            "schema": df.schema.jsonValue(),
             "row_count": sum(per_partition.values()),
             "partition_row_counts": per_partition,
             "parents": parents or [],
@@ -114,6 +113,22 @@ class SnapshotStore:
         os.replace(tmp, os.path.join(self._table_dir(table), "_latest"))
         return Snapshot(table=table, snapshot_id=snap_id, path=snap_path,
                         manifest=manifest)
+
+    @staticmethod
+    def _footer_counts(data_path: str) -> dict[str, int]:
+        import glob
+        import pyarrow.parquet as pq
+        out: dict[str, int] = {}
+        for f in sorted(glob.glob(os.path.join(data_path, "**", "part-*"),
+                                  recursive=True)):
+            if f.endswith(".crc"):
+                continue
+            try:
+                out[os.path.relpath(f, data_path)] = \
+                    pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                continue
+        return out
 
     def snapshots(self, table: str) -> list[str]:
         d = self._table_dir(table)

@@ -27,14 +27,26 @@ from pyspark.sql import functions as F
 from .mentions import link_score, normalize_surface
 
 
-def build_edges(mentions: DataFrame, score_threshold: float = 0.5) -> DataFrame:
+def distinct_surfaces(mentions: DataFrame) -> DataFrame:
+    """The node set: one aggregation over the mention stream, then
+    localCheckpoint so every downstream consumer (edges, hubs, the
+    canonical join) reuses the small result instead of re-deduplicating
+    the full stream."""
+    return (mentions.select("surface", "norm_key").distinct()
+            .localCheckpoint())
+
+
+def build_edges(mentions: DataFrame, score_threshold: float = 0.5,
+                surfaces: DataFrame | None = None) -> DataFrame:
     """Distinct mention surfaces → undirected similarity edges.
 
     Works on DISTINCT surfaces only (the node set), never on mention
     occurrences — at 10^12 turns the distinct-surface set is orders of
     magnitude smaller than the mention stream.
     """
-    surfaces = (mentions.select("surface", "norm_key").distinct()
+    if surfaces is None:
+        surfaces = distinct_surfaces(mentions)
+    surfaces = (surfaces
                 .withColumn("score",
                             link_score(F.col("surface"), F.col("norm_key")))
                 .where(F.col("score") >= score_threshold))
@@ -68,18 +80,70 @@ def build_edges(mentions: DataFrame, score_threshold: float = 0.5) -> DataFrame:
     return stage1.unionByName(stage2).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+#: below this edge count the component computation runs driver-side
+#: (union-find) instead of iterative joins — two-level strategy: the
+#: distinct-surface graph after blocking is usually tiny relative to the
+#: mention stream, and a driver union-find on ≤ a few million edges is
+#: milliseconds vs seconds of per-round job latency.  Above it, the
+#: GraphFrames-style iterative hash-join propagation takes over.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edge_rows) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        rs, rd = find(src), find(dst)
+        if rs != rd:
+            # union by label order so the component id is the min node
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES
+                         ) -> DataFrame:
     """(src, dst) string edges → (node, component) with component = the
-    lexicographically minimal node of each component."""
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    labels = nodes.withColumn("label", F.col("node"))
+    lexicographically minimal node of each component.
+
+    Size-gated two-level strategy (see DRIVER_CC_MAX_EDGES); the
+    distributed path repartitions its iteration state size-aware
+    (~500k edges per partition, min 1): small graphs run single-task
+    rounds, huge graphs scale out with hash joins on the node key.
+    """
+    spark = edges.sparkSession
     bidirected = (edges.select("src", "dst")
                   .unionByName(edges.select(F.col("dst").alias("src"),
                                             F.col("src").alias("dst")))
-                  .distinct()
-                  .localCheckpoint())
+                  .distinct())
+    n_edges = bidirected.count()
+    if n_edges <= driver_max_edges:
+        # collect(), not toLocalIterator(): the latter fetches partitions
+        # as sequential mini-jobs (64 × job latency); bounded by the gate
+        mapping = _driver_union_find(
+            (r.src, r.dst) for r in bidirected.collect())
+        if not mapping:
+            return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame(
+            list(mapping.items()), "node string, component string")
+
+    parts = max(1, min(int(spark.conf.get(
+        "spark.sql.shuffle.partitions")), n_edges // 500_000 + 1))
+    bidirected = bidirected.repartition(parts, "src").localCheckpoint()
+    nodes = (bidirected.select(F.col("src").alias("node")).distinct())
+    labels = nodes.withColumn("label", F.col("node")) \
+        .repartition(parts, "node")
 
     for _ in range(max_iter):
         neighbor_min = (bidirected
@@ -93,6 +157,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                                       F.coalesce(F.col("nlabel"),
                                                  F.col("label")))
                               .alias("label"))
+                      .repartition(parts, "node")
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
@@ -107,11 +172,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 def canonical_map(mentions: DataFrame,
                   score_threshold: float = 0.5) -> DataFrame:
     """surface → canonical entity key for every distinct surface
-    (including singletons that have no edges)."""
-    edges = build_edges(mentions, score_threshold)
+    (including singletons that have no edges).  The mention stream is
+    aggregated exactly once (distinct_surfaces); all graph work happens
+    on the checkpointed node set."""
+    surfaces = distinct_surfaces(mentions)
+    edges = build_edges(mentions, score_threshold, surfaces=surfaces)
     components = connected_components(edges)
-    all_surfaces = mentions.select("surface").distinct()
-    return (all_surfaces
+    return (surfaces.select("surface")
             .join(components.withColumnRenamed("node", "surface"),
                   "surface", "left")
             .select("surface",

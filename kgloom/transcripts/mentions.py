@@ -53,17 +53,29 @@ def normalize_surface(col: F.Column) -> F.Column:
     return F.regexp_replace(F.lower(col), "[^0-9]", "")
 
 
-_link_score_udf = None
-
-
 def link_score(surface: F.Column, candidate_key: F.Column) -> F.Column:
-    """Entity-link confidence — vectorized pandas UDF.
+    """Entity-link confidence in [0,1] — pure Catalyst (codegen'd).
 
     Deterministic heuristic: digit-sequence agreement (hard requirement)
     weighted by a variant prior (canonical ``Entity_k`` form scores
-    highest).  Stand-in for a learned scorer; the contract is
-    (surface, candidate) → [0,1], batched via Arrow.
+    highest).  Stand-in for a learned scorer; when the scorer is a real
+    model, swap in ``link_score_arrow`` (same contract, Arrow-batched).
     """
+    digits = normalize_surface(surface)
+    return (F.when(surface.isNull() | candidate_key.isNull(), 0.0)
+            .when(digits != candidate_key, 0.0)
+            .when(surface.startswith("Entity_"), 1.0)
+            .when(surface.startswith("entity "), 0.95)
+            .when(surface.startswith("E-"), 0.9)
+            .otherwise(0.85))
+
+
+_link_score_udf = None
+
+
+def link_score_arrow(surface: F.Column, candidate_key: F.Column) -> F.Column:
+    """The same scorer as an Arrow-vectorized pandas UDF — the slot a
+    learned (model-based) scorer plugs into; batched, never per-row."""
     global _link_score_udf
     if _link_score_udf is None:
         def _score(surfaces: pd.Series, keys: pd.Series) -> pd.Series:

@@ -91,8 +91,12 @@ def turn_triples_plan() -> Plan:
         "?turn ?p_text ?o_text .",
         "?turn ?p_tool ?o_tool .",  # tool null ⇒ suppressed (non-tool turns)
     ])
+    # (conv_id, turn_idx) is the transcript table's key and each template
+    # line has a distinct predicate ⇒ rows are unique by construction; the
+    # RDF-set dedup shuffle (8M+ wide strings at 2M turns) is skipped
     plan = plan.serialize(SerializerOp(template=template,
-                                       format=DataFormat.NQUADS))
+                                       format=DataFormat.NQUADS,
+                                       options=(("distinct", "false"),)))
     return plan.sink(TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS))
 
 
@@ -191,8 +195,12 @@ class TranscriptPipeline:
                     F.concat(F.lit(f"<{KG}entity/"),
                              normalize_surface(F.col("canonical")),
                              F.lit(">")).alias("obj"),
-                    F.lit(None).cast("string").alias("graph")))
-            return turn_triples.unionByName(mention_triples).distinct()
+                    F.lit(None).cast("string").alias("graph"))
+                .distinct())
+            # turn triples are already distinct (serializer RDF set
+            # semantics) and share no predicate with mention triples —
+            # the union is distinct by construction, no extra shuffle
+            return turn_triples.unionByName(mention_triples)
 
         t_snap = self._stage("triples",
                              parents=[in_snap.snapshot_id,
@@ -239,12 +247,14 @@ def main() -> None:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--arrow-mentions", action="store_true")
+    p.add_argument("--driver-memory", default="24g")
     args = p.parse_args()
 
     spark = (SparkSession.builder.master(args.master)
              .appName("kgloom-transcripts")
              .config("spark.sql.shuffle.partitions",
                      str(args.shuffle_partitions))
+             .config("spark.driver.memory", args.driver_memory)
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")

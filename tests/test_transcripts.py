@@ -58,13 +58,20 @@ def test_mention_detection_both_paths(spark, turns):
     assert jvm.where(~F.col("norm_key").rlike("^[0-9]+$")).count() == 0
 
 
-def test_connected_components_basic(spark):
+@pytest.mark.parametrize("driver_max_edges", [2_000_000, 0],
+                         ids=["driver-unionfind", "iterative-joins"])
+def test_connected_components_basic(spark, driver_max_edges):
+    """Both CC strategies (size-gated driver union-find and distributed
+    iterative min-label joins) must agree."""
     edges = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2")],
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"),
+         ("m", "n"), ("n", "o"), ("o", "a")],  # chain joining into a's comp
         ["src", "dst"])
     comp = {r.node: r.component
-            for r in connected_components(edges).collect()}
-    assert comp["a"] == comp["b"] == comp["c"] == "a"
+            for r in connected_components(
+                edges, driver_max_edges=driver_max_edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["m"] == \
+        comp["n"] == comp["o"] == "a"
     assert comp["x"] == comp["y"] == "x"
     assert comp["p"] == comp["p2"] == "p"
 
