@@ -45,6 +45,33 @@ def run_rml(spark: SparkSession, mapping_text: str,
     return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
 
 
+def run_shexml(spark: SparkSession, shexml_text: str,
+               base_dir: Optional[str] = None,
+               source_overrides: Optional[dict[str, str]] = None,
+               dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:
+    """Compile + execute a ShExML document (frontend IR #2); returns one
+    distinct (subj, pred, obj, graph) DataFrame over all sinks."""
+    from .shexml import parse_shexml, shexml_to_plan
+    doc = parse_shexml(shexml_text)
+    graph = shexml_to_plan(doc, source_overrides=source_overrides)
+    binder = SparkBinder(spark=spark, dataframes=dataframes or {},
+                         base_dir=base_dir)
+    sinks = write_sinks(binder.execute(graph))
+    dfs = list(sinks.values())
+    if not dfs:
+        raise ValueError("ShExML document produced no output branches")
+    return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+
+
+def run_shexml_file(spark: SparkSession, path: str,
+                    source_overrides: Optional[dict[str, str]] = None
+                    ) -> DataFrame:
+    with open(path, "r", encoding="utf-8") as f:
+        text = f.read()
+    return run_shexml(spark, text, base_dir=os.path.dirname(path),
+                      source_overrides=source_overrides)
+
+
 def run_rml_file(spark: SparkSession, mapping_path: str,
                  base_dir: Optional[str] = None,
                  dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:

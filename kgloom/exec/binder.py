@@ -92,7 +92,9 @@ class SparkBinder:
                     raise BindError(
                         f"{node_id}: projection references missing columns "
                         f"{missing} (available: {df.columns})")
-                bound[node_id] = df.select(*sorted(op.projection_attributes))
+                bound[node_id] = df.select(
+                    *[F.col("`" + c.replace("`", "``") + "`")
+                      for c in sorted(op.projection_attributes)])
             elif isinstance(op, RenameOp):
                 df = bound[preds[0].src]
                 bound[node_id] = df.withColumnsRenamed(dict(op.rename_pairs))
@@ -139,7 +141,8 @@ class SparkBinder:
         if self.base_dir and not path.startswith("/"):
             path = f"{self.base_dir}/{path}"
         rf = op.root_iterator.reference_formulation.value
-        if rf in ("CSVRows", "JSONPath") and path.startswith("/"):
+        if rf in ("CSVRows", "JSONPath", "XMLPath", "XMLQuery") and \
+                path.startswith("/"):
             import os
             if not os.path.exists(path):
                 raise BindError(f"source file not found: {path}")
@@ -147,10 +150,26 @@ class SparkBinder:
             # all-strings ingest: the reference stringifies values back on
             # emission (operator/src/value.rs:68-80), so golden lexical
             # forms like "30.0E0" survive verbatim (RMLTC0005a)
-            return (self.spark.read
-                    .option("header", "true")
-                    .option("inferSchema", "false")
-                    .csv(path))
+            df = (self.spark.read
+                  .option("header", "true")
+                  .option("inferSchema", "false")
+                  .csv(path))
+            if op.root_iterator.fields:
+                # ShExML csvperrow FIELDs: alias ← column (leading '@'
+                # in the query is stripped — straight_csv FIELD id <@id>)
+                sel = []
+                for f in op.root_iterator.fields:
+                    src_col = f.reference.lstrip("@")
+                    if src_col in df.columns:
+                        sel.append(F.col("`" + src_col + "`").alias(f.alias))
+                if not sel:
+                    raise BindError(
+                        f"no ShExML csv fields match columns {df.columns}")
+                df = df.select(*sel)
+            return df
+        if rf in ("JSONPath", "XMLPath", "XMLQuery") and op.root_iterator.fields:
+            from .docsource import load_document_source
+            return load_document_source(self.spark, path, op.root_iterator)
         if rf == "JSONPath":
             return self._bind_json(path, op.root_iterator.reference)
         if rf == "Table":

@@ -1,0 +1,12 @@
+"""ShExML frontend (frontend IR #2).
+
+Parity target: the reference's ``shexml-interpreter`` crate (chumsky
+lexer+parser → ShExMLDocument, `/root/reference/shexml-interpreter/src/
+parser/type.rs:14-23`) and ``translator/src/shexml`` (document → plan).
+Feature scope matches the reference's own partial support (its README
+"Test cases": autoincrement, query statements, cross-source joins,
+external functions and conditionals are best-effort skipped).
+"""
+
+from .parser import parse_shexml, ShExMLParseError  # noqa: F401
+from .translate import shexml_to_plan  # noqa: F401

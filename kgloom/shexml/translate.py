@@ -1,0 +1,288 @@
+"""ShExML document → operator plan.
+
+Parity target: ``ShExMLTranslator::translate_to_plan``
+(`/root/reference/translator/src/shexml/mod.rs:29-88`): sources keyed
+``"{source}.{iterator}"`` (operators/source.rs:23-101), per source the
+quads answerable from it (util.rs:155-212 get_quads_from_same_source),
+a RenameOp mapping ``iterator.field`` → expression names
+(operators/rename.rs:45-84), an ExtendOp computing the RDF terms
+(mod.rs:211-290) and a Serializer with ``?var <pred> ?var`` BGP lines
+(mod.rs:292-354).  UNION expressions resolve per source branch;
+matchers become Replace functions; ``@shape`` links reuse the target
+shape's subject function.  Cross-source joins, autoincrements,
+functions and conditionals are skipped, matching the reference's own
+coverage (README "Test cases").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..algebra import (
+    DataFormat,
+    ExtendOp,
+    Function,
+    IOType,
+    ProjectOp,
+    ReferenceFormulation,
+    RenameOp,
+    SerializerOp,
+    SourceIterator,
+    IterField,
+    SourceOp,
+    TargetOp,
+)
+from ..plan import Plan, PlanGraph
+from .parser import (
+    ShExMLDocument,
+    ShExMLParseError,
+    SxExprPart,
+    SxObject,
+    SxShape,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_FORMULATIONS = {
+    "csvperrow": ReferenceFormulation.CSV_ROWS,
+    "jsonpath": ReferenceFormulation.JSON_PATH,
+    "xpath": ReferenceFormulation.XML_PATH,
+}
+
+
+class _Branch:
+    """One (source, iterator) pair — a scan branch of the plan."""
+
+    def __init__(self, source_name: str, iterator_name: str, doc: ShExMLDocument):
+        self.source = doc.sources[source_name]
+        self.iterator = doc.iterators[iterator_name]
+        self.key = f"{source_name}.{iterator_name}"
+        self.columns = self._collect_columns()
+
+    def _collect_columns(self) -> dict[str, str]:
+        cols: dict[str, str] = {}
+
+        def walk(fields, prefix=""):
+            for f in fields:
+                if f.is_iterator:
+                    walk(f.fields, prefix=f"{prefix}{f.alias}.")
+                else:
+                    cols[f"{prefix}{f.alias}"] = f.query
+        walk(self.iterator.fields)
+        return cols
+
+    def resolve_path(self, path: str, subpath: str = "") -> Optional[str]:
+        """``source.iterator[.fieldpath]`` (+shape subpath) → column."""
+        if path == self.key:
+            local = subpath
+        elif path.startswith(self.key + "."):
+            local = path[len(self.key) + 1:]
+            if subpath:
+                local = f"{local}.{subpath}"
+        else:
+            return None
+        return local if local in self.columns else None
+
+
+def _iter_fields(fields) -> tuple[IterField, ...]:
+    out = []
+    for f in fields:
+        out.append(IterField(alias=f.alias, reference=f.query,
+                             inner_fields=_iter_fields(f.fields)
+                             if f.is_iterator else ()))
+    return tuple(out)
+
+
+class _ShapeResolver:
+    def __init__(self, doc: ShExMLDocument, branch: _Branch):
+        self.doc = doc
+        self.branch = branch
+        self.renames: dict[str, str] = {}
+
+    def resolve_expr(self, expr_text: str) -> Optional[Function]:
+        """Shape expression text (e.g. ``films.goodReviews.review`` or
+        ``venues_union``) → Function over this branch's columns, or
+        None when the branch can't answer it."""
+        head, _, subpath = expr_text.partition(".")
+        expr = self.doc.expressions.get(head)
+        if expr is None:
+            return None
+        for part in expr.parts:
+            fn = self._resolve_part(part, subpath)
+            if fn is not None:
+                return fn
+        return None
+
+    def _resolve_part(self, part: SxExprPart, subpath: str) -> Optional[Function]:
+        cols = []
+        for p in part.paths:
+            col = self.branch.resolve_path(p, subpath)
+            if col is None:
+                return None
+            cols.append(col)
+        fn = Function.reference(cols[0])
+        self.renames.setdefault(cols[0], cols[0])
+        for sep, col in zip(part.separators, cols[1:]):
+            self.renames.setdefault(col, col)
+            fn = Function.concatenate(fn, sep, Function.reference(col))
+        return fn
+
+    def apply_matcher(self, fn: Function, matcher_name: Optional[str]) -> Function:
+        if matcher_name is None:
+            return fn
+        matcher = self.doc.matchers.get(matcher_name)
+        if matcher is None:
+            raise ShExMLParseError(f"undefined matcher {matcher_name!r}")
+        return Function.replace(
+            {k: set(v) for k, v in matcher.rename_map.items()}, fn)
+
+    def subject_function(self, shape: SxShape) -> Optional[Function]:
+        prefix_iri = self.doc.resolve_prefix(shape.subject_prefix)
+        if shape.subject_constant is not None:
+            return Function.iri(
+                Function.constant(prefix_iri + shape.subject_constant))
+        inner = self.resolve_expr(shape.subject_expression)
+        if inner is None:
+            return None
+        return Function.iri(Function.concatenate(
+            Function.constant(prefix_iri), "", Function.uri_encode(inner)))
+
+    def object_function(self, obj: SxObject) -> Optional[Function]:
+        if obj.kind == "constant":
+            return Function.iri(Function.constant(
+                self.doc.resolve_prefix(obj.prefix) + obj.constant))
+        if obj.kind == "literal":
+            return Function.literal(Function.constant(obj.constant),
+                                    dtype=self._dtype(obj),
+                                    langtype=self._lang(obj))
+        if obj.kind == "link":
+            target = self.doc.shapes.get(obj.link_shape)
+            if target is None:
+                return None
+            return self.subject_function(target)
+        if obj.kind == "expr":
+            inner = self.resolve_expr(obj.expression)
+            if inner is None:
+                return None
+            inner = self.apply_matcher(inner, obj.matcher)
+            if obj.prefix is not None:
+                prefix_iri = self.doc.resolve_prefix(obj.prefix)
+                return Function.iri(Function.concatenate(
+                    Function.constant(prefix_iri), "",
+                    Function.uri_encode(inner)))
+            return Function.literal(inner, dtype=self._dtype(obj),
+                                    langtype=self._lang(obj))
+        raise ShExMLParseError(f"unknown object kind {obj.kind}")
+
+    def _dtype(self, obj: SxObject) -> Optional[Function]:
+        if not obj.datatype:
+            return None
+        p, _, local = obj.datatype.partition(":")
+        return Function.constant(self.doc.resolve_prefix(p) + local)
+
+    @staticmethod
+    def _lang(obj: SxObject) -> Optional[Function]:
+        return Function.constant(obj.language) if obj.language else None
+
+
+def shexml_to_plan(doc: ShExMLDocument,
+                   default_target: Optional[TargetOp] = None,
+                   source_overrides: Optional[dict[str, str]] = None
+                   ) -> PlanGraph:
+    """Compile a parsed ShExML document to an operator plan graph."""
+    graph = PlanGraph()
+    if default_target is None:
+        default_target = TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS)
+
+    # (source, iterator) pairs actually used by expressions
+    # (source dedup: each pair scanned once — source.rs:72-98)
+    pairs: list[tuple[str, str]] = []
+    for expr in doc.expressions.values():
+        for part in expr.parts:
+            for path in part.paths:
+                bits = path.split(".")
+                if len(bits) < 2:
+                    continue
+                pair = (bits[0], bits[1])
+                if pair not in pairs and bits[0] in doc.sources \
+                        and bits[1] in doc.iterators:
+                    pairs.append(pair)
+
+    for source_name, iterator_name in pairs:
+        branch = _Branch(source_name, iterator_name, doc)
+        resolver = _ShapeResolver(doc, branch)
+
+        extend_pairs: dict[str, Function] = {}
+        quad_lines: list[str] = []
+        for s_idx, shape in enumerate(doc.shapes.values()):
+            subj_fn = resolver.subject_function(shape)
+            if subj_fn is None:
+                continue
+            subj_var = f"sh{s_idx}_subj"
+            graph_var = None
+            if shape.graph is not None:
+                g_shape = doc.shapes.get(shape.graph)
+                if g_shape is not None:
+                    g_fn = resolver.subject_function(g_shape)
+                else:
+                    p, _, local = shape.graph.partition(":")
+                    g_fn = Function.iri(Function.constant(
+                        doc.resolve_prefix(p) + local))
+                if g_fn is not None:
+                    graph_var = f"sh{s_idx}_graph"
+                    extend_pairs[graph_var] = g_fn
+            emitted = False
+            for p_idx, po in enumerate(shape.predicate_objects):
+                if po.predicate_prefix == "__rdf_type__":
+                    pred_iri = RDF_TYPE
+                else:
+                    pred_iri = doc.resolve_prefix(po.predicate_prefix) + \
+                        po.predicate_local
+                obj_fn = resolver.object_function(po.obj)
+                if obj_fn is None:
+                    continue
+                pred_var = f"sh{s_idx}_p{p_idx}"
+                obj_var = f"sh{s_idx}_o{p_idx}"
+                extend_pairs[pred_var] = Function.iri(
+                    Function.constant(pred_iri))
+                extend_pairs[obj_var] = obj_fn
+                line = f"?{subj_var} ?{pred_var} ?{obj_var}"
+                if graph_var:
+                    line += f" ?{graph_var}"
+                quad_lines.append(line + " .")
+                emitted = True
+            if emitted:
+                extend_pairs[subj_var] = subj_fn
+
+        if not quad_lines:
+            continue
+
+        uri = branch.source.uri
+        if source_overrides and source_name in source_overrides:
+            uri = source_overrides[source_name]
+        rf = _FORMULATIONS.get(branch.iterator.iterator_type)
+        if rf is None:
+            continue  # sql/sparql iterators: unsupported, skipped
+        source_op = SourceOp.make(
+            {"source": uri, "iterator": branch.iterator.query},
+            IOType.FILE,
+            SourceIterator(reference=branch.iterator.query or None,
+                           reference_formulation=rf,
+                           fields=_iter_fields(branch.iterator.fields),
+                           alias=branch.key))
+        plan = Plan(graph).source(source_op)
+        needed = frozenset(
+            c for fn in extend_pairs.values() for c in fn.references())
+        if needed:
+            plan = plan.apply(ProjectOp(projection_attributes=needed),
+                              "Projection")
+        # RenameOp kept for plan-shape parity with the reference
+        # (rename.rs:45-84); our resolver already uses final names so
+        # the map is identity over the referenced columns
+        plan = plan.apply(RenameOp.make(dict(resolver.renames)), "Rename")
+        plan = plan.apply(ExtendOp.make(extend_pairs), "Extend")
+        plan = plan.serialize(SerializerOp(template="\n".join(quad_lines),
+                                           format=DataFormat.NQUADS))
+        plan.sink(default_target)
+
+    return graph
