@@ -64,6 +64,8 @@ _REF_FORMULATIONS = {
     QL + "CSV": "CSVRows",
     QL + "JSONPath": "JSONPath",
     QL + "XPath": "XMLPath",
+    # Spark-native extension: columnar table scans (the scale path)
+    "http://kgloom.dev/ql#Table": "Table",
 }
 
 

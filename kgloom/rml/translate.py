@@ -99,6 +99,21 @@ class CompiledMapping:
     base: Optional[str] = None
 
 
+def _value_function(tm_info: TermMapInfo, base: Optional[str]) -> Function:
+    if tm_info.term_map_type == TM_CONSTANT:
+        return Function.constant(tm_info.term_value)
+    if tm_info.term_map_type == TM_REFERENCE:
+        return Function.reference(tm_info.term_value)
+    if tm_info.term_map_type == TM_TEMPLATE:
+        return Function.template(tm_info.term_value)
+    if tm_info.term_map_type == TM_FUNCTION:
+        return Function.fno(
+            tm_info.fun_map.function_iri,
+            {p: _value_function(om.tm_info, base)
+             for p, om in tm_info.fun_map.param_om_pairs})
+    raise ValueError(tm_info.term_map_type)
+
+
 def _term_function(tm_info: TermMapInfo, base: Optional[str],
                    data_type: Optional[str] = None,
                    language: Optional[str] = None) -> Function:
@@ -116,7 +131,9 @@ def _term_function(tm_info: TermMapInfo, base: Optional[str],
     elif tm_info.term_map_type == TM_TEMPLATE:
         inner = Function.template(tm_info.term_value)
     elif tm_info.term_map_type == TM_FUNCTION:
-        params = {p: _term_function(om.tm_info, base)
+        # params are raw value functions (no term-kind wrapping — the
+        # wrapper applies to the FnO *result*, not its inputs)
+        params = {p: _value_function(om.tm_info, base)
                   for p, om in tm_info.fun_map.param_om_pairs}
         inner = Function.fno(tm_info.fun_map.function_iri, params)
     else:
@@ -211,19 +228,6 @@ def translate_to_plan(doc: Document,
     for i, tm in enumerate(doc.triples_maps):
         var_prefix = f"tm{i}"
         compiled.variable_map[tm.identifier] = var_prefix
-        config = {"source": tm.logical_source.source}
-        if tm.logical_source.iterator:
-            config["iterator"] = tm.logical_source.iterator
-        if source_overrides and tm.logical_source.source in source_overrides:
-            config.update(source_overrides[tm.logical_source.source])
-        rf = _FORMULATION_MAP.get(tm.logical_source.reference_formulation,
-                                  ReferenceFormulation.CSV_ROWS)
-        source_op = SourceOp.make(
-            config,
-            IOType.TABLE if rf == ReferenceFormulation.TABLE else IOType.FILE,
-            SourceIterator(reference=tm.logical_source.iterator,
-                           reference_formulation=rf))
-        plan = Plan(graph).source(source_op)
 
         attrs: set[str] = set(tm.subject_map.tm_info.references())
         for gm in tm.subject_map.graph_maps:
@@ -240,6 +244,29 @@ def translate_to_plan(doc: Document,
                 attrs |= gm.tm_info.references()
         attrs |= incoming_parent_attrs[tm.identifier]
         attrs |= same_row_parents[tm.identifier]
+
+        config = {"source": tm.logical_source.source}
+        if tm.logical_source.iterator:
+            config["iterator"] = tm.logical_source.iterator
+        if source_overrides and tm.logical_source.source in source_overrides:
+            config.update(source_overrides[tm.logical_source.source])
+        rf = _FORMULATION_MAP.get(tm.logical_source.reference_formulation,
+                                  ReferenceFormulation.CSV_ROWS)
+        # document sources (JSONPath/XMLPath): the referenced attributes
+        # double as the iterator's field spec (alias = reference path),
+        # feeding the docsource loader's nested-path resolution
+        fields: tuple = ()
+        if rf in (ReferenceFormulation.JSON_PATH,
+                  ReferenceFormulation.XML_PATH):
+            from ..algebra import IterField
+            fields = tuple(IterField(alias=a, reference=a)
+                           for a in sorted(attrs))
+        source_op = SourceOp.make(
+            config,
+            IOType.TABLE if rf == ReferenceFormulation.TABLE else IOType.FILE,
+            SourceIterator(reference=tm.logical_source.iterator,
+                           reference_formulation=rf, fields=fields))
+        plan = Plan(graph).source(source_op)
         plan = plan.apply(ProjectOp(projection_attributes=frozenset(attrs)),
                           "Projection")
         branches[tm.identifier] = _TmBranch(plan, tm, var_prefix)

@@ -1,0 +1,13 @@
+"""Structured Streaming realization of the streaming targets the
+reference only names (IOType::Kafka/Websocket exist as enum values
+only — operator/src/lib.rs:362-370).  Streams of transcript turns run
+through the same term-construction expressions as the batch pipeline.
+"""
+
+from .pipeline import (  # noqa: F401
+    TRANSCRIPT_SCHEMA,
+    read_transcript_stream,
+    stream_mention_window_counts,
+    stream_session_state,
+    stream_turn_triples,
+)

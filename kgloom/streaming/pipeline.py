@@ -1,0 +1,158 @@
+"""Streaming KG construction over transcript turns.
+
+- ``stream_turn_triples``  — readStream → the SAME Extend/Serializer
+  column expressions as the batch plan (kgloom.transcripts.pipeline
+  turn_triples_plan) → watermarked dedup → append sink.  RDF set
+  semantics under late data via ``dropDuplicatesWithinWatermark``.
+- ``stream_mention_window_counts`` — watermark + sliding-window
+  aggregation of entity mentions (late rows folded into their window
+  until the watermark passes).
+- ``stream_session_state`` — custom stateful operator via
+  ``applyInPandasWithState``: per-conversation running session state
+  (turn count, last role, last ts) with idle-timeout emission.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..transcripts.mentions import MENTION_PATTERN, normalize_surface
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+    StructField("tool", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+KG = "http://kg.example/"
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_path))
+
+
+def _turn_triple_columns(turns: DataFrame) -> DataFrame:
+    """Apply the batch plan's Extend+Serializer expressions to a
+    (possibly streaming) DataFrame — the operator compiler is engine
+    code, so batch and streaming share term construction exactly."""
+    from ..exec.functions import compile_function
+    from ..rml.translate import Quad  # noqa: F401 (documentation aid)
+    from ..transcripts.pipeline import turn_triples_plan
+    from ..algebra import ExtendOp, SerializerOp
+    from ..exec.binder import SparkBinder
+
+    plan = turn_triples_plan()
+    extend_op = next(n.operator for n in plan.graph.nodes.values()
+                     if isinstance(n.operator, ExtendOp))
+    serializer = next(n.operator for n in plan.graph.nodes.values()
+                      if isinstance(n.operator, SerializerOp))
+    extended = turns.withColumns(
+        {name: compile_function(fn) for name, fn in extend_op.extend_pairs})
+    binder = SparkBinder(turns.sparkSession)
+    return binder._bind_serializer(serializer, extended.withColumn(
+        "ts", F.col("ts")))
+
+
+def stream_turn_triples(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        watermark: str = "10 minutes",
+                        available_now: bool = True):
+    """File-source stream of turns → (subj, pred, obj, graph) triples,
+    deduplicated within the watermark, appended to parquet."""
+    turns = read_transcript_stream(spark, input_path)
+    triples = _turn_triple_columns(
+        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    # one watermark, on processing time, scoping the dedup state
+    triples = triples.withColumn("ts", F.current_timestamp()) \
+        .withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["subj", "pred", "obj"]) \
+        .drop("ts")
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_mention_window_counts(turns: DataFrame,
+                                 window: str = "5 minutes",
+                                 slide: Optional[str] = None,
+                                 watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding-window counts of entity mentions."""
+    mentions = (turns.withWatermark("ts", watermark)
+                .select("ts", F.explode(
+                    F.regexp_extract_all("text", F.lit(MENTION_PATTERN), 0))
+                    .alias("surface"))
+                .withColumn("entity", normalize_surface(F.col("surface"))))
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (mentions.groupBy(win.alias("w"), "entity")
+            .agg(F.count("*").alias("n_mentions"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "entity", "n_mentions"))
+
+
+_SESSION_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("last_role", StringType()),
+    StructField("closed", StringType()),
+])
+_STATE_SCHEMA = StructType([
+    StructField("n_turns", LongType()),
+    StructField("last_role", StringType()),
+])
+
+
+def _session_fn(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        (n, role) = state.get
+        state.remove()
+        yield pd.DataFrame([{"conv_id": key[0], "n_turns": n,
+                             "last_role": role, "closed": "timeout"}])
+        return
+    n, role = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        n += len(pdf)
+        if len(pdf):
+            role = pdf["role"].iloc[-1]
+    state.update((n, role))
+    state.setTimeoutDuration(30_000)
+    yield pd.DataFrame([{"conv_id": key[0], "n_turns": n,
+                         "last_role": role, "closed": "open"}])
+
+
+def stream_session_state(turns: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-conversation session state with idle timeout."""
+    return (turns.groupBy("conv_id")
+            .applyInPandasWithState(_session_fn,
+                                    outputStructType=_SESSION_SCHEMA,
+                                    stateStructType=_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -69,7 +69,36 @@ class SnapshotStore:
         snap = self.latest(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r}")
-        return self.spark.read.parquet(os.path.join(snap.path, "data"))
+        data = snap.manifest.get("external_path") or \
+            os.path.join(snap.path, "data")
+        return self.spark.read.parquet(data)
+
+    def link_external(self, table: str, path: str) -> Snapshot:
+        """Zero-copy commit: register an existing parquet location as a
+        snapshot (what Iceberg's add_files / register_table does) —
+        inputs are never rewritten, only referenced with lineage."""
+        snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        snap_path = os.path.join(self._table_dir(table), snap_id)
+        os.makedirs(snap_path, exist_ok=True)
+        per_partition = self._footer_counts(path)
+        manifest = {
+            "table": table,
+            "snapshot_id": snap_id,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "external_path": os.path.abspath(path),
+            "row_count": sum(per_partition.values()),
+            "partition_row_counts": per_partition,
+            "parents": [],
+            "metrics": {"zero_copy": True},
+        }
+        with open(os.path.join(snap_path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        tmp = os.path.join(self._table_dir(table), f"._latest.{snap_id}")
+        with open(tmp, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(self._table_dir(table), "_latest"))
+        return Snapshot(table=table, snapshot_id=snap_id, path=snap_path,
+                        manifest=manifest)
 
     def write(self, table: str, df: DataFrame,
               parents: Optional[list[str]] = None,

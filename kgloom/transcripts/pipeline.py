@@ -139,7 +139,19 @@ class TranscriptPipeline:
                                 extra_metrics=extra)
 
     # -- pipeline ----------------------------------------------------------
-    def ingest(self, transcripts: DataFrame, resume: bool = False):
+    def ingest(self, transcripts, resume: bool = False):
+        """Stage 1.  A path string is linked zero-copy (inputs are
+        already tables — never rewritten, Iceberg add_files-style); a
+        DataFrame is materialized with a salted repartition on
+        (conv_id, salt) to defuse hot-conversation skew."""
+        if isinstance(transcripts, str):
+            snap = self.store.latest("transcripts")
+            if resume and snap is not None and \
+                    snap.manifest.get("external_path") == \
+                    __import__("os").path.abspath(transcripts):
+                return snap
+            return self.store.link_external("transcripts", transcripts)
+
         def build():
             salt = (F.abs(F.xxhash64(F.col("turn_idx"), F.lit("salt")))
                     % self.salt_buckets).alias("salt")

@@ -36,10 +36,9 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-turns = spark.read.parquet(input_path)
 pipe = TranscriptPipeline(spark, store)
 t0 = time.time()
-res = pipe.run(transcripts=turns)
+res = pipe.run(transcripts=input_path)
 wall = time.time() - t0
 print(json.dumps({{"cores": cores, "wall": round(wall, 2),
                    "turns": res.metrics["turns"],
