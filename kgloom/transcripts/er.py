@@ -169,13 +169,83 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels.withColumnRenamed("label", "component")
 
 
-def canonical_map(mentions: DataFrame,
-                  score_threshold: float = 0.5) -> DataFrame:
+#: below this many distinct surfaces the whole ER graph phase (scoring,
+#: two-stage blocking, union-find) runs driver-side on the collected
+#: node set — ONE distributed job (the distinct aggregation, which is
+#: the only part proportional to the mention stream) instead of ~8
+#: small shuffle rounds whose fixed job latency dominates at any core
+#: count and caps scaling efficiency.  2M surfaces ≈ 100 MB on the
+#: driver; above the gate the distributed blocking + iterative-join CC
+#: path takes over unchanged.
+DRIVER_ER_MAX_SURFACES = 2_000_000
+
+
+def _driver_link_score(surface: str, key: str) -> float:
+    """Python twin of :func:`kgloom.transcripts.mentions.link_score`
+    (kept in lockstep; both are covered by the agreement test)."""
+    if surface is None or key is None:
+        return 0.0
+    import re as _re
+    if _re.sub(r"[^0-9]", "", surface.lower()) != key:
+        return 0.0
+    if surface.startswith("Entity_"):
+        return 1.0
+    if surface.startswith("entity "):
+        return 0.95
+    if surface.startswith("E-"):
+        return 0.9
+    return 0.85
+
+
+def _driver_canonical(rows: list[tuple[str, str]],
+                      score_threshold: float) -> list[tuple[str, str]]:
+    """Driver-side twin of build_edges + connected_components over the
+    collected (surface, norm_key) node set — same blocking stages, same
+    min-label component ids."""
+    from collections import defaultdict
+
+    scored = [(s, k) for s, k in rows
+              if _driver_link_score(s, k) >= score_threshold]
+    edges: list[tuple[str, str]] = []
+    # stage 1: exact normalized-key block → star edges to the min surface
+    blocks: dict[str, list[str]] = defaultdict(list)
+    for s, k in scored:
+        blocks[k].append(s)
+    for ss in blocks.values():
+        hub = min(ss)
+        edges.extend((s, hub) for s in ss if s != hub)
+    # stage 2: coarse (digit-multiset) candidate block + exact-key verify
+    coarse: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for s, k in scored:
+        coarse["".join(sorted(k))].append((s, k))
+    for items in coarse.values():
+        hub, hub_key = min(items)
+        edges.extend((s, hub) for s, k in items
+                     if s != hub and k == hub_key)
+    mapping = _driver_union_find(edges)
+    return [(s, mapping.get(s, s)) for s, _ in rows]
+
+
+def canonical_map(mentions: DataFrame, score_threshold: float = 0.5,
+                  driver_max_surfaces: int = DRIVER_ER_MAX_SURFACES
+                  ) -> DataFrame:
     """surface → canonical entity key for every distinct surface
     (including singletons that have no edges).  The mention stream is
     aggregated exactly once (distinct_surfaces); all graph work happens
-    on the checkpointed node set."""
-    surfaces = distinct_surfaces(mentions)
+    on the checkpointed node set — driver-side below the size gate,
+    distributed blocking + iterative-join CC above it."""
+    surfaces_plain = mentions.select("surface", "norm_key").distinct()
+    if driver_max_surfaces > 0:
+        # ONE distributed job: the distinct aggregation (the only part
+        # proportional to the mention stream) + gated collect
+        head = surfaces_plain.limit(driver_max_surfaces + 1).collect()
+        if len(head) <= driver_max_surfaces:
+            spark = mentions.sparkSession
+            pairs = _driver_canonical(
+                [(r.surface, r.norm_key) for r in head], score_threshold)
+            return spark.createDataFrame(pairs,
+                                         "surface string, canonical string")
+    surfaces = surfaces_plain.localCheckpoint()
     edges = build_edges(mentions, score_threshold, surfaces=surfaces)
     components = connected_components(edges)
     return (surfaces.select("surface")

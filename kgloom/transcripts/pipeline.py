@@ -197,18 +197,23 @@ class TranscriptPipeline:
             results = binder.execute(sunk.graph)
             turn_triples = list(write_sinks(results).values())[0]
 
+            # dedup on the narrow natural key BEFORE term construction:
+            # the RDF-set shuffle moves (conv_id, turn_idx, digits) rows
+            # instead of three fully-formatted IRI strings per row —
+            # same output set, a fraction of the shuffle bytes
             mention_triples = (
                 mentions.join(entities, "surface")
+                .select("conv_id", "turn_idx",
+                        normalize_surface(F.col("canonical")).alias("ent"))
+                .distinct()
                 .select(
                     F.concat(F.lit(f"<{KG}conv/"), F.col("conv_id"),
                              F.lit("/turn/"), F.col("turn_idx"),
                              F.lit(">")).alias("subj"),
                     F.lit(f"<{KG}ontology/mentions>").alias("pred"),
-                    F.concat(F.lit(f"<{KG}entity/"),
-                             normalize_surface(F.col("canonical")),
+                    F.concat(F.lit(f"<{KG}entity/"), F.col("ent"),
                              F.lit(">")).alias("obj"),
-                    F.lit(None).cast("string").alias("graph"))
-                .distinct())
+                    F.lit(None).cast("string").alias("graph")))
             # turn triples are already distinct (serializer RDF set
             # semantics) and share no predicate with mention triples —
             # the union is distinct by construction, no extra shuffle

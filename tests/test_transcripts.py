@@ -76,6 +76,18 @@ def test_connected_components_basic(spark, driver_max_edges):
     assert comp["p"] == comp["p2"] == "p"
 
 
+def test_canonical_map_driver_and_distributed_agree(spark, turns):
+    """The size-gated driver ER path and the distributed blocking +
+    iterative-CC path must produce identical surface→canonical maps."""
+    mentions = detect_mentions(turns)
+    driver = {(r.surface, r.canonical)
+              for r in canonical_map(mentions).collect()}
+    distributed = {(r.surface, r.canonical)
+                   for r in canonical_map(
+                       mentions, driver_max_surfaces=0).collect()}
+    assert driver == distributed
+
+
 def test_entity_resolution_ground_truth(spark, turns):
     """All surface variants of entity k must canonicalize together —
     the generator's grammar is the ground truth."""
