@@ -236,6 +236,10 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=20)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
 def q_text_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
@@ -293,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -453,6 +458,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35 - 1e-12
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -174,3 +174,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def embedding_cosine_pairs(emb: DataFrame,
+                           threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over an
+    (vec_id, embedding: array<float>, label) table.
+
+    Candidate generation is IVF-style cell blocking: the ``label``
+    column is the coarse cell (at 100 TB the cells come from a k-means
+    pass, or from signed-random-projection LSH band buckets — the
+    band-join shape of ``minhash_lsh_pairs``); the equi-join on the
+    cell key bounds candidates far below the O(n²) cross product.
+    Verification is the exact JVM-side cosine (``similarity.cosine``:
+    zip_with/aggregate dot products, no Python in the row path).
+    """
+    from .similarity import cosine
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), "label",
+                   F.col("embedding").alias("eb"))
+    return (a.join(b, "label")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+            .where(F.col("sim") >= threshold)
+            .select("vec_a", "vec_b", F.round("sim", 4).alias("sim")))

@@ -47,6 +47,10 @@ warm = spark.range(0, 200_000).select(
 warm.write.format("noop").mode("overwrite").save()
 spark.read.parquet(input_path).limit(1000).write.format("noop") \
     .mode("overwrite").save()
+# warm the parquet write path too (committer, zstd codec, writer classes)
+spark.range(0, 1000).selectExpr("cast(id as string) s") \
+    .write.mode("overwrite").option("compression", "zstd") \
+    .parquet(store + "_warm")
 pipe = TranscriptPipeline(spark, store)
 t0 = time.time()
 res = pipe.run(transcripts=input_path)
