@@ -187,6 +187,39 @@ def q_kg_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "pred", "obj")
 
 
+def q_kg_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.5 scalar surface through the algebra: FnO
+    (GREL toUpperCase), Lower, Concatenate, Replace (matcher)."""
+    g = Plan()
+    p = g.source(_table_source("customer"))
+    p = p.apply(ProjectOp(projection_attributes=frozenset(
+        {"c_custkey", "c_name", "c_mktsegment"})), "Projection")
+    grel_upper = "http://users.ugent.be/~bjdmeest/function/grel.ttl#toUpperCase"
+    p = p.apply(ExtendOp.make({
+        "sm": Function.iri(Function.uri_encode(
+            Function.template(EX + "customer/{c_custkey}"))),
+        "p_up": Function.iri(Function.constant(EX + "ontology/upperName")),
+        "o_up": Function.literal(Function.fno(
+            grel_upper, {"valueParameter": Function.reference("c_name")})),
+        "p_lo": Function.iri(Function.constant(EX + "ontology/lowerSeg")),
+        "o_lo": Function.literal(Function.lower(
+            Function.reference("c_mktsegment"))),
+        "p_cat": Function.iri(Function.constant(EX + "ontology/nameSeg")),
+        "o_cat": Function.literal(Function.concatenate(
+            Function.reference("c_name"), "|",
+            Function.reference("c_mktsegment"))),
+        "p_rep": Function.iri(Function.constant(EX + "ontology/segClass")),
+        "o_rep": Function.literal(Function.replace(
+            {"BUILD": {"BUILDING"}}, Function.reference("c_mktsegment"))),
+    }), "Extend")
+    p = p.serialize(SerializerOp(template=(
+        "?sm ?p_up ?o_up .\n?sm ?p_lo ?o_lo .\n"
+        "?sm ?p_cat ?o_cat .\n?sm ?p_rep ?o_rep .")))
+    p = p.sink(_sink())
+    return _bind(spark, sf_dir, p, ["customer"]) \
+        .select("subj", "pred", "obj")
+
+
 # ---------------------------------------------------------------------------
 # North-rule transcript queries
 # ---------------------------------------------------------------------------
@@ -291,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rename_project": q_kg_rename_project,
         "kg_graph_classes": q_kg_graph_classes,
         "kg_theta_join": q_kg_theta_join,
+        "kg_scalar_functions": q_kg_scalar_functions,
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "transcripts_mentions": q_transcripts_mentions,
         "dedup_exact": q_dedup_exact,
@@ -374,6 +408,29 @@ def oracle_sql() -> dict[str, str]:
               '<{ex}ontology/precedes>' AS pred,
               '<{ex}region/' || CAST(b.r_regionkey AS VARCHAR) || '>' AS obj
             FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+        """,
+        "kg_scalar_functions": f"""
+            SELECT DISTINCT * FROM (
+              SELECT '<{ex}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+                     '<{ex}ontology/upperName>' AS pred,
+                     '"' || UPPER(c_name) || '"' AS obj
+              FROM customer
+              UNION ALL
+              SELECT '<{ex}customer/' || CAST(c_custkey AS VARCHAR) || '>',
+                     '<{ex}ontology/lowerSeg>',
+                     '"' || LOWER(c_mktsegment) || '"'
+              FROM customer
+              UNION ALL
+              SELECT '<{ex}customer/' || CAST(c_custkey AS VARCHAR) || '>',
+                     '<{ex}ontology/nameSeg>',
+                     '"' || c_name || '|' || c_mktsegment || '"'
+              FROM customer
+              UNION ALL
+              SELECT '<{ex}customer/' || CAST(c_custkey AS VARCHAR) || '>',
+                     '<{ex}ontology/segClass>',
+                     '"' || CASE WHEN c_mktsegment = 'BUILDING'
+                                 THEN 'BUILD' ELSE c_mktsegment END || '"'
+              FROM customer)
         """,
         "transcripts_turn_triples": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})
