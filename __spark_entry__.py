@@ -265,8 +265,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # not SQL-expressible concisely (bit-vote loops) → rows-only check
-    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=20)
+    # not SQL-expressible concisely (bit-vote loops) → rows-only check.
+    # max_hamming bounds the band count (d+1 pigeonhole blocks): small d
+    # keeps the per-band key wide enough that candidate buckets stay
+    # tiny — d=20 would band 60 bits into 2-bit keys and explode the
+    # candidate join to ~1e9 pairs at sf0.1
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
