@@ -4,9 +4,11 @@
 SURVEY.md §2 (the reference's 8-operator mapping algebra, executed
 through the kgloom plan binder) plus the beyond-reference
 training-data-pipeline operators (dedup / similarity / text analysis)
-and the north-rule transcript derivation.  Each entry has a matching
-ANSI-SQL oracle in ``oracle_sql()`` unless the computation is not
-SQL-expressible (noted inline).
+and the north-rule transcript derivation.  Every entry has a matching
+ANSI-SQL oracle in ``oracle_sql()`` — including simhash (exact O(n²)
+Hamming oracle; the banded Spark result is provably equal for d+1
+blocks) and the multimodal mapInPandas plumbing (the synthetic asset
+table is regenerable in pure SQL).
 """
 
 from __future__ import annotations
@@ -265,11 +267,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # not SQL-expressible concisely (bit-vote loops) → rows-only check.
     # max_hamming bounds the band count (d+1 pigeonhole blocks): small d
     # keeps the per-band key wide enough that candidate buckets stay
     # tiny — d=20 would band 60 bits into 2-bit keys and explode the
-    # candidate join to ~1e9 pairs at sf0.1
+    # candidate join to ~1e9 pairs at sf0.1.  With d+1 blocks the
+    # banding is COMPLETE for distance ≤ d (pigeonhole), so the result
+    # equals the exact all-pairs Hamming filter — which is what the
+    # DuckDB oracle computes (same md5-derived bit votes, O(n²) join).
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
@@ -306,7 +310,11 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # binary-decode plumbing with deterministic fake kernel → rows-only
+    # binary-decode plumbing with deterministic fake kernel.  The
+    # synthetic asset table is a pure function of range(64), so the
+    # DuckDB oracle regenerates it from generate_series and checks the
+    # mapInPandas output (n_bytes computed Python-side per Arrow batch)
+    # against the closed form 10 * (4 + len(str(id))).
     from kgloom.ops.multimodal import extract_features, synth_assets
     feats = extract_features(synth_assets(spark, 64), batch_fake=True)
     return feats.select("asset_id", "modality", "n_bytes")
@@ -479,13 +487,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- mirror of max_shingle_df=1000 (kgloom/ops/dedup.py): drop
+            -- shingles whose document frequency exceeds the cap BEFORE
+            -- sizes and intersections, exactly as the Spark side does
+            sh_capped AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (SELECT shingle FROM sh
+                                GROUP BY shingle HAVING COUNT(*) <= 1000)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh
+                      FROM sh_capped GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      COUNT(*) AS n_inter
-              FROM sh a JOIN sh b USING (shingle)
+              FROM sh_capped a JOIN sh_capped b USING (shingle)
               WHERE a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
+            -- threshold on the UNROUNDED value, same as Spark: integer
+            -- division in double is bit-identical across engines
             SELECT doc_a, doc_b,
                    ROUND(CAST(n_inter AS DOUBLE)
                          / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -493,7 +511,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-                  >= 0.2 - 1e-12
+                  >= 0.2
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
@@ -524,11 +542,16 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, label,
                               CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings)
+            -- symmetric threshold guard band (mirrors threshold_eps in
+            -- kgloom/ops/dedup.py): BOTH engines exclude pairs within
+            -- 1e-12 of the threshold, so a marginal fold-order
+            -- difference can't put a pair on different sides
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.35 - 1e-12
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+              AND abs(list_cosine_similarity(a.v, b.v) - 0.35) >= 1e-12
         """,
         "text_token_stats": """
             SELECT doc_id,
@@ -610,6 +633,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
         """,
-        # dedup_simhash / multimodal_features: intentionally no oracle
-        # (bit-vote loops / binary decode are not ANSI-SQL-expressible)
+        # Exact O(n²) Hamming oracle: the Spark side's pigeonhole
+        # banding (d+1 blocks) is complete for distance ≤ d, so its
+        # banded-candidates + popcount-verify result EQUALS the exact
+        # all-pairs filter.  The oracle reproduces the 60-bit majority
+        # vote bit-for-bit: same md5(token), same 15-hex-char → int64
+        # parse (digit-weighted sum; powers of 16 are powers of 2, so
+        # the double→bigint casts are exact), same (th >> i) & 1 votes.
+        "dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(generate_series(1, 15),
+                       i -> CAST(strpos('0123456789abcdef',
+                                        substr(md5(token), i, 1)) - 1 AS BIGINT)
+                            * CAST(power(16, 15 - i) AS BIGINT))) AS BIGINT)
+                       AS th
+              FROM tok),
+            bits AS (
+              SELECT doc_id, i,
+                     SUM(CAST((th >> i) & 1 AS BIGINT)) AS ones,
+                     COUNT(*) AS n
+              FROM th, generate_series(0, 59) AS g(i)
+              GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN ones * 2 > n
+                                   THEN CAST(1 AS BIGINT) << i
+                                   ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                       AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        # synth_assets is a pure function of range(64)
+        # (kgloom/ops/multimodal.py): payload = utf-8 of
+        # repeat('blob' || id, 10), so n_bytes = 10 * (4 + len(str(id))).
+        # The Spark side computes n_bytes inside the mapInPandas batch
+        # kernel — this checks the Arrow-batch plumbing end-to-end.
+        "multimodal_features": """
+            SELECT 'asset-' || CAST(i AS VARCHAR) AS asset_id,
+                   CASE CAST(i % 3 AS INTEGER)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(10 * (4 + length(CAST(i AS VARCHAR))) AS INTEGER)
+                     AS n_bytes
+            FROM generate_series(0, 63) AS t(i)
+        """,
     }

@@ -6,9 +6,12 @@ Scale design:
   aggregation; the shuffle key is the text hash, never the text).
 - ``ngram_jaccard_pairs`` — exact n-gram Jaccard via an *inverted-index
   self-join* on shingles: |candidate pairs| is bounded by co-occurring
-  shingles, never the O(n²) document cross product.  At 100 TB, add a
-  document-frequency cap on shingles (drop shingles appearing in > K
-  docs) — exposed as ``max_shingle_df``.
+  shingles, never the O(n²) document cross product.  A
+  document-frequency cap on shingles (``max_shingle_df``, default
+  1000) drops ubiquitous shingles — without it one stop-word shingle
+  appearing in every doc creates a |docs|² candidate bucket, the
+  classic inverted-index scale-killer at 100 TB.  Pass ``None`` to
+  disable explicitly.
 - ``minhash_lsh_pairs`` — MinHash signatures (k hash functions via
   md5(j || shingle)) + banding: candidates are pairs sharing ≥1 band
   bucket; the band join is an equi-join on (band_idx, band_key).
@@ -60,9 +63,14 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard ≥ threshold,
-    via inverted-index join — no document cross product."""
+    via inverted-index join — no document cross product.
+
+    The threshold is applied to the *unrounded* jaccard (integer
+    division in double is bit-identical across engines, so an oracle
+    applying the same predicate agrees exactly); ``jaccard`` in the
+    output is rounded to 4 decimals for display."""
     sh = doc_shingles(docs, n)
     if max_shingle_df is not None:
         df_ok = (sh.groupBy("shingle").count()
@@ -81,12 +89,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                  "doc_a")
            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sb"}),
                  "doc_b")
-           .withColumn("jaccard",
-                       F.round(F.col("n_inter")
-                               / (F.col("sa") + F.col("sb") - F.col("n_inter")),
-                               4))
-           .where(F.col("jaccard") >= threshold)
-           .select("doc_a", "doc_b", "jaccard"))
+           .withColumn("jaccard_raw",
+                       F.col("n_inter")
+                       / (F.col("sa") + F.col("sb") - F.col("n_inter")))
+           .where(F.col("jaccard_raw") >= threshold)
+           .select("doc_a", "doc_b",
+                   F.round("jaccard_raw", 4).alias("jaccard")))
     return out
 
 
@@ -126,11 +134,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash of the token set.
+    """(doc_id, simhash): 60-bit SimHash of the token stream (60 bits =
+    15 hex chars of md5, the widest slice that parses losslessly into a
+    signed 64-bit long; the name keeps the conventional "simhash64").
 
-    Bit i of the hash is the sign of sum over tokens of (+1 if bit i of
-    md5(token) else -1) — computed as array math over the token stream,
-    all built-ins.
+    Bit i of the hash is the majority vote over tokens of bit i of
+    md5(token) — computed as one hash-aggregate, all built-ins.
     """
     tok = (docs.select("doc_id", F.explode(tokens()).alias("token"))
            .withColumn("th", F.conv(F.substring(F.md5("token"), 1, 15),
@@ -177,7 +186,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_cosine_pairs(emb: DataFrame,
-                           threshold: float = 0.35) -> DataFrame:
+                           threshold: float = 0.35,
+                           threshold_eps: float = 1e-12) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over an
     (vec_id, embedding: array<float>, label) table.
 
@@ -188,6 +198,11 @@ def embedding_cosine_pairs(emb: DataFrame,
     cell key bounds candidates far below the O(n²) cross product.
     Verification is the exact JVM-side cosine (``similarity.cosine``:
     zip_with/aggregate dot products, no Python in the row path).
+
+    Pairs with |sim − threshold| < ``threshold_eps`` are excluded:
+    engines may differ in fold order by ~1 ulp, and an oracle applying
+    the SAME exclusion can't flake on a marginal pair (symmetric on
+    both sides, not a one-sided oracle relaxation).
     """
     from .similarity import cosine
     a = emb.select(F.col("vec_id").alias("vec_a"), "label",
@@ -197,5 +212,6 @@ def embedding_cosine_pairs(emb: DataFrame,
     return (a.join(b, "label")
             .where(F.col("vec_a") < F.col("vec_b"))
             .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
-            .where(F.col("sim") >= threshold)
+            .where((F.col("sim") >= threshold)
+                   & (F.abs(F.col("sim") - threshold) >= threshold_eps))
             .select("vec_a", "vec_b", F.round("sim", 4).alias("sim")))
