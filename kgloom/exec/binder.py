@@ -176,6 +176,24 @@ class SparkBinder:
             if path.endswith(".parquet") or "/" in path:
                 return self.spark.read.parquet(path)
             return self.spark.table(path)
+        if rf == "SQLQuery":
+            from .sqlsource import load_sql_source
+            query = op.root_iterator.reference or cfg.get("iterator") or ""
+            jdbc_opts = {k[len("jdbc."):]: v for k, v in cfg.items()
+                         if k.startswith("jdbc.")}
+            df = load_sql_source(self.spark, cfg.get("source", path), query,
+                                 base_dir=self.base_dir, options=jdbc_opts)
+            if op.root_iterator.fields:
+                sel = []
+                for f in op.root_iterator.fields:
+                    src_col = f.reference.lstrip("@")
+                    if src_col in df.columns:
+                        sel.append(F.col("`" + src_col + "`").alias(f.alias))
+                if not sel:
+                    raise BindError(
+                        f"no sql fields match result columns {df.columns}")
+                df = df.select(*sel)
+            return df
         raise BindError(f"unsupported reference formulation {rf}")
 
     def _bind_json(self, path: str, iterator: Optional[str]) -> DataFrame:

@@ -152,9 +152,38 @@ def _flatten(rec: Any, fields: tuple[IterField, ...], get_field, get_sub,
     return out
 
 
+#: refuse to driver-parse documents larger than this (bytes).  Mapping
+#: documents are KBs; anything bigger should come in as a TABLE scan or
+#: ``spark.read.json`` / spark-xml.  Override via the
+#: KGLOOM_MAX_DOCUMENT_BYTES env var for a deliberate exception.
+MAX_DOCUMENT_BYTES = 128 * 1024 * 1024
+
+
+class DocumentTooLargeError(ValueError):
+    """The document source exceeds the driver-parse size guard."""
+
+
+def _check_document_size(path: str) -> None:
+    import os
+    limit = int(os.environ.get("KGLOOM_MAX_DOCUMENT_BYTES",
+                               MAX_DOCUMENT_BYTES))
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return  # missing file surfaces as the normal open() error
+    if size > limit:
+        raise DocumentTooLargeError(
+            f"document source {path!r} is {size} bytes (> {limit}); this "
+            "loader parses on the driver and is for mapping-document-sized "
+            "inputs only. Use a Table logical source (parquet/iceberg) or "
+            "spark.read.json for data at scale, or raise "
+            "KGLOOM_MAX_DOCUMENT_BYTES deliberately.")
+
+
 def load_document_source(spark: SparkSession, path: str,
                          iterator: SourceIterator) -> DataFrame:
     rf = iterator.reference_formulation.value
+    _check_document_size(path)
     if rf == "JSONPath":
         with open(path, "r", encoding="utf-8") as f:
             doc = json.load(f)

@@ -64,6 +64,7 @@ _REF_FORMULATIONS = {
     QL + "CSV": "CSVRows",
     QL + "JSONPath": "JSONPath",
     QL + "XPath": "XMLPath",
+    RR + "SQL2008": "SQLQuery",
     # Spark-native extension: columnar table scans (the scale path)
     "http://kgloom.dev/ql#Table": "Table",
 }
@@ -139,6 +140,10 @@ def _extract_logical_source(graph: Graph, subj: Term) -> LogicalSource:
     if rf_term is not None:
         rf = _REF_FORMULATIONS.get(rf_term[1], rf_term[1])
     iterator = _lit(graph.object(ls_node, RML + "iterator"))
+    if iterator is None:
+        # SQLQuery sources carry the statement in rml:query / rr:sqlQuery
+        iterator = _lit(graph.object(ls_node, RML + "query") or
+                        graph.object(ls_node, RR + "sqlQuery"))
     return LogicalSource(identifier=_term_id(ls_node), source=source,
                          reference_formulation=rf, iterator=iterator)
 

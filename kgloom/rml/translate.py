@@ -67,6 +67,7 @@ _FORMULATION_MAP = {
     "CSVRows": ReferenceFormulation.CSV_ROWS,
     "JSONPath": ReferenceFormulation.JSON_PATH,
     "XMLPath": ReferenceFormulation.XML_PATH,
+    "SQLQuery": ReferenceFormulation.SQL_QUERY,
     "Table": ReferenceFormulation.TABLE,
 }
 

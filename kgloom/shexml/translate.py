@@ -9,9 +9,11 @@ a RenameOp mapping ``iterator.field`` → expression names
 (mod.rs:211-290) and a Serializer with ``?var <pred> ?var`` BGP lines
 (mod.rs:292-354).  UNION expressions resolve per source branch;
 matchers become Replace functions; ``@shape`` links reuse the target
-shape's subject function.  Cross-source joins, autoincrements,
-functions and conditionals are skipped, matching the reference's own
-coverage (README "Test cases").
+shape's subject function.  ``sql:`` iterators over JDBC sources
+compile to SQLQuery source ops (beyond the reference, which skips
+them).  Cross-source joins, autoincrements, functions and
+conditionals are skipped, matching the reference's own coverage
+(README "Test cases").
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ _FORMULATIONS = {
     "csvperrow": ReferenceFormulation.CSV_ROWS,
     "jsonpath": ReferenceFormulation.JSON_PATH,
     "xpath": ReferenceFormulation.XML_PATH,
+    "sql": ReferenceFormulation.SQL_QUERY,
 }
 
 
@@ -262,7 +265,8 @@ def shexml_to_plan(doc: ShExMLDocument,
             uri = source_overrides[source_name]
         rf = _FORMULATIONS.get(branch.iterator.iterator_type)
         if rf is None:
-            continue  # sql/sparql iterators: unsupported, skipped
+            continue  # sparql iterators: unsupported, skipped
+            # (reference parity: its ShExML translator also skips them)
         source_op = SourceOp.make(
             {"source": uri, "iterator": branch.iterator.query},
             IOType.FILE,

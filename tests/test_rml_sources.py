@@ -81,6 +81,50 @@ def test_fno_function_map(spark, tmp_path):
     assert '<http://ex.com/1> <http://xmlns.com/foaf/0.1/name> "VENUS" .' in lines
 
 
+def test_sql_logical_source(spark):
+    """RML SQLQuery logical source (rr:SQL2008 + rml:query) against the
+    reference's films.sqlite fixture — reference IR formats.rs:5-12."""
+    data = "/root/reference/translator/resources/test/shexml/data"
+    ttl = RML_PREAMBLE + """
+<TM> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "jdbc:sqlite:%s/films.sqlite";
+                      rml:referenceFormulation rr:SQL2008;
+                      rml:query "SELECT id, name FROM films" ];
+  rr:subjectMap [ rr:template "http://ex.com/film/{id}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name;
+                          rr:objectMap [ rml:reference "name" ] ] .
+""" % data
+    from kgloom.engine import nquads as nq
+    lines = nq(run_rml(spark, ttl))
+    assert '<http://ex.com/film/8> <http://xmlns.com/foaf/0.1/name> "Tenet" .' \
+        in lines
+    assert len(lines) == 2
+
+
+def test_document_size_guard(spark, tmp_path, monkeypatch):
+    """The driver-side document parser refuses inputs above the size
+    guard (kgloom/exec/docsource.py) — large data must come in as a
+    TABLE scan, not a driver parse."""
+    from kgloom.exec.docsource import DocumentTooLargeError
+    big = tmp_path / "big.json"
+    big.write_text('{"students": [%s]}' % ",".join(
+        '{"ID": "%d", "Name": "n%d"}' % (i, i) for i in range(50)))
+    monkeypatch.setenv("KGLOOM_MAX_DOCUMENT_BYTES", "64")
+    ttl = RML_PREAMBLE + """
+<TM> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "big.json";
+                      rml:referenceFormulation ql:JSONPath;
+                      rml:iterator "$.students[*]" ];
+  rr:subjectMap [ rr:template "http://ex.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate foaf:name;
+                          rr:objectMap [ rml:reference "Name" ] ] .
+"""
+    with pytest.raises(DocumentTooLargeError):
+        run_rml(spark, ttl, base_dir=str(tmp_path))
+    monkeypatch.delenv("KGLOOM_MAX_DOCUMENT_BYTES")
+    assert len(nquads(run_rml(spark, ttl, base_dir=str(tmp_path)))) == 50
+
+
 def test_table_logical_source(spark):
     """Spark-native TABLE formulation — the 100 TB scale path."""
     ttl = RML_PREAMBLE + """

@@ -101,6 +101,50 @@ def test_execute_nested_iterators_multivalue(spark):
     assert len(directors) == 2
 
 
+def test_execute_sqlite_jdbc_source(spark):
+    """The reference's films.sqlite fixture executes end-to-end through
+    a ``sql:`` iterator (the reference's own ShExML translator skips
+    sql iterators — this exceeds it).  Same shape as the CSV variant;
+    the DB rows (Tenet/Batman Begins, ids 8/9) come out as triples."""
+    text = open(f"{BASE}/unorganized/"
+                "MultipleElementIteratorExpressionWithCSVAndDBTest.shexml"
+                ).read()
+    df = run_shexml(spark, text, source_overrides={
+        "films_xml_file": f"{DATA}/films.xml",
+        "films_json_file": f"{DATA}/films.json",
+        "films_csv_file": f"{DATA}/films.csv",
+        "films_db_connection": f"jdbc:sqlite:{DATA}/films.sqlite"})
+    lines = nquads(df)
+    assert '<http://example.com/8> <http://example.com/name> "Tenet"@en .' \
+        in lines
+    assert ('<http://example.com/9> <http://example.com/director> '
+            '"Christopher Nolan" .' in lines)
+    # the CSV branch still contributes (id 5 = Memento)
+    assert '<http://example.com/5> <http://example.com/name> "Memento"@en .' \
+        in lines
+    # year datatype applies on the DB branch too
+    assert ('<http://example.com/8> <http://example.com/year> '
+            '"2020"^^<http://www.w3.org/2001/XMLSchema#gYear> .' in lines)
+
+
+def test_execute_sqlite_field_subset(spark):
+    """sql FIELDs select/alias a subset of the result-set columns."""
+    text = """
+PREFIX : <http://example.com/>
+SOURCE db <jdbc:sqlite:%s/films.sqlite>
+ITERATOR film <sql: SELECT id, name AS title FROM films> {
+    FIELD id <id>
+    FIELD name <title>
+}
+EXPRESSION f <db.film>
+:Films :[f.id] { :name [f.name] ; }
+""" % DATA
+    lines = nquads(run_shexml(spark, text))
+    assert '<http://example.com/8> <http://example.com/name> "Tenet" .' \
+        in lines
+    assert len(lines) == 2
+
+
 def test_execute_graph_shapes(spark):
     text = """
 PREFIX : <http://example.com/>
