@@ -50,6 +50,10 @@ RML = "http://semweb.mmlab.be/ns/rml#"
 QL = "http://semweb.mmlab.be/ns/ql#"
 FNML = "http://semweb.mmlab.be/ns/fnml#"
 FNO = "https://w3id.org/function/ontology#"
+RMLT = "http://semweb.mmlab.be/ns/rml-target#"
+VOID = "http://rdfs.org/ns/void#"
+SD = "http://www.w3.org/ns/sparql-service-description#"
+FORMATS = "http://www.w3.org/ns/formats/"
 
 
 class RmlValidationError(Exception):
@@ -148,6 +152,54 @@ def _extract_logical_source(graph: Graph, subj: Term) -> LogicalSource:
                          reference_formulation=rf, iterator=iterator)
 
 
+_SERIALIZATION_FORMATS = {
+    # serialization_to_dataformat (translator/src/rmlalgebra/mod.rs:85-116)
+    FORMATS + "N-Quads": "NQuads",
+    FORMATS + "N-Triples": "NTriples",
+    FORMATS + "Turtle": "TTL",
+    FORMATS + "JSON-LD": "JSONLD",
+}
+
+
+def _extract_logical_targets(graph: Graph, node: Term) -> tuple:
+    """logicaltarget_extractor.rs — rml:logicalTarget bodies on a term
+    map: rmlt:target (→ void:dataDump path / sd:endpoint),
+    rmlt:serialization (default N-Triples), rmlt:compression."""
+    from .model import LogicalTarget
+    out = []
+    for lt_node in graph.objects(node, RML + "logicalTarget"):
+        ser_term = graph.object(lt_node, RMLT + "serialization")
+        # extractor default when unstated: NTriples
+        # (logicaltarget_extractor.rs: unwrap_or NTRIPLES); unknown
+        # serializations fall back to NQuads (mod.rs:111 catch-all)
+        ser = "NTriples" if ser_term is None else \
+            _SERIALIZATION_FORMATS.get(ser_term[1], "NQuads")
+        comp_term = graph.object(lt_node, RMLT + "compression")
+        target = graph.object(lt_node, RMLT + "target")
+        if target is None:
+            raise RmlValidationError(f"{lt_node}: logicalTarget without "
+                                     "rmlt:target")
+        dump = graph.object(target, VOID + "dataDump")
+        endpoint = graph.object(target, SD + "endpoint") or \
+            graph.object(target, VOID + "sparqlEndpoint")
+        if dump is not None:
+            path = dump[1]
+            if path.startswith("file://"):
+                path = path[len("file://"):]
+            output_type, config = "File", (("path", path),)
+        elif endpoint is not None:
+            output_type = "SPARQLEndpoint"
+            config = (("sparql_uri", endpoint[1]),)
+        else:
+            raise RmlValidationError(
+                f"{target}: target needs void:dataDump or sd:endpoint")
+        out.append(LogicalTarget(
+            identifier=_term_id(lt_node), serialization=ser,
+            output_type=output_type, config=config,
+            compression=comp_term[1] if comp_term else None))
+    return tuple(out)
+
+
 def _extract_tm_info(graph: Graph, node: Term, position: str) -> TermMapInfo:
     """term_map_info_extractor.rs:16-68 — detect constant / reference /
     template / functionValue and the term type."""
@@ -206,7 +258,8 @@ def _extract_tm_info(graph: Graph, node: Term, position: str) -> TermMapInfo:
         raise RmlValidationError(f"{node}: predicate map must be an IRI")
 
     return TermMapInfo(identifier=ident, term_map_type=tm_type,
-                       term_value=value, term_type=term_type, fun_map=fun_map)
+                       term_value=value, term_type=term_type, fun_map=fun_map,
+                       logical_targets=_extract_logical_targets(graph, node))
 
 
 def _extract_function_map(graph: Graph, fn_node: Term) -> FunctionMap:
@@ -287,7 +340,9 @@ def _extract_pom(graph: Graph, node: Term) -> PredicateObjectMap:
             oms.append(ObjectMap(
                 tm_info=TermMapInfo(identifier=_term_id(om_node),
                                     term_map_type=TM_REFERENCE, term_value="",
-                                    term_type=KIND_IRI),
+                                    term_type=KIND_IRI,
+                                    logical_targets=_extract_logical_targets(
+                                        graph, om_node)),
                 parent_tm=_term_id(parent), join_condition=jc,
                 graph_maps=_extract_graph_maps(graph, om_node)))
             continue

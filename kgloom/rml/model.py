@@ -33,6 +33,28 @@ class FunctionMap:
     param_om_pairs: list[tuple[str, "ObjectMap"]] = field(default_factory=list)
 
 
+@dataclass(frozen=True)
+class LogicalTarget:
+    """source_target.rs:48-74 — rml:logicalTarget body.
+
+    ``identifier`` keys the per-target quad routing; ``serialization``
+    is a DataFormat value; ``output_type`` an IOType value; ``config``
+    carries e.g. the void:dataDump path (tuple-of-pairs so the
+    dataclass stays hashable, like the reference's Hash-by-identifier).
+    """
+
+    identifier: str
+    serialization: str = "NQuads"
+    output_type: str = "File"
+    config: tuple = ()
+    compression: Optional[str] = None
+
+
+#: identifier of the implicit default target
+#: (source_target.rs:57-68 Default impl)
+DEFAULT_TARGET_ID = "default"
+
+
 @dataclass
 class TermMapInfo:
     """term_map.rs:31-39."""
@@ -42,6 +64,11 @@ class TermMapInfo:
     term_value: str     # constant value / reference attr / template string
     term_type: str      # KIND_* above
     fun_map: Optional[FunctionMap] = None
+    #: term_map_info_extractor.rs:109-119 — explicit rml:logicalTarget
+    #: targets; empty ⇒ the default target (the extractor inserts the
+    #: default there; we keep () and let the translator substitute it,
+    #: so plans without logical targets are byte-identical to before)
+    logical_targets: tuple = ()
 
     def references(self) -> set[str]:
         from ..algebra import template_attributes
@@ -64,7 +91,7 @@ class TermMapInfo:
         if self.term_map_type == TM_REFERENCE:
             return TermMapInfo(self.identifier, self.term_map_type,
                                f"{prefix}_{self.term_value}", self.term_type,
-                               self.fun_map)
+                               self.fun_map, self.logical_targets)
         if self.term_map_type == TM_TEMPLATE:
             cleaned = self.term_value.replace(r"\{", "\x00").replace(r"\}", "\x01")
             rewritten = re.sub(r"\{([^{}]+)\}",
@@ -72,7 +99,8 @@ class TermMapInfo:
                                cleaned)
             rewritten = rewritten.replace("\x00", r"\{").replace("\x01", r"\}")
             return TermMapInfo(self.identifier, self.term_map_type, rewritten,
-                               self.term_type, self.fun_map)
+                               self.term_type, self.fun_map,
+                               self.logical_targets)
         return self
 
 

@@ -14,7 +14,11 @@ helpers:
 - join branch: alias ``join_{n}``, join-flavor selection (mod.rs:249-261:
   explicit condition → inner equi-join; same logical source → natural;
   else cross), parent subject-map attribute prefixing (mod.rs:263-266)
-  then Extend → Serializer → Target (mod.rs:203-313).
+  then Extend → Serializer → Target (mod.rs:203-313),
+- ``rml:logicalTarget`` routing (util.rs:137-236 generate_lt_quads +
+  sanitize): per-term-map targets receive their quads through per-target
+  Serializer→Target branches fanned out by a FragmentOp; term maps
+  without targets route to the default target.
 
 Spark-first deviation (documented, semantics-preserving): the reference
 emits a *NaturalJoin* when child and parent share a logical source with
@@ -45,6 +49,7 @@ from ..algebra import (
 )
 from ..plan import DEFAULT_FRAGMENT, Plan, PlanGraph, join as plan_join
 from .model import (
+    DEFAULT_TARGET_ID,
     KIND_BLANK,
     KIND_IRI,
     KIND_LITERAL,
@@ -54,6 +59,7 @@ from .model import (
     TM_TEMPLATE,
     Document,
     GraphMap,
+    LogicalTarget,
     ObjectMap,
     PredicateObjectMap,
     SubjectMap,
@@ -187,6 +193,59 @@ class _TmBranch:
         self.var_prefix = var_prefix
 
 
+class _LtRouter:
+    """rml:logicalTarget quad routing (generate_lt_quads_from_spo,
+    translator/src/rmlalgebra/util.rs:137-200 + generate_logtarget_map
+    util.rs:238-268): a subject map's targets receive every quad of its
+    TriplesMap; a predicate/object map's targets receive the quads that
+    term map participates in.  Term maps without targets route to the
+    implicit default target (term_map_info_extractor.rs:117-119)."""
+
+    def __init__(self, default_target: TargetOp):
+        self.default_target = default_target
+        self.registry: dict[str, LogicalTarget] = {}
+
+    def route_ids(self, *tm_infos: TermMapInfo) -> tuple[str, ...]:
+        ids: list[str] = []
+        for info in tm_infos:
+            lts = info.logical_targets or ()
+            for lt in lts:
+                self.registry.setdefault(lt.identifier, lt)
+                if lt.identifier not in ids:
+                    ids.append(lt.identifier)
+            if not lts and DEFAULT_TARGET_ID not in ids:
+                ids.append(DEFAULT_TARGET_ID)
+        return tuple(ids)
+
+    def target_op(self, lt_id: str) -> TargetOp:
+        if lt_id == DEFAULT_TARGET_ID:
+            return self.default_target
+        lt = self.registry[lt_id]
+        return TargetOp.make(dict(lt.config), IOType(lt.output_type),
+                             DataFormat(lt.serialization))
+
+    def sink_quads(self, plan: Plan, lt_quads: dict[str, list[Quad]]) -> None:
+        """Serialize + sink the extended plan once per populated target
+        (deduplicated per target by the serializer's RDF set semantics);
+        multiple targets fan out through a FragmentOp, mirroring the
+        plan shape the reference builds (add_non_join_related_op,
+        translator/src/rmlalgebra/mod.rs:149-201)."""
+        populated = [(lt_id, qs) for lt_id, qs in lt_quads.items() if qs]
+        if len(populated) > 1:
+            frags = [f"lt_{k}" for k in range(len(populated))]
+            plan = plan.fragment(FragmentOp(
+                from_fragment=plan.frag,
+                to_fragments=tuple([plan.frag] + frags[1:])))
+        for k, (lt_id, qs) in enumerate(populated):
+            branch = plan if len(populated) == 1 or k == 0 else \
+                plan.with_fragment(f"lt_{k}")
+            fmt = DataFormat.NQUADS if lt_id == DEFAULT_TARGET_ID else \
+                DataFormat(self.registry[lt_id].serialization)
+            template = "\n".join(q.to_line() for q in qs)
+            branch.serialize(SerializerOp(template=template, format=fmt)) \
+                  .sink(self.target_op(lt_id))
+
+
 def translate_to_plan(doc: Document,
                       default_target: Optional[TargetOp] = None,
                       source_overrides: Optional[dict[str, dict]] = None
@@ -204,6 +263,7 @@ def translate_to_plan(doc: Document,
         default_target = TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS)
 
     tm_index: dict[str, TriplesMap] = {t.identifier: t for t in doc.triples_maps}
+    router = _LtRouter(default_target)
 
     # --- incoming parent-side join attributes per TM (util.rs:11-40) ----
     incoming_parent_attrs: dict[str, set[str]] = {t: set() for t in tm_index}
@@ -323,7 +383,8 @@ def translate_to_plan(doc: Document,
 
         if non_join or tm.subject_map.classes or same_row_poms or not tm.po_maps:
             extend_pairs: dict[str, Function] = {}
-            quads: list[Quad] = []
+            lt_quads: dict[str, list[Quad]] = {}
+            sm_routes = router.route_ids(tm.subject_map.tm_info)
             sm_var = f"{var_prefix}_sm"
             extend_pairs[sm_var] = _term_function(tm.subject_map.tm_info,
                                                   doc.base)
@@ -335,7 +396,7 @@ def translate_to_plan(doc: Document,
                 for c, cls in enumerate(tm.subject_map.classes):
                     cls_var = f"{var_prefix}_cls{c}"
                     extend_pairs[cls_var] = Function.iri(Function.constant(cls))
-                    _emit_quads(quads, sm_var, type_var, cls_var,
+                    _emit_quads(lt_quads, sm_routes, sm_var, type_var, cls_var,
                                 sm_graph_vars, [])
             for p_idx, pom in enumerate(tm.po_maps):
                 if pom in join_poms and not any(
@@ -364,20 +425,19 @@ def translate_to_plan(doc: Document,
                         else:
                             extend_pairs[om_var] = _term_function(
                                 om.tm_info, doc.base, om.data_type, om.language)
-                        _emit_quads(quads, sm_var, pm_var, om_var,
+                        routes = router.route_ids(tm.subject_map.tm_info,
+                                                  pm.tm_info, om.tm_info)
+                        _emit_quads(lt_quads, routes, sm_var, pm_var, om_var,
                                     sm_graph_vars, pom_graph_vars)
                 for name, fn in {**sm_graph_vars, **pom_graph_vars}.items():
                     extend_pairs.setdefault(name, fn)
             for name, fn in sm_graph_vars.items():
                 extend_pairs.setdefault(name, fn)
 
-            if quads:
+            if any(lt_quads.values()):
                 plan = take_fragment(tm.identifier)
                 plan = plan.apply(ExtendOp.make(extend_pairs), "Extend")
-                template = "\n".join(q.to_line() for q in quads)
-                plan = plan.serialize(SerializerOp(template=template,
-                                                   format=DataFormat.NQUADS))
-                plan.sink(default_target)
+                router.sink_quads(plan, lt_quads)
 
         # ---- join branches (mod.rs:203-313) ----
         for p_idx, pom in enumerate(tm.po_maps):
@@ -404,7 +464,7 @@ def translate_to_plan(doc: Document,
                     joined = jb.cross_join()
 
                 extend_pairs = {}
-                quads = []
+                lt_quads = {}
                 sm_var = f"{var_prefix}_sm"
                 extend_pairs[sm_var] = _term_function(tm.subject_map.tm_info,
                                                       doc.base)
@@ -415,15 +475,14 @@ def translate_to_plan(doc: Document,
                 for pm_idx, pm in enumerate(pom.predicate_maps):
                     pm_var = f"{var_prefix}_p{p_idx}_{pm_idx}"
                     extend_pairs[pm_var] = _term_function(pm.tm_info, doc.base)
-                    _emit_quads(quads, sm_var, pm_var, om_var,
+                    routes = router.route_ids(tm.subject_map.tm_info,
+                                              pm.tm_info, om.tm_info)
+                    _emit_quads(lt_quads, routes, sm_var, pm_var, om_var,
                                 sm_graph_vars, pom_graph_vars)
                 for name, fn in {**sm_graph_vars, **pom_graph_vars}.items():
                     extend_pairs.setdefault(name, fn)
                 plan = joined.apply(ExtendOp.make(extend_pairs), "Extend")
-                template = "\n".join(q.to_line() for q in quads)
-                plan = plan.serialize(SerializerOp(template=template,
-                                                   format=DataFormat.NQUADS))
-                plan.sink(default_target)
+                router.sink_quads(plan, lt_quads)
 
     return compiled
 
@@ -437,17 +496,18 @@ def _graph_vars(compiled: CompiledMapping, doc: Document,
     return out
 
 
-def _emit_quads(quads: list[Quad], sm_var: str, pm_var: str, om_var: str,
+def _emit_quads(lt_quads: dict[str, list[Quad]], routes: tuple[str, ...],
+                sm_var: str, pm_var: str, om_var: str,
                 sm_graph_vars: dict, pom_graph_vars: dict) -> None:
     """Quad fan-out: POM triples land in the union of subject-level and
     POM-level graphs (golden RMLTC0009b), or the default graph when both
-    are empty.  Mirrors generate_lt_quads + sanitize_quad_map
-    (translator/src/rmlalgebra/util.rs:203-236): no default-graph copy is
+    are empty, routed to every logical target in ``routes``.  Mirrors
+    generate_lt_quads + sanitize_quad_map
+    (translator/src/rmlalgebra/util.rs:137-236): no default-graph copy is
     kept when the triple lands in a named graph."""
     all_graphs = list(sm_graph_vars) + [g for g in pom_graph_vars
                                         if g not in sm_graph_vars]
-    if not all_graphs:
-        quads.append(Quad(sm_var, pm_var, om_var))
-    else:
-        for g in all_graphs:
-            quads.append(Quad(sm_var, pm_var, om_var, g))
+    produced = ([Quad(sm_var, pm_var, om_var)] if not all_graphs
+                else [Quad(sm_var, pm_var, om_var, g) for g in all_graphs])
+    for lt_id in routes:
+        lt_quads.setdefault(lt_id, []).extend(produced)
