@@ -234,18 +234,20 @@ def canonical_map(mentions: DataFrame, score_threshold: float = 0.5,
     aggregated exactly once (distinct_surfaces); all graph work happens
     on the checkpointed node set — driver-side below the size gate,
     distributed blocking + iterative-join CC above it."""
-    surfaces_plain = mentions.select("surface", "norm_key").distinct()
+    # checkpoint BEFORE the size probe so the distinct aggregation over
+    # the mention stream runs exactly once: the gated limit().collect()
+    # probe and (above the gate) the distributed blocking/CC path both
+    # read this one materialization instead of recomputing the distinct
+    surfaces = mentions.select("surface", "norm_key").distinct() \
+        .localCheckpoint()
     if driver_max_surfaces > 0:
-        # ONE distributed job: the distinct aggregation (the only part
-        # proportional to the mention stream) + gated collect
-        head = surfaces_plain.limit(driver_max_surfaces + 1).collect()
+        head = surfaces.limit(driver_max_surfaces + 1).collect()
         if len(head) <= driver_max_surfaces:
             spark = mentions.sparkSession
             pairs = _driver_canonical(
                 [(r.surface, r.norm_key) for r in head], score_threshold)
             return spark.createDataFrame(pairs,
                                          "surface string, canonical string")
-    surfaces = surfaces_plain.localCheckpoint()
     edges = build_edges(mentions, score_threshold, surfaces=surfaces)
     components = connected_components(edges)
     return (surfaces.select("surface")

@@ -200,14 +200,22 @@ class TranscriptPipeline:
             # dedup on the narrow natural key BEFORE term construction:
             # the RDF-set shuffle moves (conv_id, turn_idx, digits) rows
             # instead of three fully-formatted IRI strings per row —
-            # same output set, a fraction of the shuffle bytes
+            # same output set, a fraction of the shuffle bytes.  conv_id
+            # is percent-encoded with the SAME encoder the turn-triples
+            # plan applies to its template substitutions, so (a) mention
+            # subjects always equal turn subjects for the same turn and
+            # (b) the IRI formatting is injective in (conv_id, turn_idx)
+            # even when an externally ingested conv_id contains '/turn/'
+            # — the narrow-key distinct therefore equals the old
+            # post-format distinct on every input
+            from ..exec.functions import uri_encode
             mention_triples = (
                 mentions.join(entities, "surface")
                 .select("conv_id", "turn_idx",
                         normalize_surface(F.col("canonical")).alias("ent"))
                 .distinct()
                 .select(
-                    F.concat(F.lit(f"<{KG}conv/"), F.col("conv_id"),
+                    F.concat(F.lit(f"<{KG}conv/"), uri_encode(F.col("conv_id")),
                              F.lit("/turn/"), F.col("turn_idx"),
                              F.lit(">")).alias("subj"),
                     F.lit(f"<{KG}ontology/mentions>").alias("pred"),

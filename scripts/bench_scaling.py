@@ -120,8 +120,17 @@ def main() -> None:
         hi = min(hi_runs, key=lambda d: d["wall"])
         ratio = args.high / args.low
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+        if args.input and lo["turns"] != args.turns:
+            print(json.dumps({"warning": "--turns does not match the reused "
+                              "input; recording the measured row count",
+                              "arg_turns": args.turns,
+                              "measured_turns": lo["turns"]}),
+                  file=sys.stderr)
         result = {
-            "turns": args.turns,
+            # provenance: the MEASURED row count of the input actually
+            # benchmarked (with --input a stale --turns would otherwise
+            # silently misstate the run in BENCH/BASELINE.md)
+            "turns": lo["turns"],
             "low": lo, "high": hi,
             "low_walls": [d["wall"] for d in lo_runs],
             "high_walls": [d["wall"] for d in hi_runs],
@@ -135,7 +144,7 @@ def main() -> None:
             with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
                 f.write(
                     f"\n## Scaling run {stamp}\n\n"
-                    f"- input: {args.turns:,} synthetic transcript turns "
+                    f"- input: {result['turns']:,} synthetic transcript turns "
                     f"(same parquet input for both levels; synthesis excluded "
                     f"from timing)\n"
                     f"- local[{args.low}]: {lo['wall']}s → "

@@ -88,6 +88,50 @@ def test_canonical_map_driver_and_distributed_agree(spark, turns):
     assert driver == distributed
 
 
+def test_canonical_map_agreement_on_adversarial_surfaces(spark):
+    """The driver-side Python twin of link_score/build_edges and the
+    Catalyst implementation must agree beyond the generator grammar:
+    hub ties, anagram norm-keys (12 vs 21 — candidates that must NOT
+    merge), sub-threshold score variants, unicode surfaces, surfaces
+    whose digits don't match their key (score 0), and empty keys."""
+    rows = [
+        # two variants of entity 12 (merge) + anagram entity 21 (don't)
+        ("c1", 0, "Entity_12", "12"), ("c1", 1, "entity 12", "12"),
+        ("c1", 2, "Entity_21", "21"),
+        # hub tie: two lexicographically adjacent surfaces, same key
+        ("c2", 0, "E-7", "7"), ("c2", 1, "E-7", "7"), ("c2", 2, "entity 7", "7"),
+        # sub-threshold: unknown-prefix surface scores 0.85 (kept at 0.5
+        # threshold, dropped at 0.9 — exercised at both thresholds)
+        ("c3", 0, "ref 33", "33"), ("c3", 1, "Entity_33", "33"),
+        # digits don't match the key → score 0, always a singleton
+        ("c4", 0, "Entity_99", "77"),
+        # unicode surface + digits, and an empty norm key
+        ("c5", 0, "Entité_5", "5"), ("c5", 1, "Entity_5", "5"),
+        ("c6", 0, "no digits", ""),
+    ]
+    mentions = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, surface string, norm_key string")
+    for threshold in (0.5, 0.9):
+        driver = {(r.surface, r.canonical)
+                  for r in canonical_map(
+                      mentions, score_threshold=threshold).collect()}
+        distributed = {(r.surface, r.canonical)
+                       for r in canonical_map(
+                           mentions, score_threshold=threshold,
+                           driver_max_surfaces=0).collect()}
+        assert driver == distributed, (threshold, driver ^ distributed)
+    # semantic spot checks at the default threshold
+    cmap = dict(driver)  # threshold 0.9 from the last loop iteration
+    low = {(r.surface, r.canonical)
+           for r in canonical_map(mentions, score_threshold=0.5).collect()}
+    low_map = dict(low)
+    assert low_map["Entity_12"] == low_map["entity 12"]
+    assert low_map["Entity_21"] != low_map["Entity_12"]  # anagram keys split
+    assert low_map["ref 33"] == low_map["Entity_33"]     # 0.85 ≥ 0.5
+    assert cmap["ref 33"] != cmap["Entity_33"]           # 0.85 < 0.9
+    assert low_map["Entity_99"] == "Entity_99"           # mismatch → singleton
+
+
 def test_entity_resolution_ground_truth(spark, turns):
     """All surface variants of entity k must canonicalize together —
     the generator's grammar is the ground truth."""
