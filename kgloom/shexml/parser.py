@@ -48,10 +48,14 @@ class SxSource:
 @dataclass
 class SxExprPart:
     """One UNION branch of an expression: a concatenation of paths
-    (with literal separators) rooted at source.iterator fields."""
+    (with literal separators) rooted at source.iterator fields,
+    optionally JOINed against a field of another iterator
+    (shexml-interpreter/src/parser/type.rs:203 ExpressionStmtEnum::Join;
+    the AST folds right, so ``A UNION B JOIN C`` = Union(A, Join(B, C)))."""
 
     paths: list[str]            # e.g. ["films_csv.film_csv.name"]
     separators: list[str]       # len = len(paths)-1
+    join_path: Optional[str] = None  # "src.iter.field" of the join target
 
 
 @dataclass
@@ -239,6 +243,13 @@ class _P:
     def _parse_expr_body(body: str) -> list[SxExprPart]:
         parts = []
         for branch in re.split(r"\bUNION\b", body):
+            join_path = None
+            join_split = re.split(r"\bJOIN\b", branch)
+            if len(join_split) == 2:
+                branch, join_path = join_split[0], join_split[1].strip()
+            elif len(join_split) > 2:
+                raise ShExMLParseError(
+                    f"at most one JOIN per union branch: {branch!r}")
             pieces = [p.strip() for p in branch.strip().split("+")]
             paths, seps = [], []
             for p in pieces:
@@ -255,7 +266,8 @@ class _P:
                 raise ShExMLParseError(f"dangling separator in {branch!r}")
             while len(seps) < len(paths) - 1:
                 seps.append("")
-            parts.append(SxExprPart(paths=paths, separators=seps))
+            parts.append(SxExprPart(paths=paths, separators=seps,
+                                    join_path=join_path))
         return parts
 
     def _kw_matcher(self):

