@@ -2,8 +2,8 @@
 
 Parity target: `/root/reference/src/bin/translator/main.rs:23-84`:
 ``translator file <doc>`` and ``translator folder <dir>`` dispatch on
-extension (.ttl → RML, .shexml → ShExML), emit ``<stem>.json`` and
-``<stem>.dot`` plan files next to the mapping
+extension (.ttl → RML, .shexml → ShExML), emit ``<stem>.json``,
+``<stem>.dot`` and ``<stem>_pretty.dot`` plan files next to the mapping
 (serialize_and_log_msg, src/bin/translator/util.rs) — plus what the
 reference cannot do: ``--execute`` runs the plan on Spark and writes
 ``<stem>.out.nq``.
@@ -26,7 +26,11 @@ def _emit_plan(graph, stem: str) -> None:
         f.write(graph.to_json_string())
     with open(stem + ".dot", "w") as f:
         f.write(graph.to_dot())
-    print(f"wrote {stem}.json, {stem}.dot")
+    # reference parity: <stem>_pretty.dot for visualization
+    # (serialize_and_log_msg, src/bin/translator/util.rs:15-19)
+    with open(stem + "_pretty.dot", "w") as f:
+        f.write(graph.to_dot(pretty=True))
+    print(f"wrote {stem}.json, {stem}.dot, {stem}_pretty.dot")
 
 
 def process_file(path: str, execute: bool, spark=None) -> bool:

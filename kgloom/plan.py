@@ -114,15 +114,58 @@ class PlanGraph:
     def to_json_string(self, **kw) -> str:
         return json.dumps(self.to_json(), indent=2, **kw)
 
-    def to_dot(self) -> str:
+    def to_dot(self, pretty: bool = False) -> str:
+        """Graphviz rendering.  ``pretty`` adds a per-node config digest
+        (the reference emits both: plan.rs:190-199 write/write_pretty —
+        Debug vs Display formatting of the operator)."""
         lines = ["digraph {"]
+        if pretty:
+            lines.append('  node [shape=box, fontname="monospace"];')
         for n in self.nodes.values():
             label = n.operator.to_json()["type"]
+            if pretty:
+                digest = self._pretty_digest(n.operator.to_json())
+                if digest:
+                    label += "\\n" + digest
             lines.append(f'  "{n.id}" [label="{n.id}\\n{label}"];')
         for e in self.edges:
             lines.append(f'  "{e.src}" -> "{e.dst}" [label="{e.fragment}"];')
         lines.append("}")
         return "\n".join(lines)
+
+    @staticmethod
+    def _pretty_digest(op_json: dict) -> str:
+        """Short human-readable config summary per operator kind."""
+        def esc(s: str) -> str:
+            return str(s).replace('"', '\\"').replace("\n", "\\n")
+
+        t = op_json.get("type")
+        cfg = op_json.get("config", {})
+        if t == "SourceOp":
+            src = cfg.get("config", {}).get("source", "")
+            rf = cfg.get("root_iterator", {}).get("reference_formulation", "")
+            return esc(f"{rf}: {src}")[:80]
+        if t == "ProjectOp":
+            attrs = sorted(cfg.get("projection_attributes", []))
+            return esc(", ".join(attrs))[:80]
+        if t == "RenameOp":
+            pairs = cfg.get("rename_pairs", {})
+            return esc(", ".join(f"{a}→{b}" for a, b in
+                                 sorted(pairs.items()) if a != b))[:80]
+        if t == "ExtendOp":
+            return esc(", ".join(sorted(cfg.get("extend_pairs", {}))))[:80]
+        if t == "JoinOp":
+            pairs = cfg.get("left_right_attr_pairs", [])
+            cond = ", ".join(f"{a}={b}" for a, b in pairs)
+            return esc(f"{cfg.get('join_type', '')} {cond}")[:80]
+        if t == "SerializerOp":
+            n_lines = len([ln for ln in
+                           cfg.get("template", "").splitlines() if ln.strip()])
+            return esc(f"{cfg.get('format', '')} ×{n_lines} lines")
+        if t == "TargetOp":
+            return esc(f"{cfg.get('target_type', '')} "
+                       f"{cfg.get('configuration', {}).get('path', '')}")[:80]
+        return ""
 
 
 STATE_INIT = "Init"

@@ -42,9 +42,21 @@ class Snapshot:
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """``iceberg_catalog`` (or $KGLOOM_ICEBERG_CATALOG) switches data
+    writes to real Iceberg tables ``{catalog}.{namespace}.{table}`` via
+    ``writeTo(...).createOrReplace()``; snapshot ids and per-file row
+    counts then come from Iceberg's ``.snapshots`` / ``.files``
+    metadata tables.  The JSON manifest (lineage, metrics, commit
+    pointer) is kept either way so resume logic is format-agnostic."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 iceberg_catalog: Optional[str] = None,
+                 iceberg_namespace: str = "kgloom"):
         self.spark = spark
         self.root = root
+        self.iceberg_catalog = iceberg_catalog or \
+            os.environ.get("KGLOOM_ICEBERG_CATALOG")
+        self.iceberg_namespace = iceberg_namespace
         os.makedirs(root, exist_ok=True)
 
     # -- helpers -----------------------------------------------------------
@@ -69,9 +81,65 @@ class SnapshotStore:
         snap = self.latest(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r}")
+        if snap.manifest.get("iceberg_table"):
+            return self.spark.table(snap.manifest["iceberg_table"])
         data = snap.manifest.get("external_path") or \
             os.path.join(snap.path, "data")
         return self.spark.read.parquet(data)
+
+    def _commit(self, table: str, snap_id: str, manifest: dict) -> Snapshot:
+        """Write the manifest and flip the ``_latest`` pointer
+        atomically (rename) — readers never see a half-written
+        snapshot, matching Iceberg commit semantics."""
+        snap_path = os.path.join(self._table_dir(table), snap_id)
+        os.makedirs(snap_path, exist_ok=True)
+        with open(os.path.join(snap_path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        tmp = os.path.join(self._table_dir(table), f"._latest.{snap_id}")
+        with open(tmp, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(self._table_dir(table), "_latest"))
+        return Snapshot(table=table, snapshot_id=snap_id, path=snap_path,
+                        manifest=manifest)
+
+    def _write_iceberg(self, table: str, df: DataFrame,
+                       parents: Optional[list[str]],
+                       partition_by: Optional[list[str]],
+                       extra_metrics: Optional[dict],
+                       t0: float) -> Snapshot:
+        """Real Iceberg commit: writeTo(...).createOrReplace() + metadata
+        from the .snapshots/.files tables.  Exercised only when an
+        Iceberg catalog + runtime jar are configured (skipped test in
+        this sandbox; the parquet-snapshot mode is bit-compatible at the
+        API level)."""
+        full = f"{self.iceberg_catalog}.{self.iceberg_namespace}.{table}"
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
+                       f"{self.iceberg_catalog}.{self.iceberg_namespace}")
+        writer = df.writeTo(full).using("iceberg") \
+            .tableProperty("write.parquet.compression-codec", "zstd")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        snap_row = self.spark.sql(
+            f"SELECT snapshot_id FROM {full}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()[0]
+        per_partition = {
+            r.file_path: r.record_count for r in self.spark.sql(
+                f"SELECT file_path, record_count FROM {full}.files").collect()}
+        manifest = {
+            "table": table,
+            "snapshot_id": f"snap-iceberg-{snap_row.snapshot_id}",
+            "iceberg_table": full,
+            "iceberg_snapshot_id": snap_row.snapshot_id,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "schema": df.schema.jsonValue(),
+            "row_count": sum(per_partition.values()),
+            "partition_row_counts": per_partition,
+            "parents": parents or [],
+            "write_seconds": round(time.time() - t0, 3),
+            "metrics": extra_metrics or {},
+        }
+        return self._commit(table, manifest["snapshot_id"], manifest)
 
     def link_external(self, table: str, path: str) -> Snapshot:
         """Zero-copy commit: register an existing parquet location as a
@@ -91,14 +159,7 @@ class SnapshotStore:
             "parents": [],
             "metrics": {"zero_copy": True},
         }
-        with open(os.path.join(snap_path, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
-        tmp = os.path.join(self._table_dir(table), f"._latest.{snap_id}")
-        with open(tmp, "w") as f:
-            f.write(snap_id)
-        os.replace(tmp, os.path.join(self._table_dir(table), "_latest"))
-        return Snapshot(table=table, snapshot_id=snap_id, path=snap_path,
-                        manifest=manifest)
+        return self._commit(table, snap_id, manifest)
 
     def write(self, table: str, df: DataFrame,
               parents: Optional[list[str]] = None,
@@ -111,6 +172,9 @@ class SnapshotStore:
         (file-level parallel read, no full shuffle).
         """
         t0 = time.time()
+        if self.iceberg_catalog:
+            return self._write_iceberg(table, df, parents, partition_by,
+                                       extra_metrics, t0)
         snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         snap_path = os.path.join(self._table_dir(table), snap_id)
         data_path = os.path.join(snap_path, "data")
@@ -133,15 +197,7 @@ class SnapshotStore:
             "write_seconds": round(time.time() - t0, 3),
             "metrics": extra_metrics or {},
         }
-        with open(os.path.join(snap_path, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
-        # atomic pointer flip = commit
-        tmp = os.path.join(self._table_dir(table), f"._latest.{snap_id}")
-        with open(tmp, "w") as f:
-            f.write(snap_id)
-        os.replace(tmp, os.path.join(self._table_dir(table), "_latest"))
-        return Snapshot(table=table, snapshot_id=snap_id, path=snap_path,
-                        manifest=manifest)
+        return self._commit(table, snap_id, manifest)
 
     @staticmethod
     def _footer_counts(data_path: str) -> dict[str, int]:
