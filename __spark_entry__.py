@@ -309,6 +309,18 @@ def q_ann_ivf_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    # real Lloyd's k-means cells + probe + score.  Run with
+    # n_probe = n_cells (exhaustive probing), which provably equals
+    # exact brute-force top-k — giving the whole k-means
+    # assign/probe/score machinery a plain-SQL oracle; the pruned
+    # (n_probe < n_cells) configuration is covered by recall tests.
+    return S.ivf_topk_kmeans(_emb(spark, sf_dir), k=3, n_cells=4,
+                             n_probe=4, max_iter=2,
+                             query_ids=list(range(8))).select(
+        "query_id", "neighbor_id", "rank")
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-decode plumbing with deterministic fake kernel.  The
     # synthetic asset table is a pure function of range(64), so the
@@ -350,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -614,6 +627,25 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # exhaustive-probe k-means IVF == exact brute-force top-k (every
+        # cell is probed), so the oracle is the plain cosine top-k SQL
+        "ann_ivf_kmeans_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) AS sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 8),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "ann_ivf_topk": """
             WITH scored AS (

@@ -72,3 +72,60 @@ def test_simhash_banding_complete_vs_exact(spark):
              and bin(sig[a] ^ sig[b]).count("1") <= 6}
     assert banded == exact
     assert (0, 1, 0) in banded  # identical docs at distance 0
+
+
+# --- k-means IVF similarity ------------------------------------------------
+
+def test_kmeans_ivf_exhaustive_probe_equals_brute_force(spark):
+    """n_probe >= n_cells probes every cell — the IVF result must equal
+    exact brute-force top-k (strong equivalence oracle for the whole
+    k-means assign/probe/score path)."""
+    from kgloom.ops import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(8))
+    brute = {(r.query_id, r.neighbor_id, r.rank)
+             for r in S.cosine_topk(emb, k=3, query_ids=qids).collect()}
+    ivf = {(r.query_id, r.neighbor_id, r.rank)
+           for r in S.ivf_topk_kmeans(emb, k=3, n_cells=4, n_probe=4,
+                                      query_ids=qids).collect()}
+    assert ivf == brute
+
+
+def test_kmeans_ivf_pruned_recall(spark):
+    """Pruned probing (n_probe < n_cells) keeps useful recall vs exact
+    top-k and returns exactly k ranked rows per query."""
+    from kgloom.ops import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, k=3, query_ids=qids).collect()}
+    ivf_rows = S.ivf_topk_kmeans(emb, k=3, n_cells=8, n_probe=3,
+                                 query_ids=qids).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    per_query = {}
+    for r in ivf_rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_query.values())
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, recall
+
+
+def test_kmeans_assigns_nearest_centroid(spark):
+    """Every corpus vector lands in its argmax-cosine centroid cell."""
+    from kgloom.ops import similarity as S
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(50)
+    cents = S.kmeans_centroids(emb, n_cells=4, max_iter=2)
+    cdf = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    assigned = S._assign(emb, cdf).select("vec_id", "cell")
+    best = (emb.crossJoin(F.broadcast(cdf))
+            .withColumn("csim", S.cosine(F.col("embedding"),
+                                         F.col("centroid"))))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
+    expect = (best.withColumn("r", F.row_number().over(w))
+              .where("r = 1").select("vec_id", F.col("cell").alias("exp")))
+    mism = assigned.join(expect, "vec_id") \
+        .where(F.col("cell") != F.col("exp")).count()
+    assert mism == 0
