@@ -297,6 +297,10 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_subwords(spark, sf_dir):
+    return T.subword_stats(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), k=5,
                          query_ids=list(range(10))).select(
@@ -360,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_subwords": q_text_subwords,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -610,6 +615,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(lower(text), ' '))), ' ')) AS fingerprint
             FROM documents
+        """,
+        # BPE-ish subword estimate — same pattern (constructs with
+        # identical Java-regex/RE2 semantics), same integer arithmetic
+        "text_subwords": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS pieces
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(pieces) AS INTEGER) AS n_pieces,
+                   CAST(COALESCE(list_sum(list_transform(pieces,
+                        x -> CASE WHEN regexp_matches(x, '^[A-Za-z]+$')
+                                  THEN (length(x) + 3) // 4
+                                  ELSE 1 END)), 0) AS INTEGER) AS n_subwords
+            FROM p
         """,
         "ann_cosine_topk": """
             WITH scored AS (

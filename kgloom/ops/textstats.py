@@ -75,6 +75,33 @@ def language_id(docs: DataFrame) -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+#: BPE-ish pre-tokenization: letter runs, single digits (GPT-2 style),
+#: single punctuation marks.  Kept to constructs with identical
+#: semantics in Java regex and RE2 so oracles match exactly.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_stats(docs: DataFrame, max_piece: int = 4) -> DataFrame:
+    """(doc_id, n_pieces, n_subwords): BPE-ish token estimate.
+
+    ``n_pieces`` counts pre-tokenizer pieces (SUBWORD_PATTERN matches);
+    ``n_subwords`` charges each letter run ceil(len/max_piece) subword
+    units (a crude but deterministic BPE-merge estimate) and every
+    other piece 1 — all integer Catalyst arithmetic, no Python.
+    """
+    pieces = F.regexp_extract_all("text", F.lit(SUBWORD_PATTERN), 0)
+    is_word = lambda p: p.rlike("^[A-Za-z]+$")  # noqa: E731
+    units = lambda p: F.when(  # noqa: E731
+        is_word(p),
+        ((F.length(p) + F.lit(max_piece - 1)) / F.lit(max_piece))
+        .cast("int")).otherwise(F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.aggregate(pieces, F.lit(0), lambda acc, p: acc + units(p))
+         .alias("n_subwords"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): md5 of the sorted distinct token set —
     word-order/duplication-insensitive near-dup key."""

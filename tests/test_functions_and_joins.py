@@ -161,3 +161,33 @@ def test_natural_join_common_columns(spark):
                                            bound[preds[1].src])
     got = {(r.k, r.j_rv) for r in bound[plan.node_id].collect()}
     assert got == {("1", "r")}
+
+
+def test_uri_encode_catalyst_arrow_parity_fuzz(spark):
+    """The JVM url_encode+fixups path and the Arrow urllib.parse.quote
+    path must agree byte-for-byte on arbitrary input (they are
+    documented as bit-identical, kgloom/exec/functions.py) — fuzzed
+    over printable ASCII, controls, unicode letters, emoji, and the
+    three known URLEncoder divergence tokens (space, '*', '~')."""
+    import random
+    import string
+    from urllib.parse import quote
+
+    from pyspark.sql import functions as F
+
+    from kgloom.exec.functions import uri_encode_arrow, uri_encode_catalyst
+
+    rnd = random.Random(42)
+    alphabet = string.printable + "éüßñçøœ漢字もじ🙂🚀 ~*+%"
+    samples = [""] + [" * ~ + %20", "a b,c/d:e(f)"] + [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 40)))
+        for _ in range(500)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s",
+        uri_encode_catalyst(F.col("s")).alias("c"),
+        uri_encode_arrow(F.col("s")).alias("a")).collect()
+    for r in rows:
+        expected = quote(r.s, safe="")
+        assert r.c == expected, (r.s, r.c, expected)
+        assert r.a == expected, (r.s, r.a, expected)
