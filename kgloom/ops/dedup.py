@@ -113,9 +113,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
-                      band_size: int = 2, n: int = 3) -> DataFrame:
+                      band_size: int = 2, n: int = 3,
+                      max_band_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH
-    band bucket (band key = concatenated hashes of the band)."""
+    band bucket (band key = concatenated hashes of the band).
+
+    Scale note: band buckets are quadratic in the size of
+    *identical-signature groups* — a corpus with a 1M-copy boilerplate
+    document puts 1M rows in one bucket and 5·10^11 pairs in its
+    self-join.  The production pattern is ``exact_dedup`` FIRST (one
+    representative per exact text), then LSH over representatives.
+    ``max_band_bucket`` is a guard for corpora that skip that step:
+    buckets larger than the cap are dropped (their members are
+    overwhelmingly exact/near-exact duplicates an exact pass should
+    have collapsed).  None (default) keeps exact recall semantics —
+    the driver oracle reproduces the uncapped join.
+    """
     sig = minhash_signatures(docs, num_hashes, n)
     n_bands = num_hashes // band_size
     bands = None
@@ -124,6 +137,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
         part = sig.select("doc_id", F.lit(b).alias("band"),
                           F.concat_ws("|", *cols).alias("band_key"))
         bands = part if bands is None else bands.unionByName(part)
+    if max_band_bucket is not None:
+        ok = (bands.groupBy("band", "band_key").count()
+              .where(F.col("count") <= max_band_bucket)
+              .select("band", "band_key"))
+        bands = bands.join(ok, ["band", "band_key"])
     pairs = (bands.alias("a")
              .join(bands.alias("b"), ["band", "band_key"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))

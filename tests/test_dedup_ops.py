@@ -129,3 +129,21 @@ def test_kmeans_assigns_nearest_centroid(spark):
     mism = assigned.join(expect, "vec_id") \
         .where(F.col("cell") != F.col("exp")).count()
     assert mism == 0
+
+
+def test_minhash_band_bucket_cap(spark):
+    """A mega-group of identical docs creates one quadratic band
+    bucket; the bucket cap drops it while distinct near-dup pairs in
+    small buckets survive."""
+    rows = [(i, "same boilerplate text repeated everywhere here") for i
+            in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = D.minhash_lsh_pairs(docs).count()
+    assert uncapped >= 40 * 39 / 2
+    capped = {(r.doc_a, r.doc_b)
+              for r in D.minhash_lsh_pairs(
+                  docs, max_band_bucket=10).collect()}
+    assert (100, 101) in capped          # true near-dup pair survives
+    assert all(a >= 100 for a, _ in capped)  # mega-bucket dropped
