@@ -235,6 +235,22 @@ def q_transcripts_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "pred", "obj")
 
 
+def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT over the engine's own constructed KG: build the
+    turn triples, then answer a two-pattern BGP (join on ?turn) with a
+    constant-object pattern (tool turns carry role "tool") — the SPARQL reference formulation
+    executing end-to-end (kgloom/sparql.py)."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?tool WHERE {
+          ?turn kg:usedTool ?tool ;
+                kg:role "tool" .
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -355,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scalar_functions": q_kg_scalar_functions,
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "transcripts_mentions": q_transcripts_mentions,
+        "sparql_kg_select": q_sparql_kg_select,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -488,6 +505,18 @@ def oracle_sql() -> dict[str, str]:
                      '<http://kg.example/ontology/usedTool>',
                      '<http://kg.example/tool/' || tool || '>'
               FROM tr WHERE tool IS NOT NULL)
+        """,
+        # the SPARQL BGP over constructed turn triples is equivalent to
+        # this relational query over the transcripts (triples are keyed
+        # per (conv_id, turn_idx); the two patterns join on ?turn, the
+        # constant "assistant" filters the role triple); bindings are
+        # plain lexical values, i.e. IRIs without <>
+        "sparql_kg_select": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   'http://kg.example/tool/' || tool AS tool
+            FROM tr WHERE tool IS NOT NULL AND role = 'tool'
         """,
         "transcripts_mentions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})

@@ -130,6 +130,8 @@ class SparkBinder:
     # ------------------------------------------------------------------
     def _bind_source(self, op: SourceOp) -> DataFrame:
         cfg = op.config_dict
+        if op.root_iterator.reference_formulation.value == "SPARQL":
+            return self._bind_sparql(op)
         if op.source_type == IOType.DATAFRAME or cfg.get("source") in self.dataframes:
             name = cfg.get("source", "")
             if name not in self.dataframes:
@@ -195,6 +197,43 @@ class SparkBinder:
                 df = df.select(*sel)
             return df
         raise BindError(f"unsupported reference formulation {rf}")
+
+    def _bind_sparql(self, op: SourceOp) -> DataFrame:
+        """SPARQL reference formulation: run a SELECT subset over a
+        quads source — a pre-bound (subj, pred, obj[, graph]) DataFrame
+        or a parquet path of rendered quads (kgloom/sparql.py).  Remote
+        endpoints are out of scope (the reference never executes them
+        either); bindings come back as plain lexical values, the shape
+        an endpoint's JSON results would feed the mapping."""
+        from ..sparql import sparql_select
+        cfg = op.config_dict
+        query = op.root_iterator.reference or cfg.get("iterator")
+        if not query:
+            raise BindError("SPARQL source without a query")
+        name = cfg.get("source", "")
+        if name in self.dataframes:
+            quads = self.dataframes[name]
+        else:
+            path = cfg.get("path") or name
+            if self.base_dir and path and not path.startswith("/"):
+                path = f"{self.base_dir}/{path}"
+            if path.endswith(".parquet"):
+                quads = self.spark.read.parquet(path)
+            else:
+                raise BindError(
+                    f"SPARQL source {name!r}: needs a pre-bound quads "
+                    "DataFrame or a parquet path of quads (remote SPARQL "
+                    "endpoints are unsupported, matching the reference)")
+        df = sparql_select(quads, query)
+        if op.root_iterator.fields:
+            sel = [F.col("`" + f.reference.lstrip("?") + "`").alias(f.alias)
+                   for f in op.root_iterator.fields
+                   if f.reference.lstrip("?") in df.columns]
+            if not sel:
+                raise BindError(
+                    f"no sparql fields match result variables {df.columns}")
+            df = df.select(*sel)
+        return df
 
     def _bind_json(self, path: str, iterator: Optional[str]) -> DataFrame:
         """JSONPath iterators of the shape ``$.key[*]`` / ``$.a.b[*]``:
