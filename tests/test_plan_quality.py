@@ -106,3 +106,33 @@ def test_aqe_enabled_in_pipeline(spark, tmp_path):
     TranscriptPipeline(spark, str(tmp_path))
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_sparql_constant_filters_push_to_parquet_scan(spark, tmp_path):
+    """A SPARQL pattern's constant predicate becomes a parquet
+    PushedFilters entry when the quads come from storage — the BGP is
+    declarative, so Catalyst pushes it into the scan."""
+    from kgloom.sparql import sparql_select
+    rows = [("<http://e/s%d>" % i, "<http://e/p%d>" % (i % 3),
+             '"v%d"' % i, None) for i in range(30)]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "quads"))
+    quads = spark.read.parquet(str(tmp_path / "quads"))
+    df = sparql_select(quads,
+                       "SELECT ?s ?o WHERE { ?s <http://e/p1> ?o . }")
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "http://e/p1" in plan
+
+
+def test_sparql_bgp_join_is_jvm_only(spark):
+    """The BGP join plan contains no Python eval nodes — term matching
+    and the variable join are pure Catalyst."""
+    from kgloom.sparql import sparql_select
+    rows = [("<http://e/s>", "<http://e/p>", '"v"', None)]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    df = sparql_select(quads, """
+        SELECT ?s ?o WHERE { ?s <http://e/p> ?o ; <http://e/q> ?o . }
+    """)
+    assert "EvalPython" not in explain_str(df)
