@@ -341,6 +341,14 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composed curation chain (kgloom/ops/curate.py): exact dedup →
+    near dedup → quality filter → language filter, one lazy plan."""
+    from kgloom.ops.curate import curate
+    return curate(_docs(spark, sf_dir), jaccard_threshold=0.4,
+                  min_tokens=3, langs=("en",))
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-decode plumbing with deterministic fake kernel.  The
     # synthetic asset table is a pure function of range(64), so the
@@ -377,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "curation_pipeline": q_curation_pipeline,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -599,6 +608,63 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
               AND abs(list_cosine_similarity(a.v, b.v) - 0.35) >= 1e-12
+        """,
+        # step-for-step relational replay of the curation chain: exact
+        # reps → capped-shingle jaccard losers (larger doc_id of each
+        # pair) → token minimum → stopword-vote language
+        "curation_pipeline": """
+            WITH reps AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            kept1 AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN reps USING (doc_id)),
+            toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                     FROM kept1),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                FROM toks WHERE len(t) >= 3) u),
+            shc AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (SELECT shingle FROM sh
+                                GROUP BY shingle HAVING COUNT(*) <= 1000)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh
+                      FROM shc GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_inter
+              FROM shc a JOIN shc b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+            losers AS (
+              SELECT DISTINCT doc_b AS doc_id FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter) >= 0.4),
+            kept2 AS (
+              SELECT doc_id, text FROM kept1
+              WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+            v AS (
+              SELECT doc_id,
+                len(string_split(lower(text), ' ')) AS n_tokens,
+                len(list_filter(string_split(lower(text),' '),
+                    x -> x IN ('the','of','and','to','in'))) AS v_en,
+                len(list_filter(string_split(lower(text),' '),
+                    x -> x IN ('el','de','la','los','que'))) AS v_es,
+                len(list_filter(string_split(lower(text),' '),
+                    x -> x IN ('le','la','les','des','et'))) AS v_fr,
+                len(list_filter(string_split(lower(text),' '),
+                    x -> x IN ('der','die','das','und','ist'))) AS v_de
+              FROM kept2)
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   'en' AS pred_lang
+            FROM v
+            WHERE n_tokens >= 3
+              AND greatest(v_de, v_en, v_es, v_fr) > 0
+              AND v_de != greatest(v_de, v_en, v_es, v_fr)
+              AND v_en = greatest(v_de, v_en, v_es, v_fr)
         """,
         "text_token_stats": """
             SELECT doc_id,

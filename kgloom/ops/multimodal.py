@@ -83,6 +83,39 @@ def extract_features(assets: DataFrame, batch_fake: bool = True,
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32,
+                  batch_fake: bool = True) -> DataFrame:
+    """Batched image resize over ``mapInPandas`` — schema-preserving
+    (ASSET_SCHEMA in, ASSET_SCHEMA out with updated payload/width/
+    height).  The real kernel is PIL's ``resize`` per batch; absent in
+    this container, so test mode applies a deterministic fake (payload
+    truncated/duplicated to the target-area byte budget) while the
+    Spark-side batch shape, Arrow binary round-trip, and non-image
+    passthrough are real.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not batch_fake:
+                raise NotImplementedError(
+                    "real resize (PIL) is not available in this "
+                    "environment; run with batch_fake=True")
+            is_img = pdf["modality"] == "image"
+            budget = width * height
+
+            def fake(p):
+                if p is None:
+                    return None
+                return (p * (budget // max(1, len(p)) + 1))[:budget]
+
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(fake)
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) —
     the explode is real Spark; the frame decode is the stubbed kernel."""

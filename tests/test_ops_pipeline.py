@@ -1,0 +1,40 @@
+"""Composed curation chain + multimodal resize plumbing."""
+
+from pyspark.sql import functions as F
+
+from kgloom.ops.curate import curate
+from kgloom.ops.multimodal import resize_images, synth_assets
+
+
+def test_curate_chain_semantics(spark):
+    rows = [
+        (1, "the cat sat on the mat in the sun"),       # en, kept
+        (2, "the cat sat on the mat in the sun"),       # exact dup of 1
+        (3, "the cat sat on the mat in the rain"),      # near dup of 1
+        (4, "el gato y la casa de los que hablan"),     # es → dropped
+        (5, "tiny"),                                    # < min_tokens
+        (6, "the quick brown fox jumps over the lazy dog of norway"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: (r.n_tokens, r.pred_lang)
+           for r in curate(docs, jaccard_threshold=0.4, min_tokens=3,
+                           langs=("en",)).collect()}
+    assert set(out) == {1, 6}
+    assert out[1][1] == "en" and out[6][0] == 11
+
+
+def test_resize_images_schema_and_passthrough(spark):
+    assets = synth_assets(spark, 12)
+    out = resize_images(assets, width=4, height=4).collect()
+    assert len(out) == 12
+    by_id = {r.asset_id: r for r in out}
+    for r in out:
+        if r.modality == "image":
+            assert r.width == 4 and r.height == 4
+            assert len(r.payload) == 16  # width*height byte budget
+        else:  # audio/video rows pass through untouched
+            assert r.width == 64 and len(r.payload) > 16
+    # deterministic fake: same input → same bytes
+    again = {r.asset_id: bytes(r.payload)
+             for r in resize_images(assets, 4, 4).collect()}
+    assert all(bytes(by_id[a].payload) == again[a] for a in again)
