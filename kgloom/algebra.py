@@ -453,3 +453,87 @@ Operator = Union[SourceOp, ProjectOp, RenameOp, ExtendOp, JoinOp,
 
 #: Operators that Plan.apply() rejects (plangenerator/src/plan.rs:249-257).
 NON_APPLY_OPERATORS = (SourceOp, FragmentOp, TargetOp, SerializerOp)
+
+
+# ---------------------------------------------------------------------------
+# JSON deserialization — the reverse of every to_json above.  The
+# reference derives serde Serialize AND Deserialize (serde tag
+# operator/src/lib.rs:18-19), so plans are data in both directions; this
+# closes the round trip: a plan JSON emitted by the CLI (or by the
+# reference translator with compatible config) binds and executes.
+# ---------------------------------------------------------------------------
+
+def function_from_json(d: dict) -> Function:
+    children = {name: function_from_json(d[name])
+                for name in ("inner_function", "left_value", "right_value",
+                             "dtype_function", "langtype_function")
+                if d.get(name) is not None}
+    return Function(
+        kind=d["type"],
+        value=d.get("value"),
+        separator=d.get("separator"),
+        inner=children.get("inner_function"),
+        left=children.get("left_value"),
+        right=children.get("right_value"),
+        dtype=children.get("dtype_function"),
+        langtype=children.get("langtype_function"),
+        replace_map=tuple(sorted(
+            (k, tuple(sorted(v)))
+            for k, v in (d.get("replace_map") or {}).items())),
+        pairs=tuple((k, function_from_json(f))
+                    for k, f in (d.get("pairs") or [])),
+        base=d.get("base"))
+
+
+def _iter_field_from_json(d: dict) -> IterField:
+    return IterField(
+        alias=d["alias"], reference=d["reference"],
+        reference_formulation=ReferenceFormulation(
+            d.get("reference_formulation", "CSVRows")),
+        inner_fields=tuple(_iter_field_from_json(f)
+                           for f in d.get("fields", [])))
+
+
+def _iterator_from_json(d: dict) -> SourceIterator:
+    return SourceIterator(
+        reference=d.get("reference"),
+        reference_formulation=ReferenceFormulation(
+            d.get("reference_formulation", "CSVRows")),
+        fields=tuple(_iter_field_from_json(f) for f in d.get("fields", [])),
+        alias=d.get("alias"))
+
+
+def operator_from_json(d: dict) -> Operator:
+    t, cfg = d["type"], d.get("config", {})
+    if t == "SourceOp":
+        return SourceOp.make(cfg.get("config", {}),
+                             IOType(cfg.get("source_type", "File")),
+                             _iterator_from_json(cfg.get("root_iterator", {})))
+    if t == "ProjectOp":
+        return ProjectOp(projection_attributes=frozenset(
+            cfg.get("projection_attributes", [])))
+    if t == "RenameOp":
+        return RenameOp.make(cfg.get("rename_pairs", {}))
+    if t == "ExtendOp":
+        return ExtendOp.make({k: function_from_json(f)
+                              for k, f in cfg.get("extend_pairs", {}).items()})
+    if t == "JoinOp":
+        return JoinOp(
+            left_right_attr_pairs=tuple(
+                tuple(p) for p in cfg.get("left_right_attr_pairs", [])),
+            join_type=JoinType(cfg.get("join_type", "InnerJoin")),
+            predicate_type=PredicateType(cfg.get("predicate_type", "=")),
+            join_alias=cfg.get("join_alias", ""))
+    if t == "FragmentOp":
+        return FragmentOp(from_fragment=cfg.get("from", "default"),
+                          to_fragments=tuple(cfg.get("to", [])))
+    if t == "SerializerOp":
+        return SerializerOp(template=cfg.get("template", ""),
+                            format=DataFormat(cfg.get("format", "NQuads")),
+                            options=tuple(sorted(
+                                (cfg.get("options") or {}).items())))
+    if t == "TargetOp":
+        return TargetOp.make(cfg.get("configuration", {}),
+                             IOType(cfg.get("target_type", "StdOut")),
+                             DataFormat(cfg.get("data_format", "NQuads")))
+    raise ValueError(f"unknown operator type {t!r}")

@@ -49,6 +49,17 @@ def process_file(path: str, execute: bool, spark=None) -> bool:
             from .engine import run_rml_file
             _write_nquads(run_rml_file(spark, path, base_dir=base_dir), stem)
         return True
+    if ext == ".json":
+        # plans are data: execute an emitted plan JSON directly
+        if execute:
+            from .engine import run_plan_file
+            _write_nquads(run_plan_file(spark, path, base_dir=base_dir),
+                          stem + ".plan")
+            return True
+        from .plan import PlanGraph
+        PlanGraph.from_json_string(open(path).read())  # validate
+        print(f"{path}: valid plan JSON (pass --execute to run it)")
+        return True
     if ext == ".shexml":
         from .shexml import parse_shexml, shexml_to_plan
         graph = shexml_to_plan(parse_shexml(open(path).read()))

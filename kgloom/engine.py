@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from functools import reduce
-from typing import Optional
+from typing import Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -80,6 +80,34 @@ def run_rml_file(spark: SparkSession, mapping_path: str,
     return run_rml(spark, text,
                    base_dir=base_dir or os.path.dirname(mapping_path),
                    dataframes=dataframes)
+
+
+def run_plan(spark: SparkSession, plan_json: Union[str, dict],
+             base_dir: Optional[str] = None,
+             dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:
+    """Execute a serialized operator plan (the ``<stem>.json`` the CLI
+    emits) directly — plans are data in both directions, so a compiled
+    plan runs without its mapping document."""
+    from .plan import PlanGraph
+    graph = PlanGraph.from_json_string(plan_json) \
+        if isinstance(plan_json, str) else PlanGraph.from_json(plan_json)
+    binder = SparkBinder(spark=spark, dataframes=dataframes or {},
+                         base_dir=base_dir)
+    sinks = write_sinks(binder.execute(graph))
+    dfs = list(sinks.values())
+    if not dfs:
+        raise ValueError("plan produced no DataFrame sinks")
+    return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+
+
+def run_plan_file(spark: SparkSession, path: str,
+                  base_dir: Optional[str] = None,
+                  dataframes: Optional[dict[str, DataFrame]] = None
+                  ) -> DataFrame:
+    with open(path, "r", encoding="utf-8") as f:
+        text = f.read()
+    return run_plan(spark, text, base_dir=base_dir or os.path.dirname(path),
+                    dataframes=dataframes)
 
 
 def nquads(df: DataFrame) -> list[str]:

@@ -114,6 +114,28 @@ class PlanGraph:
     def to_json_string(self, **kw) -> str:
         return json.dumps(self.to_json(), indent=2, **kw)
 
+    @staticmethod
+    def from_json(data: dict) -> "PlanGraph":
+        """Inverse of :meth:`to_json` — plans are data in both
+        directions (the reference derives serde Deserialize too,
+        operator/src/lib.rs:18-19), so an emitted ``<stem>.json`` plan
+        binds and executes without its mapping document."""
+        from .algebra import operator_from_json
+        g = PlanGraph()
+        for n in data.get("nodes", []):
+            g.nodes[n["id"]] = PlanNode(
+                id=n["id"], operator=operator_from_json(n["operator"]))
+        for e in data.get("edges", []):
+            g.edges.append(PlanEdge(src=e["from"], dst=e["to"],
+                                    fragment=e.get("fragment",
+                                                   DEFAULT_FRAGMENT)))
+        g.node_count = len(g.nodes)
+        return g
+
+    @staticmethod
+    def from_json_string(text: str) -> "PlanGraph":
+        return PlanGraph.from_json(json.loads(text))
+
     def to_dot(self, pretty: bool = False) -> str:
         """Graphviz rendering.  ``pretty`` adds a per-node config digest
         (the reference emits both: plan.rs:190-199 write/write_pretty —
