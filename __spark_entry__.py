@@ -222,6 +222,42 @@ def q_kg_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "pred", "obj")
 
 
+def q_kg_fragment_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FragmentOp: one projected source fans out to TWO serializer →
+    target branches (the multi-consumer plan shape rml:logicalTarget
+    and join feeding use); the query unions both sinks."""
+    from kgloom.algebra import FragmentOp
+    g = Plan()
+    p = g.source(_table_source("nation"))
+    p = p.apply(ProjectOp(projection_attributes=frozenset(
+        {"n_nationkey", "n_name", "n_regionkey"})), "Projection")
+    p = p.fragment(FragmentOp(from_fragment="default",
+                              to_fragments=("default", "frag_1")))
+
+    left = p.apply(ExtendOp.make({
+        "sm": Function.iri(Function.uri_encode(
+            Function.template(EX + "nation/{n_nationkey}"))),
+        "pm": Function.iri(Function.constant(EX + "ontology/name")),
+        "om": Function.literal(Function.reference("n_name")),
+    }), "Extend")
+    left.serialize(SerializerOp(template="?sm ?pm ?om .")).sink(_sink())
+
+    right = p.with_fragment("frag_1").apply(ExtendOp.make({
+        "sm": Function.iri(Function.uri_encode(
+            Function.template(EX + "nation/{n_nationkey}"))),
+        "pm": Function.iri(Function.constant(EX + "ontology/inRegion")),
+        "om": Function.iri(Function.uri_encode(
+            Function.template(EX + "region/{n_regionkey}"))),
+    }), "Extend")
+    right.serialize(SerializerOp(template="?sm ?pm ?om .")).sink(_sink())
+
+    dfs = {"nation": spark.read.parquet(f"{sf_dir}/nation.parquet")}
+    binder = SparkBinder(spark, dataframes=dfs)
+    outs = list(write_sinks(binder.execute(g.graph)).values())
+    assert len(outs) == 2
+    return outs[0].unionByName(outs[1]).select("subj", "pred", "obj")
+
+
 # ---------------------------------------------------------------------------
 # North-rule transcript queries
 # ---------------------------------------------------------------------------
@@ -377,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_classes": q_kg_graph_classes,
         "kg_theta_join": q_kg_theta_join,
         "kg_scalar_functions": q_kg_scalar_functions,
+        "kg_fragment_multi": q_kg_fragment_multi,
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "transcripts_mentions": q_transcripts_mentions,
         "sparql_kg_select": q_sparql_kg_select,
@@ -487,6 +524,19 @@ def oracle_sql() -> dict[str, str]:
                      '"' || CASE WHEN c_mktsegment = 'BUILDING'
                                  THEN 'BUILD' ELSE c_mktsegment END || '"'
               FROM customer)
+        """,
+        "kg_fragment_multi": f"""
+            SELECT DISTINCT * FROM (
+              SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>'
+                       AS subj,
+                     '<{ex}ontology/name>' AS pred,
+                     '"' || n_name || '"' AS obj
+              FROM nation
+              UNION ALL
+              SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>',
+                     '<{ex}ontology/inRegion>',
+                     '<{ex}region/' || CAST(n_regionkey AS VARCHAR) || '>'
+              FROM nation)
         """,
         "transcripts_turn_triples": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})
