@@ -353,6 +353,10 @@ def q_text_subwords(spark, sf_dir):
     return T.subword_stats(_docs(spark, sf_dir))
 
 
+def q_text_redact_pii(spark, sf_dir):
+    return T.redact_pii(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), k=5,
                          query_ids=list(range(10))).select(
@@ -428,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_subwords": q_text_subwords,
+        "text_redact_pii": q_text_redact_pii,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -760,6 +765,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(lower(text), ' '))), ' ')) AS fingerprint
             FROM documents
+        """,
+        # same chained replace order as redact_pii (count before each
+        # pattern's own replacement, on the previous pattern's output)
+        "text_redact_pii": r"""
+            WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+            s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                       AS c1,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                       '[EMAIL]', 'g') AS t1
+                   FROM s0),
+            s2 AS (SELECT doc_id, c1,
+                     len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS c2,
+                     regexp_replace(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '[IPV4]', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+                     len(regexp_extract_all(t2,
+                       '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS c3,
+                     regexp_replace(t2, '\+?[0-9][0-9 ()-]{7,}[0-9]',
+                       '[PHONE]', 'g') AS t3
+                   FROM s2)
+            SELECT doc_id, t3 AS text,
+                   CAST(c1 + c2 + c3 AS INTEGER) AS n_redactions
+            FROM s3
         """,
         # BPE-ish subword estimate — same pattern (constructs with
         # identical Java-regex/RE2 semantics), same integer arithmetic

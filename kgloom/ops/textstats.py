@@ -75,6 +75,33 @@ def language_id(docs: DataFrame) -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+#: PII patterns — kept to regex constructs with identical Java-regex /
+#: RE2 semantics so a cross-engine oracle matches byte-for-byte.  At
+#: 100 TB these run inside whole-stage codegen (chained
+#: regexp_replace), no Python in the row path.
+PII_PATTERNS = (
+    # order matters: emails before bare domains, long digit runs last
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]"),
+)
+
+
+def redact_pii(docs: DataFrame, patterns=PII_PATTERNS,
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, text, n_redactions): email/IPv4/phone spans replaced by
+    ``[TYPE]`` tokens, plus the total count of redacted spans (counted
+    per pattern BEFORE that pattern's replacement, on the text as left
+    by the previous pattern — the oracle replays the same order)."""
+    cur = F.col(text_col)
+    n = F.lit(0)
+    for name, pat in patterns:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"[{name.upper()}]")
+    return docs.select("doc_id", cur.alias("text"),
+                       n.cast("int").alias("n_redactions"))
+
+
 #: BPE-ish pre-tokenization: letter runs, single digits (GPT-2 style),
 #: single punctuation marks.  Kept to constructs with identical
 #: semantics in Java regex and RE2 so oracles match exactly.

@@ -38,3 +38,18 @@ def test_resize_images_schema_and_passthrough(spark):
     again = {r.asset_id: bytes(r.payload)
              for r in resize_images(assets, 4, 4).collect()}
     assert all(bytes(by_id[a].payload) == again[a] for a in again)
+
+
+def test_redact_pii_semantics(spark):
+    from kgloom.ops.textstats import redact_pii
+    rows = [
+        (1, "mail me at jo.doe+x@ex-ample.org or call +1 (555) 123-4567"),
+        (2, "server at 192.168.0.1 responded"),
+        (3, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: (r.text, r.n_redactions)
+           for r in redact_pii(docs).collect()}
+    assert out[1] == ("mail me at [EMAIL] or call [PHONE]", 2)
+    assert out[2] == ("server at [IPV4] responded", 1)
+    assert out[3] == ("no pii here at all", 0)
