@@ -131,12 +131,17 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
     """
     sig = minhash_signatures(docs, num_hashes, n)
     n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
-        part = sig.select("doc_id", F.lit(b).alias("band"),
-                          F.concat_ws("|", *cols).alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE pass over the signature aggregate: explode an array of
+    # (band, band_key) structs per doc (a union of per-band selects
+    # would re-run the signature aggregation once per band)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * band_size + i}")
+                               for i in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)]
+    bands = (sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+             .select("doc_id", "e.band", "e.band_key"))
     if max_band_bucket is not None:
         ok = (bands.groupBy("band", "band_key").count()
               .where(F.col("count") <= max_band_bucket)
@@ -183,13 +188,17 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sig = simhash64(docs)
     blocks = max_hamming + 1
     width = 60 // blocks
-    parts = None
-    for b in range(blocks):
-        key = F.shiftright(F.col("simhash"), b * width) \
-            .bitwiseAND(F.lit((1 << width) - 1))
-        p = sig.select("doc_id", "simhash", F.lit(b).alias("block"),
-                       key.alias("key"))
-        parts = p if parts is None else parts.unionByName(p)
+    # single-pass banding via explode (see minhash_lsh_pairs: a union of
+    # per-block selects re-runs the 60-counter simhash aggregation once
+    # per block — the dominant cost at scale)
+    entries = [
+        F.struct(F.lit(b).alias("block"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for b in range(blocks)]
+    parts = (sig.select("doc_id", "simhash",
+                        F.explode(F.array(*entries)).alias("e"))
+             .select("doc_id", "simhash", "e.block", "e.key"))
     cand = (parts.alias("a").join(parts.alias("b"), ["block", "key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
