@@ -231,14 +231,20 @@ def embedding_cosine_pairs(emb: DataFrame,
     the SAME exclusion can't flake on a marginal pair (symmetric on
     both sides, not a one-sided oracle relaxation).
     """
-    from .similarity import cosine
+    from .similarity import cosine_from, pair_dot, self_dot
     a = emb.select(F.col("vec_id").alias("vec_a"), "label",
-                   F.col("embedding").alias("ea"))
+                   F.col("embedding").alias("ea"),
+                   self_dot(F.col("embedding")).alias("sqa"))
     b = emb.select(F.col("vec_id").alias("vec_b"), "label",
-                   F.col("embedding").alias("eb"))
+                   F.col("embedding").alias("eb"),
+                   self_dot(F.col("embedding")).alias("sqb"))
     return (a.join(b, "label")
             .where(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+            # norms hoisted per vector (see similarity.self_dot): one
+            # array fold per pair instead of three, bit-identical values
+            .withColumn("sim", cosine_from(
+                pair_dot(F.col("ea"), F.col("eb")),
+                F.col("sqa"), F.col("sqb")))
             .where((F.col("sim") >= threshold)
                    & (F.abs(F.col("sim") - threshold) >= threshold_eps))
             .select("vec_a", "vec_b", F.round("sim", 4).alias("sim")))

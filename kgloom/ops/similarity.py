@@ -36,20 +36,45 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
+def self_dot(col) -> F.Column:
+    """Σ x².  Hoist this to a per-vector column BEFORE a pairwise join:
+    Spark's array higher-order functions evaluate interpreted (outside
+    whole-stage codegen), so computing each row's norm once instead of
+    once per PAIR removes two of the three array folds from the O(pairs)
+    hot loop — same fold order, bit-identical results."""
+    v = _as_double(col)
+    return _dot(v, v)
+
+
+def cosine_from(dot_ab: F.Column, sq_a: F.Column, sq_b: F.Column) -> F.Column:
+    """cosine given the pair dot product and both hoisted self-dots —
+    the same ``dot / sqrt(sq_a * sq_b)`` expression ``cosine`` builds,
+    so values are bit-identical to the unhoisted form."""
+    return dot_ab / F.sqrt(sq_a * sq_b)
+
+
+def pair_dot(a, b) -> F.Column:
+    return _dot(_as_double(a), _as_double(b))
+
+
 def cosine_topk(emb: DataFrame, k: int = 5,
                 query_ids: list[int] | None = None,
                 round_to: int = 3) -> DataFrame:
     """(query_id, neighbor_id, rank, sim): exact top-k cosine neighbors
     for each query vector (default: all vectors as queries)."""
     queries = emb.select(F.col("vec_id").alias("query_id"),
-                         F.col("embedding").alias("q"))
+                         F.col("embedding").alias("q"),
+                         self_dot(F.col("embedding")).alias("sq"))
     if query_ids is not None:
         queries = queries.where(F.col("query_id").isin(query_ids))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("e"))
+                        F.col("embedding").alias("e"),
+                        self_dot(F.col("embedding")).alias("se"))
     scored = (F.broadcast(queries).crossJoin(corpus)
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("sim", cosine(F.col("q"), F.col("e"))))
+              .withColumn("sim", cosine_from(
+                  pair_dot(F.col("q"), F.col("e")),
+                  F.col("sq"), F.col("se"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -64,15 +89,19 @@ def ivf_topk(emb: DataFrame, k: int = 3,
     (the ``label`` column) are scored."""
     queries = emb.select(F.col("vec_id").alias("query_id"),
                          F.col("embedding").alias("q"),
-                         F.col("label").alias("cell"))
+                         F.col("label").alias("cell"),
+                         self_dot(F.col("embedding")).alias("sq"))
     if query_ids is not None:
         queries = queries.where(F.col("query_id").isin(query_ids))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("e"),
-                        F.col("label").alias("cell"))
+                        F.col("label").alias("cell"),
+                        self_dot(F.col("embedding")).alias("se"))
     scored = (F.broadcast(queries).join(corpus, "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("sim", cosine(F.col("q"), F.col("e"))))
+              .withColumn("sim", cosine_from(
+                  pair_dot(F.col("q"), F.col("e")),
+                  F.col("sq"), F.col("se"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -145,19 +174,22 @@ def ivf_topk_kmeans(emb: DataFrame, k: int = 3, n_cells: int = 8,
         "cell int, centroid array<double>")
     corpus = _assign(emb, cdf).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e"), "cell")
+        F.col("embedding").alias("e"), "cell",
+        self_dot(F.col("embedding")).alias("se"))
     queries = emb
     if query_ids is not None:
         queries = queries.where(F.col("vec_id").isin(query_ids))
     queries = _assign(queries, cdf, n_probe=n_probe).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
-        "cell")
+        "cell", self_dot(F.col("embedding")).alias("sq"))
     scored = (F.broadcast(queries).join(corpus, "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               # a (query, neighbor) pair can match in several probed
               # cells — dedup on the narrow id pair before ranking
               .dropDuplicates(["query_id", "neighbor_id"])
-              .withColumn("sim", cosine(F.col("q"), F.col("e"))))
+              .withColumn("sim", cosine_from(
+                  pair_dot(F.col("q"), F.col("e")),
+                  F.col("sq"), F.col("se"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
