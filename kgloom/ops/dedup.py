@@ -77,6 +77,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                  .where(F.col("count") <= max_shingle_df)
                  .select("shingle"))
         sh = sh.join(df_ok, "shingle")
+    # the (capped) inverted index feeds THREE subtrees (both self-join
+    # sides + the per-doc sizes); persist so the shingle explode +
+    # distinct + DF-cap join run once, not three times (MEMORY_AND_DISK
+    # default — at 100 TB this is the spill-safe choice, and exactly
+    # what you'd persist on a cluster anyway)
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
              .join(sh.alias("b"), "shingle")
@@ -141,7 +147,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
                                for i in range(band_size)]).alias("band_key"))
         for b in range(n_bands)]
     bands = (sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
-             .select("doc_id", "e.band", "e.band_key"))
+             .select("doc_id", "e.band", "e.band_key")
+             .persist())  # both self-join sides read the banded table
     if max_band_bucket is not None:
         ok = (bands.groupBy("band", "band_key").count()
               .where(F.col("count") <= max_band_bucket)
@@ -198,7 +205,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         for b in range(blocks)]
     parts = (sig.select("doc_id", "simhash",
                         F.explode(F.array(*entries)).alias("e"))
-             .select("doc_id", "simhash", "e.block", "e.key"))
+             .select("doc_id", "simhash", "e.block", "e.key")
+             .persist())  # both self-join sides read the banded table
     cand = (parts.alias("a").join(parts.alias("b"), ["block", "key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
