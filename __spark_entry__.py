@@ -329,6 +329,13 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH pairs closed under connectivity via the
+    CC operator — oracled with a recursive-CTE transitive closure."""
+    return D.near_duplicate_clusters(_docs(spark, sf_dir), num_hashes=8,
+                                     band_size=2, n=3)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
 
@@ -425,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
         "text_token_stats": q_text_token_stats,
@@ -648,6 +656,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
+        """,
+        # minhash candidate pairs closed under connectivity: the
+        # recursive CTE computes the transitive closure, cluster = the
+        # lexicographically minimal reachable doc-id string (exactly the
+        # CC operator's min-label rule); unpaired docs are singletons
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            {_SHINGLES_CTE.strip().rstrip()},
+            sig AS (
+              SELECT doc_id,
+                     MIN(substr(md5('0|' || shingle), 1, 16)) AS h0,
+                     MIN(substr(md5('1|' || shingle), 1, 16)) AS h1,
+                     MIN(substr(md5('2|' || shingle), 1, 16)) AS h2,
+                     MIN(substr(md5('3|' || shingle), 1, 16)) AS h3,
+                     MIN(substr(md5('4|' || shingle), 1, 16)) AS h4,
+                     MIN(substr(md5('5|' || shingle), 1, 16)) AS h5,
+                     MIN(substr(md5('6|' || shingle), 1, 16)) AS h6,
+                     MIN(substr(md5('7|' || shingle), 1, 16)) AS h7
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, h0 || '|' || h1 AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT CAST(doc_a AS VARCHAR) AS u,
+                     CAST(doc_b AS VARCHAR) AS v FROM prs
+              UNION
+              SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR)
+              FROM prs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u, MIN(m) AS cluster FROM (
+                SELECT u, v AS m FROM reach
+                UNION ALL SELECT u, u FROM edges) t
+              GROUP BY u)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   COALESCE(c.cluster, CAST(d.doc_id AS VARCHAR))
+                     AS cluster_id
+            FROM documents d
+            LEFT JOIN comp c ON CAST(d.doc_id AS VARCHAR) = c.u
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, label,

@@ -220,6 +220,32 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
+def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 8,
+                            band_size: int = 2, n: int = 3,
+                            max_band_bucket: int | None = None) -> DataFrame:
+    """(doc_id, cluster_id): group documents into near-duplicate
+    clusters — MinHash-LSH candidate pairs closed under connectivity
+    (the ``kgloom.transcripts.er`` connected-components operator: the
+    same size-gated driver/distributed machinery the north-rule ER
+    uses).  cluster_id is the lexicographically minimal doc_id string
+    of the component (ids compared AS STRINGS, deterministically —
+    a relational oracle can replay it with a recursive CTE); documents
+    in no pair are singleton clusters of themselves.
+    """
+    from ..transcripts.er import connected_components
+    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, n,
+                              max_band_bucket=max_band_bucket)
+    edges = pairs.select(F.col("doc_a").cast("string").alias("src"),
+                         F.col("doc_b").cast("string").alias("dst"))
+    comp = connected_components(edges) \
+        .withColumnRenamed("node", "doc_id_s")
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id_s"))
+            .join(comp, "doc_id_s", "left")
+            .select(F.col("doc_id_s").alias("doc_id"),
+                    F.coalesce("component", F.col("doc_id_s"))
+                    .alias("cluster_id")))
+
+
 def embedding_cosine_pairs(emb: DataFrame,
                            threshold: float = 0.35,
                            threshold_eps: float = 1e-12) -> DataFrame:
