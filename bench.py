@@ -70,6 +70,11 @@ def main() -> None:
     for name, fn in sorted(entry_mod.queries().items()):
         best = None
         for _ in range(repeats):
+            # fairness: operators that persist() intermediates would
+            # otherwise serve repeat 2 from repeat 1's cache (Spark's
+            # cache manager matches canonicalized plans) — each repeat
+            # must pay the full computation
+            spark.catalog.clearCache()
             t0 = time.time()
             force(fn(spark, sf_dir))
             dt = time.time() - t0
