@@ -364,6 +364,10 @@ def q_text_redact_pii(spark, sf_dir):
     return T.redact_pii(_docs(spark, sf_dir))
 
 
+def q_text_winnow(spark, sf_dir):
+    return T.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), k=5,
                          query_ids=list(range(10))).select(
@@ -441,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_subwords": q_text_subwords,
         "text_redact_pii": q_text_redact_pii,
+        "text_winnow": q_text_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -867,6 +872,36 @@ def oracle_sql() -> dict[str, str]:
                                   THEN (length(x) + 3) // 4
                                   ELSE 1 END)), 0) AS INTEGER) AS n_subwords
             FROM p
+        """,
+        # MOSS winnowing replayed in SQL: same rolling k-gram hash
+        # (15 hex chars of md5 → int64, digit-weighted sum — exact, as
+        # in the simhash oracle), same window-min + distinct
+        "text_winnow": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t FROM documents),
+            m AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(t) - 4, 0)),
+                       i -> md5(substr(t, i, 5))) AS md5s
+              FROM g),
+            h AS (
+              SELECT doc_id,
+                     list_transform(md5s,
+                       d -> CAST(list_sum(list_transform(
+                              generate_series(1, 15),
+                              j -> CAST(strpos('0123456789abcdef',
+                                     substr(d, j, 1)) - 1 AS BIGINT)
+                                   * CAST(power(16, 15 - j) AS BIGINT)))
+                            AS BIGINT)) AS hs
+              FROM m),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 0)),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM w
         """,
         "ann_cosine_topk": """
             WITH scored AS (

@@ -137,3 +137,34 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
          .alias("fingerprint"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """(doc_id, fp): MOSS-style winnowing fingerprints — rolling
+    character k-gram hashes, minimum per sliding window of ``window``
+    hashes, distinct per document.
+
+    Robust to edits the way token-set fingerprints are not: a local
+    change perturbs only the windows covering it, so two documents
+    sharing long runs share most fingerprints (overlap = containment
+    signal).  All array built-ins (substr/md5/min/slice) inside one
+    narrow projection — no shuffle until the caller aggregates; the
+    hash is the same 15-hex-chars-of-md5 → int64 parse the simhash
+    oracle reproduces digit-for-digit in SQL.
+    """
+    s = F.lower(F.col("text"))
+    n_grams = F.greatest(F.length(s) - k + 1, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(s.substr(i, F.lit(k))), 1, 15),
+                         16, 10).cast("decimal(20,0)").cast("long"))
+    hashes = F.when(n_grams >= 1, hashes) \
+        .otherwise(F.array().cast("array<long>"))
+    n_windows = F.size(hashes) - window + 1
+    mins = F.transform(F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
+                       lambda j: F.array_min(F.slice(hashes, j, window)))
+    mins = F.when(n_windows >= 1, mins) \
+        .otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
