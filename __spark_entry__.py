@@ -271,6 +271,23 @@ def q_transcripts_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "pred", "obj")
 
 
+def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention degree per CANONICAL entity — runs the full ER
+    canonicalization (two-stage blocking + components) and aggregates
+    over its output, putting canonical_map itself under the DuckDB
+    gate: on this corpus every variant of an entity scores above the
+    link threshold, so a component is exactly a norm_key group and the
+    canonical is its min surface — which SQL can replay."""
+    from kgloom.transcripts.er import canonical_map
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    return (m.join(cmap, "surface")
+            .groupBy(F.col("canonical").alias("entity"))
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("conv_id").alias("n_convs")))
+
+
 def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT over the engine's own constructed KG: build the
     turn triples, then answer a two-pattern BGP (join on ?turn) with a
@@ -431,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fragment_multi": q_kg_fragment_multi,
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "transcripts_mentions": q_transcripts_mentions,
+        "transcripts_entity_degree": q_transcripts_entity_degree,
         "sparql_kg_select": q_sparql_kg_select,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -582,6 +600,30 @@ def oracle_sql() -> dict[str, str]:
                      '<http://kg.example/ontology/usedTool>',
                      '<http://kg.example/tool/' || tool || '>'
               FROM tr WHERE tool IS NOT NULL)
+        """,
+        # ER replay: every surface variant on this corpus scores above
+        # the 0.5 link threshold, so canonical_map's components are
+        # exactly the norm_key groups and the canonical is the group's
+        # min surface (both the driver union-find and the distributed
+        # CC use the same min-label rule)
+        "transcripts_entity_degree": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id, turn_idx,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1) AS norm_key
+              FROM tr),
+            canon AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key)
+            SELECT c.canonical AS entity,
+                   COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT m.conv_id) AS n_convs
+            FROM m JOIN canon c USING (norm_key)
+            GROUP BY c.canonical
         """,
         # the SPARQL BGP over constructed turn triples is equivalent to
         # this relational query over the transcripts (triples are keyed
