@@ -353,6 +353,15 @@ def q_dedup_clusters(spark, sf_dir):
                                      band_size=2, n=3)
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs with id < 20 stand in as the
+    held-out benchmark; every training doc is flagged with its count
+    of 5-gram collisions against it."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") < 20)
+    return D.contamination_flags(docs, benchmark, n=5)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
 
@@ -455,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
         "text_token_stats": q_text_token_stats,
@@ -703,6 +713,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
+        """,
+        # decontamination: same 5-gram shingles, benchmark = doc_id<20,
+        # semi-join count with 0 for clean docs
+        "dedup_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                          FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 4),
+                              i -> array_to_string(t[i:i+4], ' '))) AS shingle
+                FROM toks WHERE len(t) >= 5) u),
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            hits AS (SELECT doc_id, COUNT(*) AS n
+                     FROM sh JOIN bsh USING (shingle) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_contaminated_shingles
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         # minhash candidate pairs closed under connectivity: the
         # recursive CTE computes the transitive closure, cluster = the

@@ -220,6 +220,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 8) -> DataFrame:
+    """(doc_id, n_contaminated_shingles): training-set decontamination —
+    for every doc, how many of its distinct word n-grams appear
+    anywhere in the benchmark corpus (0 = clean).
+
+    Shape: the benchmark's distinct shingle set is usually tiny
+    relative to the training corpus, so the join broadcasts under AQE;
+    the training side streams through one shingle explode + semi-join +
+    count — no cross product, no full-corpus shuffle of text.
+    """
+    d_sh = doc_shingles(docs, n)
+    b_sh = doc_shingles(benchmark, n).select("shingle").distinct()
+    hits = (d_sh.join(b_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0))
+                    .alias("n_contaminated_shingles")))
+
+
 def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 8,
                             band_size: int = 2, n: int = 3,
                             max_band_bucket: int | None = None) -> DataFrame:
