@@ -257,8 +257,12 @@ def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 8,
     from ..transcripts.er import connected_components
     pairs = minhash_lsh_pairs(docs, num_hashes, band_size, n,
                               max_band_bucket=max_band_bucket)
+    # the CC operator probes the edge count before choosing its
+    # driver/distributed strategy and then reads the edges again —
+    # persist so the LSH chain computes once
     edges = pairs.select(F.col("doc_a").cast("string").alias("src"),
-                         F.col("doc_b").cast("string").alias("dst"))
+                         F.col("doc_b").cast("string").alias("dst")) \
+        .persist()
     comp = connected_components(edges) \
         .withColumnRenamed("node", "doc_id_s")
     return (docs.select(F.col("doc_id").cast("string").alias("doc_id_s"))
