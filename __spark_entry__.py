@@ -709,9 +709,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id, 2, h4 || '|' || h5 FROM sig
               UNION ALL
-              SELECT doc_id, 3, h6 || '|' || h7 FROM sig)
+              SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            -- mirror of max_band_bucket=1000 (kgloom/ops/dedup.py):
+            -- buckets larger than the cap are dropped BEFORE the
+            -- self-join, exactly as the Spark side does
+            bok AS (SELECT band, band_key FROM bands
+                    GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+            bc AS (SELECT doc_id, band, band_key
+                   FROM bands JOIN bok USING (band, band_key))
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b USING (band, band_key)
+            FROM bc a JOIN bc b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
         """,
         # decontamination: same 5-gram shingles, benchmark = doc_id<20,
@@ -732,13 +739,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0) AS n_contaminated_shingles
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
-        # minhash candidate pairs closed under connectivity: the
-        # recursive CTE computes the transitive closure, cluster = the
-        # lexicographically minimal reachable doc-id string (exactly the
-        # CC operator's min-label rule); unpaired docs are singletons
+        # exact-dedup-first clustering replay: representatives = min
+        # doc_id per text; LSH bands (bucket-capped at 1000, mirroring
+        # the Spark default) over representatives only; the recursive
+        # CTE computes the transitive closure, cluster = the
+        # lexicographically minimal reachable rep-id string (exactly
+        # the CC operator's min-label rule); every document inherits
+        # its representative's cluster through the text md5
         "dedup_clusters": f"""
             WITH RECURSIVE
-            {_SHINGLES_CTE.strip().rstrip()},
+            reps AS (
+              SELECT md5(text) AS tm, MIN(doc_id) AS rep
+              FROM documents GROUP BY text),
+            rd AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN reps r ON d.doc_id = r.rep),
+            toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                     FROM rd),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                FROM toks WHERE len(t) >= 3) u),
             sig AS (
               SELECT doc_id,
                      MIN(substr(md5('0|' || shingle), 1, 16)) AS h0,
@@ -755,9 +778,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
               UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
               UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            bok AS (SELECT band, band_key FROM bands
+                    GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+            bc AS (SELECT doc_id, band, band_key
+                   FROM bands JOIN bok USING (band, band_key)),
             prs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b USING (band, band_key)
+              FROM bc a JOIN bc b USING (band, band_key)
               WHERE a.doc_id < b.doc_id),
             edges AS (
               SELECT CAST(doc_a AS VARCHAR) AS u,
@@ -775,25 +802,27 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT u, u FROM edges) t
               GROUP BY u)
             SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
-                   COALESCE(c.cluster, CAST(d.doc_id AS VARCHAR))
+                   COALESCE(c.cluster, CAST(r.rep AS VARCHAR))
                      AS cluster_id
             FROM documents d
-            LEFT JOIN comp c ON CAST(d.doc_id AS VARCHAR) = c.u
+            JOIN reps r ON md5(d.text) = r.tm
+            LEFT JOIN comp c ON CAST(r.rep AS VARCHAR) = c.u
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, label,
                               CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings)
-            -- symmetric threshold guard band (mirrors threshold_eps in
-            -- kgloom/ops/dedup.py): BOTH engines exclude pairs within
-            -- 1e-12 of the threshold, so a marginal fold-order
-            -- difference can't put a pair on different sides
+            -- threshold guard band strictly BELOW the threshold
+            -- (mirrors threshold_eps in kgloom/ops/dedup.py): BOTH
+            -- engines keep sim > t - 1e-12, so a marginal fold-order
+            -- difference can't put a pair on different sides, and
+            -- pairs at exactly the threshold (identical vectors with
+            -- threshold=1.0) are kept
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-              AND abs(list_cosine_similarity(a.v, b.v) - 0.35) >= 1e-12
+            WHERE list_cosine_similarity(a.v, b.v) > 0.35 - 1e-12
         """,
         # step-for-step relational replay of the curation chain: exact
         # reps → capped-shingle jaccard losers (larger doc_id of each

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
 from .dedup import exact_dedup, ngram_jaccard_pairs
 from .textstats import language_id, token_stats
 
@@ -39,12 +40,19 @@ def curate(docs: DataFrame, jaccard_threshold: float = 0.4, n: int = 3,
     """
     reps = exact_dedup(docs).select(
         F.col("rep_doc_id").alias("doc_id"))
-    kept = docs.join(reps, "doc_id")
+    # the exact-dedup survivor set fans out to the shingle index (via
+    # ngram_jaccard_pairs), the loser anti-join, and — through kept2 —
+    # the stat/language branches; persist so the scan + dedup join run
+    # once instead of once per branch (tracked: release via
+    # kgloom.ops.cache.unpersist_tracked())
+    kept = tracked_persist(docs.join(reps, "doc_id"))
 
     near = ngram_jaccard_pairs(kept, n=n, threshold=jaccard_threshold,
                                max_shingle_df=max_shingle_df)
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = kept.join(losers, "doc_id", "left_anti")
+    # near-dedup survivors feed THREE branches (token stats, language
+    # id, the id spine) — same reasoning
+    kept = tracked_persist(kept.join(losers, "doc_id", "left_anti"))
 
     stats = token_stats(kept).select("doc_id", "n_tokens")
     lang = language_id(kept)

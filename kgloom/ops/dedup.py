@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 
 def tokens(col="text"):
     return F.split(F.lower(F.col(col)), " ")
@@ -81,8 +83,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # sides + the per-doc sizes); persist so the shingle explode +
     # distinct + DF-cap join run once, not three times (MEMORY_AND_DISK
     # default — at 100 TB this is the spill-safe choice, and exactly
-    # what you'd persist on a cluster anyway)
-    sh = sh.persist()
+    # what you'd persist on a cluster anyway).  Tracked: long-lived
+    # sessions release it via kgloom.ops.cache.unpersist_tracked().
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
              .join(sh.alias("b"), "shingle")
@@ -120,7 +123,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
                       band_size: int = 2, n: int = 3,
-                      max_band_bucket: int | None = None) -> DataFrame:
+                      max_band_bucket: int | None = 1000) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH
     band bucket (band key = concatenated hashes of the band).
 
@@ -128,12 +131,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
     *identical-signature groups* — a corpus with a 1M-copy boilerplate
     document puts 1M rows in one bucket and 5·10^11 pairs in its
     self-join.  The production pattern is ``exact_dedup`` FIRST (one
-    representative per exact text), then LSH over representatives.
-    ``max_band_bucket`` is a guard for corpora that skip that step:
-    buckets larger than the cap are dropped (their members are
-    overwhelmingly exact/near-exact duplicates an exact pass should
-    have collapsed).  None (default) keeps exact recall semantics —
-    the driver oracle reproduces the uncapped join.
+    representative per exact text), then LSH over representatives —
+    ``near_duplicate_clusters`` wires that in.  ``max_band_bucket``
+    guards corpora that skip that step: buckets larger than the cap
+    are dropped before the self-join (their members are overwhelmingly
+    exact/near-exact duplicates an exact pass should have collapsed).
+    The default is 1000 — same rationale as ``max_shingle_df`` in
+    ``ngram_jaccard_pairs``; pass ``None`` to opt into exact-recall
+    (quadratic-bucket) semantics explicitly.  The driver oracle
+    reproduces the SAME cap, so capped results stay hash-matched.
     """
     sig = minhash_signatures(docs, num_hashes, n)
     n_bands = num_hashes // band_size
@@ -146,9 +152,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
             F.concat_ws("|", *[F.col(f"h{b * band_size + i}")
                                for i in range(band_size)]).alias("band_key"))
         for b in range(n_bands)]
-    bands = (sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
-             .select("doc_id", "e.band", "e.band_key")
-             .persist())  # both self-join sides read the banded table
+    bands = tracked_persist(  # both self-join sides read the banded table
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+           .select("doc_id", "e.band", "e.band_key"))
     if max_band_bucket is not None:
         ok = (bands.groupBy("band", "band_key").count()
               .where(F.col("count") <= max_band_bucket)
@@ -203,10 +209,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                  F.shiftright(F.col("simhash"), b * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
         for b in range(blocks)]
-    parts = (sig.select("doc_id", "simhash",
-                        F.explode(F.array(*entries)).alias("e"))
-             .select("doc_id", "simhash", "e.block", "e.key")
-             .persist())  # both self-join sides read the banded table
+    parts = tracked_persist(  # both self-join sides read the banded table
+        sig.select("doc_id", "simhash",
+                   F.explode(F.array(*entries)).alias("e"))
+           .select("doc_id", "simhash", "e.block", "e.key"))
     cand = (parts.alias("a").join(parts.alias("b"), ["block", "key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
@@ -244,32 +250,53 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
 
 def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 8,
                             band_size: int = 2, n: int = 3,
-                            max_band_bucket: int | None = None) -> DataFrame:
+                            max_band_bucket: int | None = 1000) -> DataFrame:
     """(doc_id, cluster_id): group documents into near-duplicate
-    clusters — MinHash-LSH candidate pairs closed under connectivity
-    (the ``kgloom.transcripts.er`` connected-components operator: the
-    same size-gated driver/distributed machinery the north-rule ER
-    uses).  cluster_id is the lexicographically minimal doc_id string
-    of the component (ids compared AS STRINGS, deterministically —
-    a relational oracle can replay it with a recursive CTE); documents
-    in no pair are singleton clusters of themselves.
+    clusters — exact dedup FIRST, then MinHash-LSH candidate pairs over
+    the representatives, closed under connectivity (the
+    ``kgloom.transcripts.er`` connected-components operator: the same
+    size-gated driver/distributed machinery the north-rule ER uses).
+
+    Collapsing exact-duplicate texts to one representative BEFORE
+    banding is the scale-critical step: identical texts share every
+    band, so a 1M-copy boilerplate group would otherwise put 1M rows in
+    one bucket and 5·10^11 pairs in its self-join.  After collapsing,
+    band-bucket sizes are bounded by *near*-duplicate group sizes and
+    the candidate count stays linear in the corpus; ``max_band_bucket``
+    (default 1000) still backstops adversarial near-dup groups.
+
+    cluster_id is the lexicographically minimal representative doc_id
+    string of the component (ids compared AS STRINGS,
+    deterministically — a relational oracle replays it with a
+    recursive CTE over representatives); exact duplicates inherit
+    their representative's cluster, and documents in no pair are
+    singleton clusters of their representative.
     """
     from ..transcripts.er import connected_components
-    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, n,
+    reps = exact_dedup(docs)  # (text_md5, n_dups, rep_doc_id)
+    rep_docs = docs.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id")
+    pairs = minhash_lsh_pairs(rep_docs, num_hashes, band_size, n,
                               max_band_bucket=max_band_bucket)
     # the CC operator probes the edge count before choosing its
     # driver/distributed strategy and then reads the edges again —
     # persist so the LSH chain computes once
-    edges = pairs.select(F.col("doc_a").cast("string").alias("src"),
-                         F.col("doc_b").cast("string").alias("dst")) \
-        .persist()
-    comp = connected_components(edges) \
-        .withColumnRenamed("node", "doc_id_s")
-    return (docs.select(F.col("doc_id").cast("string").alias("doc_id_s"))
-            .join(comp, "doc_id_s", "left")
-            .select(F.col("doc_id_s").alias("doc_id"),
-                    F.coalesce("component", F.col("doc_id_s"))
-                    .alias("cluster_id")))
+    edges = tracked_persist(
+        pairs.select(F.col("doc_a").cast("string").alias("src"),
+                     F.col("doc_b").cast("string").alias("dst")))
+    comp = connected_components(edges).withColumnRenamed("node", "rep_s")
+    rep_cluster = (reps.select(
+        F.col("text_md5"),
+        F.col("rep_doc_id").cast("string").alias("rep_s"))
+        .join(comp, "rep_s", "left")
+        .select("text_md5",
+                F.coalesce("component", F.col("rep_s")).alias("cluster_id")))
+    # every doc joins its representative's component through the text
+    # hash — the only per-document work is one md5 + one hash join
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.md5(F.col("text")).alias("text_md5"))
+            .join(rep_cluster, "text_md5")
+            .select("doc_id", "cluster_id"))
 
 
 def embedding_cosine_pairs(emb: DataFrame,
@@ -286,10 +313,16 @@ def embedding_cosine_pairs(emb: DataFrame,
     Verification is the exact JVM-side cosine (``similarity.cosine``:
     zip_with/aggregate dot products, no Python in the row path).
 
-    Pairs with |sim − threshold| < ``threshold_eps`` are excluded:
+    The effective predicate is ``sim > threshold - threshold_eps``:
     engines may differ in fold order by ~1 ulp, and an oracle applying
-    the SAME exclusion can't flake on a marginal pair (symmetric on
-    both sides, not a one-sided oracle relaxation).
+    the SAME predicate can't flake on a marginal pair.  The guard band
+    sits strictly BELOW the threshold so pairs at exactly the
+    threshold are kept — with ``threshold=1.0``, identical vectors
+    (sim computed as exactly 1.0 or 1.0−1ulp) are detected; the old
+    symmetric band ``sim ≥ t ∧ |sim−t| ≥ eps`` silently dropped them.
+    Pairs in the open band ``(t−eps, t)`` are included — a 1e-12
+    relaxation, harmless for dedup semantics and applied identically
+    by the oracle.
     """
     from .similarity import cosine_from, pair_dot, self_dot
     a = emb.select(F.col("vec_id").alias("vec_a"), "label",
@@ -305,6 +338,5 @@ def embedding_cosine_pairs(emb: DataFrame,
             .withColumn("sim", cosine_from(
                 pair_dot(F.col("ea"), F.col("eb")),
                 F.col("sqa"), F.col("sqb")))
-            .where((F.col("sim") >= threshold)
-                   & (F.abs(F.col("sim") - threshold) >= threshold_eps))
+            .where(F.col("sim") > threshold - threshold_eps)
             .select("vec_a", "vec_b", F.round("sim", 4).alias("sim")))

@@ -140,10 +140,80 @@ def test_minhash_band_bucket_cap(spark):
     rows += [(100, "alpha beta gamma delta epsilon zeta"),
              (101, "alpha beta gamma delta epsilon eta")]
     docs = spark.createDataFrame(rows, "doc_id int, text string")
-    uncapped = D.minhash_lsh_pairs(docs).count()
+    uncapped = D.minhash_lsh_pairs(docs, max_band_bucket=None).count()
     assert uncapped >= 40 * 39 / 2
     capped = {(r.doc_a, r.doc_b)
               for r in D.minhash_lsh_pairs(
                   docs, max_band_bucket=10).collect()}
     assert (100, 101) in capped          # true near-dup pair survives
     assert all(a >= 100 for a, _ in capped)  # mega-bucket dropped
+
+
+def test_minhash_default_cap_is_on(spark):
+    """The band-bucket cap is the DEFAULT: a >1000-copy boilerplate
+    group (the 100-TB scale-killer) is dropped by the default call
+    while a genuine near-dup pair in a small bucket survives."""
+    rows = [(i, "same boilerplate text repeated everywhere endlessly")
+            for i in range(1200)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert got == {(2000, 2001)}
+
+
+def test_clusters_boilerplate_corpus_linear(spark):
+    """near_duplicate_clusters collapses exact duplicates BEFORE
+    banding: 1k copies of one document produce ZERO rep-level candidate
+    pairs (candidate count linear in the corpus, not quadratic in the
+    duplicate group), yet all copies land in one cluster labeled by the
+    min doc_id, near-dups still merge, and singletons stay alone."""
+    boiler = "identical boilerplate document body repeated many times"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(5000, "alpha beta gamma delta epsilon zeta"),
+             (5001, "alpha beta gamma delta epsilon eta"),
+             (6000, "a lone unrelated document with its own words")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # rep-level candidate generation is what runs inside the operator:
+    # one representative per distinct text -> no mega-bucket self-join
+    reps = D.exact_dedup(docs).select(
+        F.col("rep_doc_id").alias("doc_id"))
+    rep_pairs = D.minhash_lsh_pairs(docs.join(reps, "doc_id")).count()
+    assert rep_pairs == 1  # only (5000, 5001)
+
+    clusters = {r.doc_id: r.cluster_id
+                for r in D.near_duplicate_clusters(docs).collect()}
+    assert len(clusters) == 1003
+    assert all(clusters[str(i)] == "0" for i in range(1000))
+    assert clusters["5000"] == clusters["5001"] == "5000"
+    assert clusters["6000"] == "6000"
+
+
+def test_embedding_cosine_threshold_one_keeps_exact_duplicates(spark):
+    """threshold=1.0 must detect identical vectors: the guard band sits
+    strictly below the threshold, so sim == 1.0 (or 1.0 - 1ulp from a
+    different fold order) is kept, not silently dropped."""
+    rows = [(0, [1.0, 2.0, 3.0], "a"),
+            (1, [1.0, 2.0, 3.0], "a"),
+            (2, [3.0, 2.0, 1.0], "a")]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label string")
+    got = {(r.vec_a, r.vec_b) for r in
+           D.embedding_cosine_pairs(emb, threshold=1.0).collect()}
+    assert got == {(0, 1)}
+
+
+def test_unpersist_tracked_releases_operator_caches(spark):
+    """Operators register their persisted intermediates; a long-lived
+    session releases them all with one call."""
+    from kgloom.ops.cache import unpersist_tracked
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} tail{i}") for i in range(20)],
+        "doc_id int, text string")
+    unpersist_tracked()  # reset whatever earlier tests registered
+    D.ngram_jaccard_pairs(docs, threshold=0.1).count()
+    D.minhash_lsh_pairs(docs).count()
+    released = unpersist_tracked()
+    assert released >= 2
+    assert unpersist_tracked() == 0  # registry drained
