@@ -304,6 +304,34 @@ def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the constructed KG (kgloom/sparql.py): every
+    turn with its role, plus the tool it used when one exists — the
+    left-join compilation of OPTIONAL, nulls for turns without tools."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?role ?tool WHERE {
+          ?turn kg:role ?role .
+          OPTIONAL { ?turn kg:usedTool ?tool }
+        }
+    """)
+
+
+def q_sparql_kg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the constructed KG: each turn's tool IRI and
+    role literal as one binding stream (unionByName compilation)."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?v WHERE {
+          { ?turn kg:usedTool ?v } UNION { ?turn kg:role ?v }
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -459,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "sparql_kg_select": q_sparql_kg_select,
+        "sparql_kg_optional": q_sparql_kg_optional,
+        "sparql_kg_union": q_sparql_kg_union,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -646,6 +676,31 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(turn_idx AS VARCHAR) AS turn,
                    'http://kg.example/tool/' || tool AS tool
             FROM tr WHERE tool IS NOT NULL AND role = 'tool'
+        """,
+        # OPTIONAL = left join: every turn appears once with its role;
+        # tool is the IRI's lexical form when the turn used one, NULL
+        # otherwise (SPARQL unbound → null binding)
+        "sparql_kg_optional": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   role,
+                   CASE WHEN tool IS NOT NULL
+                        THEN 'http://kg.example/tool/' || tool END AS tool
+            FROM tr
+        """,
+        # UNION = concatenation of the branch solution sequences: one
+        # row per usedTool triple plus one per role triple
+        "sparql_kg_union": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   'http://kg.example/tool/' || tool AS v
+            FROM tr WHERE tool IS NOT NULL
+            UNION ALL
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR), role
+            FROM tr
         """,
         "transcripts_mentions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})

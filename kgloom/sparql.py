@@ -11,18 +11,26 @@ queried (and can feed another mapping) without leaving Spark.
 
 Supported subset (the mapping-source shape the fixtures use):
 ``PREFIX``, ``SELECT [DISTINCT] ?v ... | *``, basic graph patterns
-with ``;`` predicate lists and ``,`` object lists, ``FILTER`` with
-comparisons on variables (string or numeric), ``ORDER BY``/``DESC``,
-``LIMIT``.  Unsupported syntax raises ``SparqlError`` (OPTIONAL,
-UNION, SERVICE, aggregates, property paths).
+with ``;`` predicate lists and ``,`` object lists, ``OPTIONAL``
+groups, ``{ ... } UNION { ... }``, nested ``{}`` groups, ``FILTER``
+with comparisons on variables (string or numeric), ``ORDER
+BY``/``DESC``, ``LIMIT``.  Unsupported syntax raises ``SparqlError``
+(SERVICE, MINUS, BIND, VALUES, aggregates, property paths).
 
 Execution: each triple pattern is a constant-filtered scan of the quad
 DataFrame projected to its variable columns; patterns natural-join on
 shared variables (Catalyst picks hash/broadcast strategies; a
-variable-free or disjoint pattern cross-joins).  Terms are matched in
-their *rendered* lexical form (``<iri>`` / ``"lit"@lang``), exactly
-what the serializer emits; SELECT output strips rendering back to
-plain values so downstream mappings see endpoint-style bindings.
+disjoint pattern cross-joins, a variable-free (ground) pattern is a
+one-row existence probe).  ``OPTIONAL`` compiles to a left outer join
+on the shared variables (unbound optional vars are nulls, exactly the
+SPARQL unbound semantics); ``UNION`` to ``unionByName`` with missing
+variables null-filled.  ``ORDER BY`` sorts numerically when the key
+parses as a number (numeric-typed bindings), lexically otherwise —
+each key sorts by (numeric cast, lexical) so mixed columns stay
+deterministic.  Terms are matched in their *rendered* lexical form
+(``<iri>`` / ``"lit"@lang``), exactly what the serializer emits;
+SELECT output strips rendering back to plain values so downstream
+mappings see endpoint-style bindings.
 """
 
 from __future__ import annotations
@@ -48,14 +56,37 @@ Term = Union[Var, str]  # non-var terms are pre-rendered strings
 
 
 @dataclass
+class GroupPattern:
+    """One ``{ ... }`` group: its own BGP + filters, plus nested
+    OPTIONAL groups (left-joined in) and UNION alternations (each a
+    list of 2+ branch groups)."""
+    patterns: list[tuple[Term, Term, Term]] = field(default_factory=list)
+    filters: list[tuple[str, str, str]] = field(default_factory=list)
+    optionals: list["GroupPattern"] = field(default_factory=list)
+    unions: list[list["GroupPattern"]] = field(default_factory=list)
+
+    def is_empty(self) -> bool:
+        return not (self.patterns or self.optionals or self.unions)
+
+
+@dataclass
 class SelectQuery:
     variables: list[str]            # [] means SELECT *
     distinct: bool
-    patterns: list[tuple[Term, Term, Term]]
-    filters: list[tuple[str, str, str]]  # (var, op, raw value token)
+    group: GroupPattern             # the WHERE group
     order_by: list[tuple[str, bool]]     # (var, descending)
     limit: Optional[int] = None
     prefixes: dict[str, str] = field(default_factory=dict)
+
+    # root-level convenience views (back-compat for callers that only
+    # deal in flat BGPs)
+    @property
+    def patterns(self):
+        return self.group.patterns
+
+    @property
+    def filters(self):
+        return self.group.filters
 
 
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
@@ -132,8 +163,161 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(OPTIONAL|UNION|SERVICE|GRAPH|MINUS|BIND|VALUES|GROUP\s+BY|HAVING|"
+    r"\b(SERVICE|GRAPH|MINUS|BIND|VALUES|GROUP\s+BY|HAVING|"
     r"CONSTRUCT|ASK|DESCRIBE|EXISTS)\b", re.IGNORECASE)
+
+
+def _tok_at(toks: list, i: int):
+    """Token at index ``i`` or a SparqlError (never an IndexError from
+    a truncated pattern)."""
+    if i >= len(toks):
+        raise SparqlError("unexpected end of basic graph pattern")
+    return toks[i]
+
+
+def _parse_triples(body: str, prefixes: dict[str, str]
+                   ) -> list[tuple[Term, Term, Term]]:
+    """Triple patterns with ``;`` predicate lists and ``,`` object
+    lists out of a brace-free chunk of group text."""
+    patterns: list[tuple[Term, Term, Term]] = []
+    toks = _tokenize(body)
+    i = 0
+    while i < len(toks):
+        kind, val = toks[i]
+        if kind == "punct" and val == ".":
+            i += 1
+            continue
+        subj = _resolve_term(kind, val, prefixes)
+        i += 1
+        while True:  # predicate lists (';')
+            pk, pv = _tok_at(toks, i)
+            pred = _resolve_term(pk, pv, prefixes)
+            i += 1
+            while True:  # object lists (',')
+                ok_, ov = _tok_at(toks, i)
+                obj = _resolve_term(ok_, ov, prefixes)
+                patterns.append((subj, pred, obj))
+                i += 1
+                if i < len(toks) and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < len(toks) and toks[i] == ("punct", ";"):
+                i += 1
+                if i < len(toks) and toks[i] == ("punct", "."):
+                    break  # trailing "; ."
+                continue
+            break
+    return patterns
+
+
+def _take_braced(text: str, i: int) -> tuple[str, int]:
+    """Return (inner, next_index) for the balanced ``{...}`` starting
+    at ``text[i]`` — quote-aware (braces inside string literals don't
+    count)."""
+    depth, j, in_str = 0, i, False
+    while j < len(text):
+        ch = text[j]
+        if in_str:
+            if ch == "\\":
+                j += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1:j], j + 1
+        j += 1
+    raise SparqlError("unbalanced braces in group pattern")
+
+
+def _parse_filter(inner: str) -> tuple[str, str, str]:
+    cm = re.match(r"^\?([A-Za-z_][A-Za-z0-9_]*)\s*"
+                  r"(=|!=|<=|>=|<|>)\s*(.+)$", inner.strip())
+    if cm is None:
+        raise SparqlError(f"unsupported FILTER {inner.strip()!r}")
+    return (cm.group(1), cm.group(2), cm.group(3).strip())
+
+
+def _at_keyword(text: str, i: int, kw: str) -> bool:
+    """Case-insensitive keyword at position ``i``, on a token boundary
+    (so a prefixed name like ``ex:OPTIONALthing`` never matches)."""
+    if text[i:i + len(kw)].upper() != kw:
+        return False
+    if i > 0 and text[i - 1] not in " \t\r\n.;,{}()":
+        return False
+    end = i + len(kw)
+    return end >= len(text) or not (text[end].isalnum() or text[end] in "_:")
+
+
+def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
+    """Recursive group parser: plain triple text, FILTER(...) clauses,
+    OPTIONAL { ... } sub-groups and { ... } UNION { ... } alternations
+    (a lone braced sub-group is a 1-branch "union", i.e. an inline
+    group join)."""
+    g = GroupPattern()
+    chunks: list[str] = []
+    i, n, chunk_start, in_str = 0, len(text), 0, False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+            i += 1
+            continue
+        if ch == '"':
+            in_str = True
+            i += 1
+            continue
+        if ch == "{":
+            chunks.append(text[chunk_start:i])
+            inner, j = _take_braced(text, i)
+            branches = [_parse_group(inner, prefixes)]
+            while True:
+                m = re.match(r"\s*UNION\s*", text[j:], re.IGNORECASE)
+                if m is None:
+                    break
+                k = j + m.end()
+                if k >= n or text[k] != "{":
+                    raise SparqlError("UNION must be followed by a group")
+                inner2, j = _take_braced(text, k)
+                branches.append(_parse_group(inner2, prefixes))
+            g.unions.append(branches)
+            chunk_start = i = j
+            continue
+        if _at_keyword(text, i, "OPTIONAL"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"OPTIONAL\s*", text[i:], re.IGNORECASE)
+            k = i + m.end()
+            if k >= n or text[k] != "{":
+                raise SparqlError("OPTIONAL must be followed by a group")
+            inner, j = _take_braced(text, k)
+            g.optionals.append(_parse_group(inner, prefixes))
+            chunk_start = i = j
+            continue
+        if _at_keyword(text, i, "FILTER"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"FILTER\s*\(([^()]*)\)", text[i:], re.IGNORECASE)
+            if m is None:
+                raise SparqlError(
+                    f"unsupported FILTER syntax at: {text[i:i + 40]!r}")
+            g.filters.append(_parse_filter(m.group(1)))
+            chunk_start = i = i + m.end()
+            continue
+        i += 1
+    chunks.append(text[chunk_start:])
+    for chunk in chunks:
+        if chunk.strip():
+            g.patterns.extend(_parse_triples(chunk, prefixes))
+    return g
 
 
 def parse_sparql(text: str) -> SelectQuery:
@@ -160,48 +344,7 @@ def parse_sparql(text: str) -> SelectQuery:
     if proj_raw.strip() != "*" and not variables:
         raise SparqlError(f"bad projection {proj_raw!r}")
 
-    # FILTER clauses out of the body
-    filters: list[tuple[str, str, str]] = []
-    def grab_filter(fm):
-        inner = fm.group(1).strip()
-        cm = re.match(r"^\?([A-Za-z_][A-Za-z0-9_]*)\s*"
-                      r"(=|!=|<=|>=|<|>)\s*(.+)$", inner)
-        if cm is None:
-            raise SparqlError(f"unsupported FILTER {inner!r}")
-        filters.append((cm.group(1), cm.group(2), cm.group(3).strip()))
-        return " "
-    body = re.sub(r"FILTER\s*\(([^()]*)\)", grab_filter, body,
-                  flags=re.IGNORECASE)
-
-    patterns: list[tuple[Term, Term, Term]] = []
-    toks = _tokenize(body)
-    i = 0
-    while i < len(toks):
-        kind, val = toks[i]
-        if kind == "punct" and val == ".":
-            i += 1
-            continue
-        subj = _resolve_term(kind, val, prefixes)
-        i += 1
-        while True:  # predicate lists (';')
-            pk, pv = toks[i]
-            pred = _resolve_term(pk, pv, prefixes)
-            i += 1
-            while True:  # object lists (',')
-                ok_, ov = toks[i]
-                obj = _resolve_term(ok_, ov, prefixes)
-                patterns.append((subj, pred, obj))
-                i += 1
-                if i < len(toks) and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < len(toks) and toks[i] == ("punct", ";"):
-                i += 1
-                if i < len(toks) and toks[i] == ("punct", "."):
-                    break  # trailing "; ."
-                continue
-            break
+    group = _parse_group(body, prefixes)
 
     order_by = []
     om = re.search(r"ORDER\s+BY\s+(.*?)(?:LIMIT|$)", tail,
@@ -213,11 +356,11 @@ def parse_sparql(text: str) -> SelectQuery:
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     limit = int(lm.group(1)) if lm else None
 
-    if not patterns:
+    if group.is_empty():
         raise SparqlError("empty basic graph pattern")
     return SelectQuery(variables=variables, distinct=distinct,
-                       patterns=patterns, filters=filters,
-                       order_by=order_by, limit=limit, prefixes=prefixes)
+                       group=group, order_by=order_by, limit=limit,
+                       prefixes=prefixes)
 
 
 #: lexical form of a rendered term: IRIs lose <>, literals lose quotes
@@ -234,15 +377,16 @@ def _numeric(col: F.Column) -> F.Column:
     return _lexical(col).cast("double")
 
 
-def sparql_select(quads: DataFrame, query: str,
-                  raw_terms: bool = False) -> DataFrame:
-    """Execute a SPARQL SELECT subset over a ``(subj, pred, obj[, graph])``
-    DataFrame of rendered terms.  Returns one column per projected
-    variable — plain lexical values by default (endpoint-binding
-    style), rendered terms with ``raw_terms=True``."""
-    q = parse_sparql(query)
+def _join_shared(left: DataFrame, right: DataFrame) -> DataFrame:
+    common = [c for c in left.columns if c in right.columns]
+    return left.join(right, on=common) if common else left.crossJoin(right)
+
+
+def _exec_bgp(quads: DataFrame,
+              patterns: list[tuple[Term, Term, Term]]
+              ) -> Optional[DataFrame]:
     result: Optional[DataFrame] = None
-    for (s, p, o) in q.patterns:
+    for (s, p, o) in patterns:
         df = quads
         positions = {"subj": s, "pred": p, "obj": o}
         bound: dict[str, str] = {}
@@ -256,31 +400,74 @@ def sparql_select(quads: DataFrame, query: str,
                     cols.append(F.col(pos).alias(term.name))
             else:
                 df = df.where(F.col(pos) == F.lit(term))
-        df = df.select(*cols) if cols else df.select(F.lit(1).alias("__one"))
-        if result is None:
-            result = df
+        if cols:
+            df = df.select(*cols)
         else:
-            common = [c for c in result.columns if c in df.columns]
-            result = result.join(df, on=common) if common \
-                else result.crossJoin(df)
-    assert result is not None
+            # ground (variable-free) pattern: a one-row existence probe
+            # — never a cross-product multiplier over duplicate quads
+            df = df.select(F.lit(1).alias("__one")).limit(1)
+        result = df if result is None else _join_shared(result, df)
+    return result
 
-    for var, op, raw in q.filters:
-        if var not in result.columns:
-            raise SparqlError(f"FILTER references unbound variable ?{var}")
-        c = F.col(var)
-        if re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", raw):
-            lhs, rhs = _numeric(c), F.lit(float(raw))
-        else:
-            toks = _tokenize(raw)
-            if len(toks) != 1:
-                raise SparqlError(f"unsupported FILTER value {raw!r}")
-            term = _resolve_term(*toks[0], q.prefixes)
-            lhs = c
-            rhs = F.col(term.name) if isinstance(term, Var) else F.lit(term)
-        ops = {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-               "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs}
-        result = result.where(ops[op])
+
+def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
+                  prefixes: dict[str, str]) -> DataFrame:
+    if var not in result.columns:
+        raise SparqlError(f"FILTER references unbound variable ?{var}")
+    c = F.col(var)
+    if re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", raw):
+        lhs, rhs = _numeric(c), F.lit(float(raw))
+    else:
+        toks = _tokenize(raw)
+        if len(toks) != 1:
+            raise SparqlError(f"unsupported FILTER value {raw!r}")
+        term = _resolve_term(*toks[0], prefixes)
+        lhs = c
+        rhs = F.col(term.name) if isinstance(term, Var) else F.lit(term)
+    ops = {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+           "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs}
+    return result.where(ops[op])
+
+
+def _exec_group(quads: DataFrame, g: GroupPattern,
+                prefixes: dict[str, str]) -> DataFrame:
+    """Execute one group: BGP join, then inline/UNION groups, then
+    OPTIONAL left joins, then the group's FILTERs (so a filter can see
+    optionally-bound variables)."""
+    result = _exec_bgp(quads, g.patterns)
+    for branches in g.unions:
+        dfs = [_exec_group(quads, b, prefixes) for b in branches]
+        u = dfs[0]
+        for d in dfs[1:]:
+            # UNION branches may bind different variable sets — missing
+            # variables are null-filled (SPARQL unbound semantics)
+            u = u.unionByName(d, allowMissingColumns=True)
+        result = u if result is None else _join_shared(result, u)
+    for opt in g.optionals:
+        if result is None:
+            raise SparqlError(
+                "OPTIONAL requires a preceding pattern in its group")
+        odf = _exec_group(quads, opt, prefixes)
+        shared = [c for c in result.columns if c in odf.columns]
+        if not shared:
+            raise SparqlError(
+                "OPTIONAL with no shared variables is unsupported")
+        result = result.join(odf, on=shared, how="left")
+    if result is None:
+        raise SparqlError("empty group pattern")
+    for var, op, raw in g.filters:
+        result = _apply_filter(result, var, op, raw, prefixes)
+    return result
+
+
+def sparql_select(quads: DataFrame, query: str,
+                  raw_terms: bool = False) -> DataFrame:
+    """Execute a SPARQL SELECT subset over a ``(subj, pred, obj[, graph])``
+    DataFrame of rendered terms.  Returns one column per projected
+    variable — plain lexical values by default (endpoint-binding
+    style), rendered terms with ``raw_terms=True``."""
+    q = parse_sparql(query)
+    result = _exec_group(quads, q.group, q.prefixes)
 
     out_vars = q.variables or [c for c in result.columns if c != "__one"]
     missing = [v for v in out_vars if v not in result.columns]
@@ -293,9 +480,16 @@ def sparql_select(quads: DataFrame, query: str,
     if q.distinct:
         result = result.distinct()
     if q.order_by:
-        result = result.orderBy(
-            *[F.col(v).desc() if d else F.col(v).asc()
-              for v, d in q.order_by])
+        # numeric-aware ordering: each key sorts by (numeric cast,
+        # lexical form) so numeric bindings order numerically ('2' <
+        # '10') while non-numeric bindings (null numeric key) keep a
+        # deterministic lexical order among themselves
+        keys = []
+        for v, d in q.order_by:
+            num = _numeric(F.col(v))
+            keys.append(num.desc() if d else num.asc())
+            keys.append(F.col(v).desc() if d else F.col(v).asc())
+        result = result.orderBy(*keys)
     if q.limit is not None:
         result = result.limit(q.limit)
     return result

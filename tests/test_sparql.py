@@ -78,9 +78,94 @@ def test_raw_terms_mode(quads):
 def test_unsupported_features_raise():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o . "
-                     "OPTIONAL { ?s ?q ?r } }")
+                     "MINUS { ?s ?q ?r } }")
     with pytest.raises(SparqlError):
         parse_sparql("ASK { ?s ?p ?o }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o . "
+                     "BIND(1 AS ?x) }")
+
+
+def test_truncated_bgp_raises_sparql_error():
+    """A cut-off pattern must raise SparqlError, never IndexError."""
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s }")
+
+
+def test_optional_left_join(quads):
+    """OPTIONAL binds when present, nulls when absent (alice/bob are
+    typed Persons; only bob has a name)."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?who ?name WHERE {{
+          ?who a ex:Person .
+          OPTIONAL {{ ?who ex:name ?name }}
+        }}
+    """).collect()
+    got = {(r.who, r.name) for r in rows}
+    assert got == {(EX + "alice", None), (EX + "bob", "Bob")}
+
+
+def test_union_branches(quads):
+    """UNION concatenates branch solutions; missing vars null-fill."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?v WHERE {{
+          {{ ?s ex:knows ?v }} UNION {{ ?s ex:name ?v }}
+        }}
+    """).collect()
+    got = {(r.s, r.v) for r in rows}
+    assert got == {(EX + "alice", EX + "bob"), (EX + "bob", "Bob")}
+
+
+def test_union_joined_with_outer_pattern(quads):
+    """A UNION group natural-joins the surrounding BGP on shared vars."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{
+          ?s ex:age ?age .
+          {{ ?s ex:knows ?o }} UNION {{ ?s ex:name ?o }}
+        }}
+    """).collect()
+    got = {(r.s, r.age) for r in rows}
+    assert got == {(EX + "alice", "30"), (EX + "bob", "25")}
+
+
+def test_order_by_numeric_not_lexical(spark):
+    """ORDER BY sorts numeric bindings numerically: '9' < '10'
+    (lexically '10' < '2' < '9' — the bug class this pins)."""
+    rows = [(f"<{EX}d{i}>", f"<{EX}age>", f'"{v}"', None)
+            for i, v in enumerate([10, 2, 9])]
+    q = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    got = [r.v for r in sparql_select(q, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?v WHERE {{ ?s ex:age ?v }} ORDER BY ?v
+    """).collect()]
+    assert got == ["2", "9", "10"]
+
+
+def test_ground_pattern_is_existence_probe(spark):
+    """A variable-free pattern gates results without multiplying
+    cardinality, even when the ground quad appears multiple times
+    (e.g. in several graphs)."""
+    rows = [(f"<{EX}flag>", f"<{EX}is>", '"on"', f"<{EX}g1>"),
+            (f"<{EX}flag>", f"<{EX}is>", '"on"', f"<{EX}g2>"),
+            (f"<{EX}a>", f"<{EX}p>", '"x"', None)]
+    q = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    got = sparql_select(q, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ex:flag ex:is "on" . ?s ex:p ?o }}
+    """).collect()
+    assert [r.s for r in got] == [EX + "a"]  # once, not twice
+    # and a non-matching ground pattern yields zero rows
+    assert sparql_select(q, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ex:flag ex:is "off" . ?s ex:p ?o }}
+    """).count() == 0
 
 
 def test_sparql_source_through_binder(spark, quads, tmp_path):
