@@ -186,15 +186,18 @@ class SparkBinder:
             df = load_sql_source(self.spark, cfg.get("source", path), query,
                                  base_dir=self.base_dir, options=jdbc_opts)
             if op.root_iterator.fields:
-                sel = []
-                for f in op.root_iterator.fields:
-                    src_col = f.reference.lstrip("@")
-                    if src_col in df.columns:
-                        sel.append(F.col("`" + src_col + "`").alias(f.alias))
-                if not sel:
+                # every FIELD must resolve — silently dropping a
+                # mistyped reference would surface as missing columns
+                # far downstream instead of a bind error here
+                missing = [f.reference for f in op.root_iterator.fields
+                           if f.reference.lstrip("@") not in df.columns]
+                if missing:
                     raise BindError(
-                        f"no sql fields match result columns {df.columns}")
-                df = df.select(*sel)
+                        f"sql fields {missing} do not match any result "
+                        f"column (available: {df.columns})")
+                df = df.select(
+                    *[F.col("`" + f.reference.lstrip("@") + "`")
+                      .alias(f.alias) for f in op.root_iterator.fields])
             return df
         raise BindError(f"unsupported reference formulation {rf}")
 
@@ -226,13 +229,15 @@ class SparkBinder:
                     "endpoints are unsupported, matching the reference)")
         df = sparql_select(quads, query)
         if op.root_iterator.fields:
-            sel = [F.col("`" + f.reference.lstrip("?") + "`").alias(f.alias)
-                   for f in op.root_iterator.fields
-                   if f.reference.lstrip("?") in df.columns]
-            if not sel:
+            missing = [f.reference for f in op.root_iterator.fields
+                       if f.reference.lstrip("?") not in df.columns]
+            if missing:
                 raise BindError(
-                    f"no sparql fields match result variables {df.columns}")
-            df = df.select(*sel)
+                    f"sparql fields {missing} do not match any result "
+                    f"variable (available: {df.columns})")
+            df = df.select(
+                *[F.col("`" + f.reference.lstrip("?") + "`").alias(f.alias)
+                  for f in op.root_iterator.fields])
         return df
 
     def _bind_json(self, path: str, iterator: Optional[str]) -> DataFrame:

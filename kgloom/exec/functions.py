@@ -119,13 +119,72 @@ def _grel_param(params: dict[str, Column], *names: str) -> Column:
     raise FunctionCompileError(f"FnO call missing parameter {names}")
 
 
+def _grel_value(p: dict[str, Column]) -> Column:
+    """The principal value parameter (grel:valueParameter /
+    grel:param_string_s / ...); falls back to the first parameter for
+    single-argument functions."""
+    return _grel_param(p, "valueParameter", "valueParam", "string_s", "_s")
+
+
+_GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+
+#: GREL registry — every implementation is a pure Column expression
+#: (whole-stage codegen, no Python workers).  Boolean-valued functions
+#: (contains/startsWith/endsWith) render as "true"/"false" when used
+#: as literal values, matching GREL's boolean→string coercion.
 for _iri, _impl in {
-    "http://users.ugent.be/~bjdmeest/function/grel.ttl#toUpperCase":
-        lambda p: F.upper(_grel_param(p, "valueParameter", "valueParam")),
-    "http://users.ugent.be/~bjdmeest/function/grel.ttl#toLowerCase":
-        lambda p: F.lower(_grel_param(p, "valueParameter", "valueParam")),
-    "http://users.ugent.be/~bjdmeest/function/grel.ttl#trim":
-        lambda p: F.trim(_grel_param(p, "valueParameter", "valueParam")),
+    _GREL + "toUpperCase":
+        lambda p: F.upper(_grel_value(p)),
+    _GREL + "toLowerCase":
+        lambda p: F.lower(_grel_value(p)),
+    _GREL + "trim":
+        lambda p: F.trim(_grel_value(p)),
+    _GREL + "toTitleCase":
+        lambda p: F.initcap(_grel_value(p)),
+    _GREL + "string_length":
+        lambda p: F.length(_grel_value(p)),
+    _GREL + "string_contains":
+        lambda p: _grel_value(p).contains(
+            _grel_param(p, "string_sub", "sub")),
+    _GREL + "string_startsWith":
+        lambda p: _grel_value(p).startswith(
+            _grel_param(p, "string_sub", "sub")),
+    _GREL + "string_endsWith":
+        lambda p: _grel_value(p).endswith(
+            _grel_param(p, "string_sub", "sub")),
+    # literal (non-regex) find/replace — GREL's replace(value, find,
+    # replace) on plain strings
+    _GREL + "string_replace":
+        lambda p: F.replace(
+            _grel_value(p).cast("string"),
+            _grel_param(p, "string_find", "find").cast("string"),
+            _grel_param(p, "string_replace", "replace").cast("string")),
+    _GREL + "string_split":
+        lambda p: F.split(
+            _grel_value(p).cast("string"),
+            # literal separator: regex metacharacters are escaped so
+            # split("a.b", ".") splits on the dot, not on any-char
+            F.regexp_replace(
+                _grel_param(p, "string_sep", "sep").cast("string"),
+                F.lit(r"([.*+?^${}()\[\]\\|])"), F.lit(r"\\$1"))),
+    _GREL + "string_md5":
+        lambda p: F.md5(_grel_value(p).cast("string")),
+    _GREL + "string_sha1":
+        lambda p: F.sha1(_grel_value(p).cast("string")),
+    _GREL + "toNumber":
+        lambda p: _grel_value(p).cast("double"),
+    _GREL + "math_floor":
+        lambda p: F.floor(_grel_value(p).cast("double")),
+    _GREL + "math_ceil":
+        lambda p: F.ceil(_grel_value(p).cast("double")),
+    _GREL + "math_round":
+        lambda p: F.round(_grel_value(p).cast("double"), 0).cast("long"),
+    _GREL + "math_abs":
+        lambda p: F.abs(_grel_value(p).cast("double")),
+    _GREL + "math_max":
+        lambda p: F.greatest(*[c.cast("double") for c in p.values()]),
+    _GREL + "math_min":
+        lambda p: F.least(*[c.cast("double") for c in p.values()]),
 }.items():
     register_fno(_iri, _impl)
 

@@ -53,3 +53,45 @@ def test_redact_pii_semantics(spark):
     assert out[1] == ("mail me at [EMAIL] or call [PHONE]", 2)
     assert out[2] == ("server at [IPV4] responded", 1)
     assert out[3] == ("no pii here at all", 0)
+
+
+def test_multimodal_real_mode_gates_on_pil(spark):
+    """Without Pillow, real mode fails fast on the DRIVER (clear
+    NotImplementedError before any Spark job); with Pillow present the
+    real kernels run (covered by the skipif test below)."""
+    import pytest
+
+    from kgloom.ops import multimodal as M
+    assets = M.synth_assets(spark, 6)
+    if not M._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.extract_features(assets, batch_fake=False)
+        with pytest.raises(NotImplementedError):
+            M.resize_images(assets, batch_fake=False)
+    else:
+        assert M.extract_features(assets, batch_fake=False) is not None
+
+
+def test_multimodal_real_decoder_with_pil(spark):
+    """Real PIL decode path end-to-end: a genuine PNG payload through
+    the same mapInPandas kernels (runs only where Pillow exists)."""
+    import pytest
+
+    from kgloom.ops import multimodal as M
+    if not M._HAS_PIL:
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (255, 0, 0)).save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [("a0", "image", "image/png", bytearray(buf.getvalue()),
+          16, 16, None)], schema=M.ASSET_SCHEMA)
+    feats = M.extract_features(assets, batch_fake=False).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 8
+    assert abs(sum(feats[0].feature) - 1.0) < 1e-3  # histogram sums to 1
+    resized = M.resize_images(assets, width=4, height=4,
+                              batch_fake=False).collect()[0]
+    with Image.open(io.BytesIO(bytes(resized.payload))) as im:
+        assert im.size == (4, 4)
