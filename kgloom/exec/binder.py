@@ -217,10 +217,11 @@ class SparkBinder:
         if name in self.dataframes:
             quads = self.dataframes[name]
         else:
+            import os
             path = cfg.get("path") or name
             if self.base_dir and path and not path.startswith("/"):
                 path = f"{self.base_dir}/{path}"
-            if path.endswith(".parquet"):
+            if path.endswith(".parquet") or os.path.exists(path):
                 quads = self.spark.read.parquet(path)
             else:
                 raise BindError(

@@ -199,3 +199,68 @@ def test_sparql_source_through_binder(spark, quads, tmp_path):
     got = {(r.subj, r.obj) for r in out.collect()}
     assert (f"<{EX}carol>", '"41"') in got
     assert len(got) == 3
+
+
+def test_two_engine_chain_kg_feeds_mapping(spark, tmp_path):
+    """The full two-engine chain: mapping #1 constructs a KG and
+    materializes it as parquet quads; mapping #2 uses a SPARQL SELECT
+    over that parquet as its logical source (with OPTIONAL, so absent
+    facts flow through as nulls and suppress their triple) and emits a
+    second-generation KG — no engine hop, everything stays one Spark
+    session."""
+    from kgloom.algebra import (DataFormat, ExtendOp, Function, IOType,
+                                ProjectOp, ReferenceFormulation,
+                                SerializerOp, SourceIterator, SourceOp,
+                                TargetOp)
+    from kgloom.exec.binder import SparkBinder, write_sinks
+    from kgloom.plan import Plan
+
+    # --- stage 1: construct a KG from a relational source ------------
+    people = spark.createDataFrame(
+        [("1", "Ada", "42"), ("2", "Grace", None)],
+        "pid string, name string, age string")
+    g1 = Plan()
+    p1 = g1.source(SourceOp.make(
+        {"source": "people"}, IOType.DATAFRAME,
+        SourceIterator(reference_formulation=ReferenceFormulation.TABLE)))
+    p1 = p1.apply(ExtendOp.make({
+        "sm": Function.iri(Function.uri_encode(
+            Function.template(f"{EX}person/{{pid}}"))),
+        "p_name": Function.iri(Function.constant(EX + "name")),
+        "o_name": Function.literal(Function.reference("name")),
+        "p_age": Function.iri(Function.constant(EX + "age")),
+        "o_age": Function.literal(Function.reference("age")),
+    }), "Extend")
+    p1 = p1.serialize(SerializerOp(
+        template="?sm ?p_name ?o_name .\n?sm ?p_age ?o_age ."))
+    p1 = p1.sink(TargetOp.make({"path": f"{tmp_path}/kg1"},
+                               IOType.TABLE, DataFormat.NQUADS))
+    write_sinks(SparkBinder(spark, dataframes={"people": people})
+                .execute(p1.graph))
+
+    # --- stage 2: SPARQL over the materialized KG feeds mapping #2 ---
+    g2 = Plan()
+    p2 = g2.source(SourceOp.make(
+        {"source": f"{tmp_path}/kg1"}, IOType.FILE,
+        SourceIterator(
+            reference=f"""PREFIX ex: <{EX}>
+                SELECT ?p ?name ?age WHERE {{
+                  ?p ex:name ?name .
+                  OPTIONAL {{ ?p ex:age ?age }}
+                }}""",
+            reference_formulation=ReferenceFormulation.SPARQL)))
+    p2 = p2.apply(ProjectOp(projection_attributes=frozenset(
+        {"p", "name", "age"})), "Projection")
+    p2 = p2.apply(ExtendOp.make({
+        "sm": Function.iri(Function.reference("p")),
+        "pm": Function.iri(Function.constant(EX + "profile")),
+        "om": Function.literal(Function.concatenate(
+            Function.reference("name"), "/", Function.reference("age"))),
+    }), "Extend")
+    p2 = p2.serialize(SerializerOp(template="?sm ?pm ?om ."))
+    p2 = p2.sink(TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS))
+    out = list(write_sinks(SparkBinder(spark).execute(p2.graph)).values())[0]
+    got = {(r.subj, r.obj) for r in out.collect()}
+    # Ada has an age -> profile triple; Grace's null age null-propagates
+    # through the concat and SUPPRESSES her triple (RDF null semantics)
+    assert got == {(f"<{EX}person/1>", '"Ada/42"')}
