@@ -332,6 +332,26 @@ def q_sparql_kg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates over the constructed KG (kgloom/sparql.py):
+    per-conversation turn counts via GROUP BY + COUNT, where COUNT of an
+    OPTIONAL-bound variable counts only the solutions where it bound
+    (tool turns), plus a HAVING group filter — the aggregate subset
+    (COUNT/SUM/AVG/MIN/MAX, GROUP BY, HAVING) compiled to a Spark
+    groupBy/agg."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?conv (COUNT(?turn) AS ?n_turns)
+                     (COUNT(?tool) AS ?n_tool_turns) WHERE {
+          ?turn kg:partOf ?conv .
+          OPTIONAL { ?turn kg:usedTool ?tool }
+        }
+        GROUP BY ?conv HAVING(?n_turns > 1)
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -489,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_select": q_sparql_kg_select,
         "sparql_kg_optional": q_sparql_kg_optional,
         "sparql_kg_union": q_sparql_kg_union,
+        "sparql_kg_agg": q_sparql_kg_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -701,6 +722,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
                      || CAST(turn_idx AS VARCHAR), role
             FROM tr
+        """,
+        # aggregates: each conversation's solution multiset is one row
+        # per turn (the OPTIONAL usedTool binds at most once per turn —
+        # turn IRIs are unique), so COUNT(?turn) = turns, COUNT(?tool) =
+        # turns that used a tool; HAVING keeps multi-turn conversations
+        "sparql_kg_agg": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id AS conv,
+                   COUNT(*) AS n_turns,
+                   COUNT(tool) AS n_tool_turns
+            FROM tr GROUP BY conv_id HAVING COUNT(*) > 1
         """,
         "transcripts_mentions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})

@@ -10,12 +10,22 @@ quad output ``(subj, pred, obj, graph)`` — so a constructed KG can be
 queried (and can feed another mapping) without leaving Spark.
 
 Supported subset (the mapping-source shape the fixtures use):
-``PREFIX``, ``SELECT [DISTINCT] ?v ... | *``, basic graph patterns
-with ``;`` predicate lists and ``,`` object lists, ``OPTIONAL``
-groups, ``{ ... } UNION { ... }``, nested ``{}`` groups, ``FILTER``
-with comparisons on variables (string or numeric), ``ORDER
-BY``/``DESC``, ``LIMIT``.  Unsupported syntax raises ``SparqlError``
-(SERVICE, MINUS, BIND, VALUES, aggregates, property paths).
+``PREFIX``, ``SELECT [DISTINCT] ?v ... | *``, aggregate projections
+``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v | *) AS ?alias)`` with ``GROUP
+BY`` and ``HAVING``, basic graph patterns with ``;`` predicate lists
+and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
+{ ... }``, nested ``{}`` groups, ``FILTER`` with comparisons on
+variables (string or numeric), ``ORDER BY``/``DESC``, ``LIMIT``.
+Unsupported syntax raises ``SparqlError`` (SERVICE, MINUS, BIND,
+VALUES, property paths).
+
+Aggregate semantics: grouping keys are RDF terms (two literals that
+differ only in language tag group separately, per SPARQL); ``COUNT``
+counts bound solutions (``COUNT(*)`` counts rows), ``SUM``/``AVG``
+cast the lexical form to double (unparseable values contribute null,
+i.e. are ignored — Spark/SQL null-skipping aggregation), ``MIN``/
+``MAX`` order numerically when the value parses as a number and
+lexically otherwise, returning the lexical form.
 
 Execution: each triple pattern is a constant-filtered scan of the quad
 DataFrame projected to its variable columns; patterns natural-join on
@@ -69,14 +79,26 @@ class GroupPattern:
         return not (self.patterns or self.optionals or self.unions)
 
 
+@dataclass(frozen=True)
+class AggExpr:
+    """One aggregate projection ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
+    func: str                       # count | sum | avg | min | max
+    var: Optional[str]              # None = COUNT(*)
+    distinct: bool
+    alias: str
+
+
 @dataclass
 class SelectQuery:
-    variables: list[str]            # [] means SELECT *
+    variables: list[str]            # output order: vars + agg aliases; [] = *
     distinct: bool
     group: GroupPattern             # the WHERE group
     order_by: list[tuple[str, bool]]     # (var, descending)
     limit: Optional[int] = None
     prefixes: dict[str, str] = field(default_factory=dict)
+    aggregates: list[AggExpr] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: list[tuple[str, str, str]] = field(default_factory=list)
 
     # root-level convenience views (back-compat for callers that only
     # deal in flat BGPs)
@@ -163,7 +185,7 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(SERVICE|GRAPH|MINUS|BIND|VALUES|GROUP\s+BY|HAVING|"
+    r"\b(SERVICE|GRAPH|MINUS|BIND|VALUES|"
     r"CONSTRUCT|ASK|DESCRIBE|EXISTS)\b", re.IGNORECASE)
 
 
@@ -320,6 +342,46 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
     return g
 
 
+_AGG_PROJ = re.compile(
+    r"\(\s*(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+"
+    r"\?([A-Za-z_][A-Za-z0-9_]*)\s*\)", re.IGNORECASE)
+
+
+def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
+    """Ordered output names (plain vars + agg aliases) and the agg
+    expressions out of the SELECT clause text."""
+    names: list[str] = []
+    aggs: list[AggExpr] = []
+    i, s = 0, proj_raw
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        if s[i] == "?":
+            m = re.match(r"\?([A-Za-z_][A-Za-z0-9_]*)", s[i:])
+            names.append(m.group(1))
+            i += m.end()
+            continue
+        if s[i] == "(":
+            m = _AGG_PROJ.match(s, i)
+            if m is None:
+                raise SparqlError(
+                    f"unsupported projection expression at {s[i:i + 40]!r}")
+            func = m.group(1).lower()
+            distinct = bool(m.group(2))
+            var = None if m.group(3) == "*" else m.group(3)[1:]
+            if var is None and (distinct or func != "count"):
+                raise SparqlError(f"{func.upper()}(*) only valid as COUNT(*)")
+            alias = m.group(4)
+            aggs.append(AggExpr(func, var, distinct, alias))
+            names.append(alias)
+            i = m.end()
+            continue
+        raise SparqlError(f"bad projection at {s[i:i + 20]!r}")
+    return names, aggs
+
+
 def parse_sparql(text: str) -> SelectQuery:
     text = re.sub(r"#[^\n]*", "", text)  # comments
     if _UNSUPPORTED.search(text):
@@ -339,12 +401,37 @@ def parse_sparql(text: str) -> SelectQuery:
     distinct = bool(m.group(1))
     proj_raw, body, tail = m.group(2), m.group(3), m.group(4)
 
-    variables = [] if proj_raw.strip() == "*" else \
-        [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", proj_raw)]
-    if proj_raw.strip() != "*" and not variables:
-        raise SparqlError(f"bad projection {proj_raw!r}")
+    if proj_raw.strip() == "*":
+        variables, aggregates = [], []
+    else:
+        variables, aggregates = _parse_projection(proj_raw)
+        if not variables:
+            raise SparqlError(f"bad projection {proj_raw!r}")
 
     group = _parse_group(body, prefixes)
+
+    group_by: list[str] = []
+    gm = re.search(r"GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+)",
+                   tail, re.IGNORECASE)
+    if gm:
+        group_by = [v[1:] for v in
+                    re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", gm.group(1))]
+    # aggregates with no GROUP BY = one implicit group (valid SPARQL)
+    if (aggregates or group_by):
+        aliases = {a.alias for a in aggregates}
+        bad = [v for v in variables if v not in aliases and v not in group_by]
+        if bad:
+            raise SparqlError(
+                f"projected variables {bad} are neither aggregated nor "
+                f"GROUP BY keys")
+        if not variables:
+            raise SparqlError("SELECT * cannot be combined with GROUP BY")
+
+    having: list[tuple[str, str, str]] = []
+    for hm in re.finditer(r"HAVING\s*\(([^()]*)\)", tail, re.IGNORECASE):
+        having.append(_parse_filter(hm.group(1)))
+    if having and not (aggregates or group_by):
+        raise SparqlError("HAVING requires GROUP BY or an aggregate")
 
     order_by = []
     om = re.search(r"ORDER\s+BY\s+(.*?)(?:LIMIT|$)", tail,
@@ -360,12 +447,16 @@ def parse_sparql(text: str) -> SelectQuery:
         raise SparqlError("empty basic graph pattern")
     return SelectQuery(variables=variables, distinct=distinct,
                        group=group, order_by=order_by, limit=limit,
-                       prefixes=prefixes)
+                       prefixes=prefixes, aggregates=aggregates,
+                       group_by=group_by, having=having)
 
 
 #: lexical form of a rendered term: IRIs lose <>, literals lose quotes
-#: and @lang/^^dtype — the value an endpoint's JSON binding carries
+#: and @lang/^^dtype — the value an endpoint's JSON binding carries.
+#: Cast-to-string first so the helper is safe on numeric columns
+#: (aggregate outputs) as well as rendered-term strings.
 def _lexical(col: F.Column) -> F.Column:
+    col = col.cast("string")
     return (F.when(col.startswith("<"),
                    F.regexp_extract(col, r"^<(.*)>$", 1))
             .when(col.startswith('"'),
@@ -374,7 +465,11 @@ def _lexical(col: F.Column) -> F.Column:
 
 
 def _numeric(col: F.Column) -> F.Column:
-    return _lexical(col).cast("double")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # THROWS on non-numeric lexical forms (IRIs, names) the moment a
+    # sort/filter evaluates it; SPARQL semantics want "not a number" =
+    # unbound (null), never an error
+    return _lexical(col).try_cast("double")
 
 
 def _join_shared(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -460,6 +555,33 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
     return result
 
 
+def _agg_expr(a: AggExpr) -> F.Column:
+    if a.func == "count":
+        if a.var is None:
+            e = F.count(F.lit(1))
+        elif a.distinct:
+            e = F.countDistinct(F.col(a.var))
+        else:
+            e = F.count(F.col(a.var))
+    elif a.func in ("sum", "avg"):
+        e = getattr(F, a.func)(_numeric(F.col(a.var)))
+    else:  # min / max: numeric order when the value parses, else lexical
+        c = F.col(a.var)
+        num = _numeric(c)
+        if a.func == "min":
+            # numerics (non-null cast) sort before non-numerics
+            key = F.struct(num.isNull().cast("int").alias("nn"),
+                           num.alias("num"), _lexical(c).alias("lex"))
+            e = F.min(key).getField("lex")
+        else:
+            # numerics (non-null cast) sort after non-numerics, so max
+            # also resolves numerically whenever any value is numeric
+            key = F.struct(num.isNotNull().cast("int").alias("nn"),
+                           num.alias("num"), _lexical(c).alias("lex"))
+            e = F.max(key).getField("lex")
+    return e.alias(a.alias)
+
+
 def sparql_select(quads: DataFrame, query: str,
                   raw_terms: bool = False) -> DataFrame:
     """Execute a SPARQL SELECT subset over a ``(subj, pred, obj[, graph])``
@@ -469,14 +591,34 @@ def sparql_select(quads: DataFrame, query: str,
     q = parse_sparql(query)
     result = _exec_group(quads, q.group, q.prefixes)
 
+    agg_outputs: set[str] = set()
+    if q.aggregates or q.group_by:
+        missing = [v for v in q.group_by if v not in result.columns] + \
+            [a.var for a in q.aggregates
+             if a.var is not None and a.var not in result.columns]
+        if missing:
+            raise SparqlError(
+                f"aggregation references unbound variables {missing}")
+        exprs = [_agg_expr(a) for a in q.aggregates]
+        # grouping keys are the *rendered* terms (SPARQL groups by RDF
+        # term identity); the keys are lexical-stripped on output below
+        result = (result.groupBy(*q.group_by).agg(*exprs)
+                  if q.group_by else result.agg(*exprs))
+        agg_outputs = {a.alias for a in q.aggregates}
+        for var, op, raw in q.having:
+            result = _apply_filter(result, var, op, raw, q.prefixes)
+
     out_vars = q.variables or [c for c in result.columns if c != "__one"]
     missing = [v for v in out_vars if v not in result.columns]
     if missing:
         raise SparqlError(f"projection references unbound variables {missing}")
     result = result.select(*out_vars)
     if not raw_terms:
+        # aggregate outputs are already plain values (counts, sums,
+        # min/max lexical forms) — strip only rendered-term columns
         result = result.select(
-            *[_lexical(F.col(v)).alias(v) for v in out_vars])
+            *[F.col(v).alias(v) if v in agg_outputs
+              else _lexical(F.col(v)).alias(v) for v in out_vars])
     if q.distinct:
         result = result.distinct()
     if q.order_by:

@@ -264,3 +264,110 @@ def test_two_engine_chain_kg_feeds_mapping(spark, tmp_path):
     # Ada has an age -> profile triple; Grace's null age null-propagates
     # through the concat and SUPPRESSES her triple (RDF null semantics)
     assert got == {(f"<{EX}person/1>", '"Ada/42"')}
+
+
+# ---------------------------------------------------------------------------
+# Aggregates: GROUP BY / HAVING / COUNT / SUM / AVG / MIN / MAX
+# ---------------------------------------------------------------------------
+
+def test_count_group_by(quads):
+    """COUNT(?o) per subject over all of alice's triples."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o . }}
+        GROUP BY ?s ORDER BY ?s
+    """).collect()
+    got = {(r.s, r.n) for r in rows}
+    assert got == {(EX + "alice", 3), (EX + "bob", 3), (EX + "carol", 1)}
+
+
+def test_implicit_group_count_star(quads):
+    rows = sparql_select(quads, """
+        SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+    """).collect()
+    assert rows[0].n == 7
+
+
+def test_count_skips_unbound_optional(quads):
+    """COUNT(?name) counts only solutions where the OPTIONAL bound."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (COUNT(?who) AS ?people) (COUNT(?name) AS ?named) WHERE {{
+          ?who a ex:Person .
+          OPTIONAL {{ ?who ex:name ?name }}
+        }}
+    """).collect()
+    assert (rows[0].people, rows[0].named) == (2, 1)
+
+
+def test_sum_avg_numeric(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (SUM(?age) AS ?total) (AVG(?age) AS ?mean) WHERE {{
+          ?s ex:age ?age .
+        }}
+    """).collect()
+    assert rows[0].total == 96.0 and rows[0].mean == 32.0
+
+
+def test_min_max_numeric_not_lexical(quads):
+    """MIN/MAX order numerically: '25' < '30' < '41' (lexical max would
+    also be 41 here, so pin with a 3-digit age where lexical diverges)."""
+    extra = quads.sparkSession.createDataFrame(
+        [(f"<{EX}dan>", f"<{EX}age>", '"100"', None)],
+        "subj string, pred string, obj string, graph string")
+    rows = sparql_select(quads.unionByName(extra), f"""
+        PREFIX ex: <{EX}>
+        SELECT (MIN(?age) AS ?lo) (MAX(?age) AS ?hi) WHERE {{
+          ?s ex:age ?age .
+        }}
+    """).collect()
+    assert (rows[0].lo, rows[0].hi) == ("25", "100")  # lexical max = "41"
+
+
+def test_min_max_lexical_for_strings(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (MIN(?p) AS ?lo) WHERE {{ ex:alice ?p ?o . }}
+    """).collect()
+    assert rows[0].lo == EX + "age"
+
+
+def test_count_distinct(quads):
+    rows = sparql_select(quads, """
+        SELECT (COUNT(DISTINCT ?p) AS ?preds) WHERE { ?s ?p ?o . }
+    """).collect()
+    assert rows[0].preds == 4  # knows, age, type, name
+
+
+def test_having_filters_groups(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o . }}
+        GROUP BY ?s HAVING(?n > 1) ORDER BY ?s
+    """).collect()
+    assert [(r.s, r.n) for r in rows] == \
+        [(EX + "alice", 3), (EX + "bob", 3)]
+
+
+def test_order_by_aggregate_alias(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o . }}
+        GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 1
+    """).collect()
+    assert rows[0].s == EX + "alice"
+
+
+def test_aggregate_projection_validation():
+    with pytest.raises(SparqlError):
+        # ?p is neither grouped nor aggregated
+        parse_sparql("SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . } "
+                     "GROUP BY ?s")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o . }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT * WHERE { ?s ?p ?o . } GROUP BY ?s")
+    with pytest.raises(SparqlError):
+        # HAVING without any aggregation
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o . } HAVING(?s > 1)")
