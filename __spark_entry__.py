@@ -352,6 +352,38 @@ def q_sparql_kg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the constructed KG (kgloom/sparql.py): a
+    derived graph linking each conversation directly to the tools it
+    used — template instantiation per solution, de-duplicated (a graph
+    is a set), returned as a quad DataFrame so the result can feed the
+    serializer or another mapping."""
+    from kgloom.sparql import sparql_construct
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_construct(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        CONSTRUCT { ?conv kg:toolUsed ?tool }
+        WHERE { ?turn kg:partOf ?conv ; kg:usedTool ?tool . }
+    """).select("subj", "pred", "obj")
+
+
+def q_sparql_kg_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND + VALUES over the constructed KG: restrict roles via
+    a VALUES inline-data join, then derive a label with
+    BIND(CONCAT(UCASE(...))) — expression compilation to pure Column
+    ops (no Python row path)."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?label WHERE {
+          ?turn kg:role ?role .
+          VALUES ?role { "user" "assistant" }
+          BIND(CONCAT(UCASE(?role), "@", STR(?turn)) AS ?label)
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -510,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_optional": q_sparql_kg_optional,
         "sparql_kg_union": q_sparql_kg_union,
         "sparql_kg_agg": q_sparql_kg_agg,
+        "sparql_kg_construct": q_sparql_kg_construct,
+        "sparql_kg_bind": q_sparql_kg_bind,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -733,6 +767,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_turns,
                    COUNT(tool) AS n_tool_turns
             FROM tr GROUP BY conv_id HAVING COUNT(*) > 1
+        """,
+        # CONSTRUCT: template instantiated once per (turn, conv, tool)
+        # solution, then set-deduplicated — relationally, the distinct
+        # (conv, tool) pairs rendered as triples
+        "sparql_kg_construct": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '>' AS subj,
+                   '<http://kg.example/ontology/toolUsed>' AS pred,
+                   '<http://kg.example/tool/' || tool || '>' AS obj
+            FROM tr WHERE tool IS NOT NULL
+        """,
+        # VALUES = inline-relation join (role restriction); BIND =
+        # computed column over the solution
+        "sparql_kg_bind": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   UPPER(role) || '@' || 'http://kg.example/conv/'
+                     || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS label
+            FROM tr WHERE role IN ('user', 'assistant')
         """,
         "transcripts_mentions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})

@@ -14,10 +14,19 @@ Supported subset (the mapping-source shape the fixtures use):
 ``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v | *) AS ?alias)`` with ``GROUP
 BY`` and ``HAVING``, basic graph patterns with ``;`` predicate lists
 and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
-{ ... }``, nested ``{}`` groups, ``FILTER`` with comparisons on
-variables (string or numeric), ``ORDER BY``/``DESC``, ``LIMIT``.
-Unsupported syntax raises ``SparqlError`` (SERVICE, MINUS, BIND,
-VALUES, property paths).
+{ ... }``, nested ``{}`` groups, ``BIND(expr AS ?v)`` (CONCAT / STR /
+UCASE / LCASE / STRLEN / IRI / REPLACE + arithmetic), ``VALUES``
+inline data (no UNDEF), ``FILTER`` with comparisons on variables
+(string or numeric), ``ORDER BY``/``DESC``, ``LIMIT`` — plus
+``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
+which returns a quad DataFrame (so a query result is itself a KG the
+engine can serialize, re-query, or feed to another mapping).
+Unsupported syntax raises ``SparqlError`` (SERVICE, MINUS, property
+paths).
+
+Within a group, execution order is BGP → sub-groups/UNION → OPTIONAL →
+VALUES → BIND → FILTER (a FILTER can see OPTIONAL- and BIND-introduced
+variables; a BIND can see everything bound by the group's patterns).
 
 Aggregate semantics: grouping keys are RDF terms (two literals that
 differ only in language tag group separately, per SPARQL); ``COUNT``
@@ -68,15 +77,20 @@ Term = Union[Var, str]  # non-var terms are pre-rendered strings
 @dataclass
 class GroupPattern:
     """One ``{ ... }`` group: its own BGP + filters, plus nested
-    OPTIONAL groups (left-joined in) and UNION alternations (each a
-    list of 2+ branch groups)."""
+    OPTIONAL groups (left-joined in), UNION alternations (each a
+    list of 2+ branch groups), ``BIND(expr AS ?v)`` assignments and
+    ``VALUES`` inline-data blocks."""
     patterns: list[tuple[Term, Term, Term]] = field(default_factory=list)
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     optionals: list["GroupPattern"] = field(default_factory=list)
     unions: list[list["GroupPattern"]] = field(default_factory=list)
+    binds: list[tuple["Expr", str]] = field(default_factory=list)
+    values: list[tuple[list[str], list[list[str]]]] = \
+        field(default_factory=list)   # (vars, rendered-term rows)
 
     def is_empty(self) -> bool:
-        return not (self.patterns or self.optionals or self.unions)
+        return not (self.patterns or self.optionals or self.unions
+                    or self.values or self.binds)
 
 
 @dataclass(frozen=True)
@@ -185,8 +199,7 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(SERVICE|GRAPH|MINUS|BIND|VALUES|"
-    r"CONSTRUCT|ASK|DESCRIBE|EXISTS)\b", re.IGNORECASE)
+    r"\b(SERVICE|GRAPH|MINUS|ASK|DESCRIBE|EXISTS)\b", re.IGNORECASE)
 
 
 def _tok_at(toks: list, i: int):
@@ -266,6 +279,132 @@ def _parse_filter(inner: str) -> tuple[str, str, str]:
     return (cm.group(1), cm.group(2), cm.group(3).strip())
 
 
+def _take_parens(text: str, i: int) -> tuple[str, int]:
+    """Return (inner, next_index) for the balanced ``(...)`` starting at
+    ``text[i]`` — quote-aware, like :func:`_take_braced`."""
+    depth, j, in_str = 0, i, False
+    while j < len(text):
+        ch = text[j]
+        if in_str:
+            if ch == "\\":
+                j += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1:j], j + 1
+        j += 1
+    raise SparqlError("unbalanced parentheses in expression")
+
+
+# --- BIND expression subset ------------------------------------------------
+#
+# expr := atom (('+'|'-'|'*'|'/') atom)*        (left-associative)
+# atom := FUNC '(' expr (',' expr)* ')' | '(' expr ')' | ?var | literal | num
+# FUNC := CONCAT | STR | UCASE | LCASE | STRLEN | IRI | URI | REPLACE
+#
+# Exprs are tuples: ('var', name) | ('const', rendered_term)
+#                 | ('call', func, [args]) | ('arith', op, left, right)
+
+Expr = tuple
+
+_EXPR_FUNCS = {"concat", "str", "ucase", "lcase", "strlen", "iri", "uri",
+               "replace"}
+
+
+def _split_args(inner: str) -> list[str]:
+    """Top-level comma split of a function-argument list (paren- and
+    quote-aware)."""
+    args, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(inner):
+        ch = inner[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[start:i])
+            start = i + 1
+        i += 1
+    args.append(inner[start:])
+    return args
+
+
+def _parse_expr(text: str, prefixes: dict[str, str]) -> Expr:
+    text = text.strip()
+    # binary arithmetic at top level (paren/quote aware): split at the
+    # rightmost lowest-precedence operator (+/- before */), which gives
+    # left-associativity within a precedence level
+    depth, in_str, i = 0, False, 0
+    addsub = muldiv = None
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch in "+-*/" and depth == 0:
+            # not a unary sign: needs a left operand (previous
+            # non-space char exists and is not itself an operator)
+            prev = text[:i].rstrip()
+            if prev and prev[-1] not in "+-*/":
+                if ch in "+-":
+                    addsub = i
+                else:
+                    muldiv = i
+        i += 1
+    split = addsub if addsub is not None else muldiv
+    if split is not None:
+        return ("arith", text[split],
+                _parse_expr(text[:split], prefixes),
+                _parse_expr(text[split + 1:], prefixes))
+    fm = re.match(r"^([A-Za-z]+)\s*\(", text)
+    if fm and fm.group(1).lower() in _EXPR_FUNCS:
+        inner, j = _take_parens(text, fm.end() - 1)
+        if text[j:].strip():
+            raise SparqlError(f"trailing text after call: {text[j:]!r}")
+        func = fm.group(1).lower()
+        args = [_parse_expr(a, prefixes) for a in _split_args(inner)]
+        arity = {"concat": None, "str": 1, "ucase": 1, "lcase": 1,
+                 "strlen": 1, "iri": 1, "uri": 1, "replace": 3}[func]
+        if arity is not None and len(args) != arity:
+            raise SparqlError(f"{func.upper()} takes {arity} argument(s)")
+        return ("call", "iri" if func == "uri" else func, args)
+    if text.startswith("("):
+        inner, j = _take_parens(text, 0)
+        if text[j:].strip():
+            raise SparqlError(f"trailing text after group: {text[j:]!r}")
+        return _parse_expr(inner, prefixes)
+    toks = _tokenize(text)
+    if len(toks) != 1:
+        raise SparqlError(f"unsupported expression {text!r}")
+    term = _resolve_term(*toks[0], prefixes)
+    return ("var", term.name) if isinstance(term, Var) else ("const", term)
+
+
 def _at_keyword(text: str, i: int, kw: str) -> bool:
     """Case-insensitive keyword at position ``i``, on a token boundary
     (so a prefixed name like ``ex:OPTIONALthing`` never matches)."""
@@ -333,6 +472,67 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
                     f"unsupported FILTER syntax at: {text[i:i + 40]!r}")
             g.filters.append(_parse_filter(m.group(1)))
             chunk_start = i = i + m.end()
+            continue
+        if _at_keyword(text, i, "BIND"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"BIND\s*", text[i:], re.IGNORECASE)
+            k = i + m.end()
+            if k >= n or text[k] != "(":
+                raise SparqlError("BIND must be followed by (expr AS ?var)")
+            inner, j = _take_parens(text, k)
+            am = re.search(r"\s+AS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                           inner, re.IGNORECASE)
+            if am is None:
+                raise SparqlError(f"BIND needs 'AS ?var': {inner.strip()!r}")
+            g.binds.append((_parse_expr(inner[:am.start()], prefixes),
+                            am.group(1)))
+            chunk_start = i = j
+            continue
+        if _at_keyword(text, i, "VALUES"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"VALUES\s*", text[i:], re.IGNORECASE)
+            k = i + m.end()
+            vm = re.match(r"(\?[A-Za-z_][A-Za-z0-9_]*|\((?:\s*\?[A-Za-z_]"
+                          r"[A-Za-z0-9_]*)+\s*\))\s*", text[k:])
+            if vm is None:
+                raise SparqlError("VALUES needs ?var or (?v1 ?v2 ...)")
+            vars_ = [v[1:] for v in re.findall(r"\?\w+", vm.group(1))]
+            k += vm.end()
+            if k >= n or text[k] != "{":
+                raise SparqlError("VALUES needs a { data } block")
+            inner, j = _take_braced(text, k)
+            if re.search(r"\bUNDEF\b", inner):
+                raise SparqlError("VALUES UNDEF is unsupported")
+            rows: list[list[str]] = []
+            if len(vars_) == 1:
+                for kind, val in _tokenize(inner):
+                    t = _resolve_term(kind, val, prefixes)
+                    if isinstance(t, Var):
+                        raise SparqlError("VALUES data must be constants")
+                    rows.append([t])
+            else:
+                pos = 0
+                while pos < len(inner):
+                    if inner[pos].isspace():
+                        pos += 1
+                        continue
+                    if inner[pos] != "(":
+                        raise SparqlError(
+                            f"VALUES rows must be parenthesized: "
+                            f"{inner[pos:pos + 20]!r}")
+                    row_src, pos = _take_parens(inner, pos)
+                    row = [_resolve_term(kind, val, prefixes)
+                           for kind, val in _tokenize(row_src)]
+                    if len(row) != len(vars_) or \
+                            any(isinstance(t, Var) for t in row):
+                        raise SparqlError(
+                            f"VALUES row arity/constant mismatch: "
+                            f"{row_src.strip()!r}")
+                    rows.append(row)
+            if not rows:
+                raise SparqlError("empty VALUES block")
+            g.values.append((vars_, rows))
+            chunk_start = i = j
             continue
         i += 1
     chunks.append(text[chunk_start:])
@@ -524,6 +724,100 @@ def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
     return result.where(ops[op])
 
 
+def _expr_vars(e: Expr) -> set[str]:
+    if e[0] == "var":
+        return {e[1]}
+    if e[0] == "call":
+        return set().union(*[_expr_vars(a) for a in e[2]]) if e[2] else set()
+    if e[0] == "arith":
+        return _expr_vars(e[2]) | _expr_vars(e[3])
+    return set()
+
+
+def _unrender(term: str) -> str:
+    """Python-side inverse of :func:`_render_literal` for a constant
+    literal (used where an expression argument must be a plain string,
+    e.g. REPLACE patterns)."""
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"', term)
+    if m is None:
+        raise SparqlError(f"expected a string literal, got {term!r}")
+    return (m.group(1).replace('\\"', '"').replace("\\n", "\n")
+            .replace("\\r", "\r").replace("\\t", "\t")
+            .replace("\\\\", "\\"))
+
+
+def _escape_lit(col: F.Column) -> F.Column:
+    """Rendered-literal escaping of a plain string column (the Column
+    mirror of :func:`_render_literal`)."""
+    for src, dst in _ESCAPES.items():
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _expr_compile(e: Expr) -> tuple[F.Column, str]:
+    """Compile a BIND expression to ``(column, kind)`` with kind one of
+    ``term`` (rendered RDF term), ``str`` (plain string), ``num``
+    (double), ``iri`` (plain IRI string)."""
+    def lex(arg: Expr) -> F.Column:
+        c, k = _expr_compile(arg)
+        if k == "term":
+            return _lexical(c)
+        if k == "num":
+            return c.cast("string")
+        return c
+
+    def num(arg: Expr) -> F.Column:
+        c, k = _expr_compile(arg)
+        if k == "num":
+            return c
+        return _numeric(c) if k == "term" else c.try_cast("double")
+
+    if e[0] == "var":
+        return F.col(e[1]), "term"
+    if e[0] == "const":
+        return F.lit(e[1]), "term"
+    if e[0] == "arith":
+        op, l, r = e[1], num(e[2]), num(e[3])
+        col = {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+        return col, "num"
+    func, args = e[1], e[2]
+    if func == "concat":
+        return F.concat(*[lex(a) for a in args]), "str"
+    if func == "str":
+        return lex(args[0]), "str"
+    if func == "ucase":
+        return F.upper(lex(args[0])), "str"
+    if func == "lcase":
+        return F.lower(lex(args[0])), "str"
+    if func == "strlen":
+        return F.length(lex(args[0])).cast("double"), "num"
+    if func == "iri":
+        return lex(args[0]), "iri"
+    if func == "replace":
+        if args[1][0] != "const" or args[2][0] != "const":
+            raise SparqlError("REPLACE pattern/replacement must be literals")
+        return F.regexp_replace(lex(args[0]),
+                                _unrender(args[1][1]),
+                                _unrender(args[2][1])), "str"
+    raise SparqlError(f"unsupported function {func!r}")  # pragma: no cover
+
+
+def _expr_term(e: Expr) -> F.Column:
+    """A BIND expression as a *rendered term* column (what the solution
+    DataFrame carries)."""
+    col, kind = _expr_compile(e)
+    if kind == "term":
+        return col
+    if kind == "iri":
+        return F.concat(F.lit("<"), col, F.lit(">"))
+    if kind == "num":
+        col = col.cast("string")
+    else:
+        col = _escape_lit(col)
+    return F.when(col.isNull(), F.lit(None).cast("string")) \
+            .otherwise(F.concat(F.lit('"'), col, F.lit('"')))
+
+
 def _exec_group(quads: DataFrame, g: GroupPattern,
                 prefixes: dict[str, str]) -> DataFrame:
     """Execute one group: BGP join, then inline/UNION groups, then
@@ -548,8 +842,24 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
             raise SparqlError(
                 "OPTIONAL with no shared variables is unsupported")
         result = result.join(odf, on=shared, how="left")
+    for vars_, rows in g.values:
+        vdf = quads.sparkSession.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in vars_))
+        result = vdf if result is None else _join_shared(result, vdf)
+    if result is None and g.binds:
+        # a group of only BINDs starts from the single empty solution
+        result = quads.sparkSession.range(1).select(
+            F.lit(1).alias("__one"))
     if result is None:
         raise SparqlError("empty group pattern")
+    for expr, name in g.binds:
+        if name in result.columns:
+            raise SparqlError(f"BIND target ?{name} is already bound")
+        missing = [v for v in sorted(_expr_vars(expr))
+                   if v not in result.columns]
+        if missing:
+            raise SparqlError(f"BIND references unbound variables {missing}")
+        result = result.withColumn(name, _expr_term(expr))
     for var, op, raw in g.filters:
         result = _apply_filter(result, var, op, raw, prefixes)
     return result
@@ -635,3 +945,93 @@ def sparql_select(quads: DataFrame, query: str,
     if q.limit is not None:
         result = result.limit(q.limit)
     return result
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT
+# ---------------------------------------------------------------------------
+
+def _parse_construct(text: str):
+    text = re.sub(r"#[^\n]*", "", text)
+    if _UNSUPPORTED.search(text):
+        raise SparqlError(
+            f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^>]*)>", text,
+                         re.IGNORECASE):
+        prefixes[m.group(1) or ""] = m.group(2)
+    text = re.sub(r"PREFIX\s+[\w-]*:\s*<[^>]*>", "", text, flags=re.IGNORECASE)
+
+    m = re.search(r"CONSTRUCT\s*", text, re.IGNORECASE)
+    if m is None:
+        raise SparqlError("not a CONSTRUCT query")
+    i = m.end()
+    if i >= len(text) or text[i] != "{":
+        raise SparqlError("CONSTRUCT must be followed by a { template }")
+    template_src, j = _take_braced(text, i)
+    wm = re.match(r"\s*WHERE\s*", text[j:], re.IGNORECASE)
+    if wm is None:
+        raise SparqlError("CONSTRUCT template must be followed by WHERE")
+    k = j + wm.end()
+    if k >= len(text) or text[k] != "{":
+        raise SparqlError("WHERE must be followed by a { group }")
+    body, l = _take_braced(text, k)
+    tail = text[l:]
+
+    template = _parse_triples(template_src, prefixes)
+    if not template:
+        raise SparqlError("empty CONSTRUCT template")
+    for (s, p, _o) in template:
+        if not isinstance(s, Var) and s.startswith('"'):
+            raise SparqlError("CONSTRUCT template subject cannot be a literal")
+        if not isinstance(p, Var) and not p.startswith("<"):
+            raise SparqlError("CONSTRUCT template predicate must be an IRI")
+    group = _parse_group(body, prefixes)
+    if group.is_empty():
+        raise SparqlError("empty basic graph pattern")
+    lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
+    return template, group, prefixes, (int(lm.group(1)) if lm else None)
+
+
+def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
+    """Execute a SPARQL CONSTRUCT subset over a ``(subj, pred, obj
+    [, graph])`` DataFrame of rendered terms, returning a DataFrame of
+    the same quad shape (``graph`` null — CONSTRUCT emits the default
+    graph), so the result can feed :func:`sparql_select`, the N-Quads
+    serializer, or another mapping.
+
+    Semantics: the WHERE group produces solutions; each template triple
+    is instantiated once per solution; instantiations with an unbound
+    variable or a literal in the subject position are skipped (SPARQL
+    1.1 §16.2); the result is a graph, i.e. de-duplicated.  Spark
+    shape: one lazy plan — solutions × len(template) projections,
+    unioned and made distinct; no collect, no Python row path.
+    """
+    template, group, prefixes, limit = _parse_construct(query)
+    sol = _exec_group(quads, group, prefixes)
+    parts = []
+    for (s, p, o) in template:
+        cols = []
+        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if isinstance(term, Var):
+                if term.name not in sol.columns:
+                    raise SparqlError(
+                        f"CONSTRUCT template references unbound "
+                        f"variable ?{term.name}")
+                cols.append(F.col(term.name).alias(pos))
+            else:
+                cols.append(F.lit(term).alias(pos))
+        t = (sol.select(*cols)
+             .where(F.col("subj").isNotNull()
+                    & F.col("pred").isNotNull()
+                    & F.col("obj").isNotNull()
+                    & ~F.col("subj").startswith('"')
+                    & F.col("pred").startswith("<")))
+        parts.append(t)
+    out = parts[0]
+    for t in parts[1:]:
+        out = out.unionByName(t)
+    out = out.distinct()
+    if limit is not None:
+        out = out.limit(limit)
+    return out.withColumn("graph", F.lit(None).cast("string"))

@@ -82,8 +82,7 @@ def test_unsupported_features_raise():
     with pytest.raises(SparqlError):
         parse_sparql("ASK { ?s ?p ?o }")
     with pytest.raises(SparqlError):
-        parse_sparql("SELECT ?s WHERE { ?s ?p ?o . "
-                     "BIND(1 AS ?x) }")
+        parse_sparql("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }")
 
 
 def test_truncated_bgp_raises_sparql_error():
@@ -371,3 +370,166 @@ def test_aggregate_projection_validation():
     with pytest.raises(SparqlError):
         # HAVING without any aggregation
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o . } HAVING(?s > 1)")
+
+
+# ---------------------------------------------------------------------------
+# BIND / VALUES / CONSTRUCT
+# ---------------------------------------------------------------------------
+
+def test_bind_concat(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?label WHERE {{
+          ?s ex:age ?age .
+          BIND(CONCAT("age of ", STR(?s), " is ", ?age) AS ?label)
+        }} ORDER BY ?s
+    """).collect()
+    assert rows[0].label == f"age of {EX}alice is 30"
+    assert len(rows) == 3
+
+
+def test_bind_arithmetic_precedence(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?next WHERE {{
+          ?s ex:age ?age .
+          BIND(?age + 2 * 5 AS ?next)
+        }} ORDER BY ?s
+    """).collect()
+    # + splits before *: 30 + (2*5) = 40, not (30+2)*5
+    assert rows[0].next == "40.0"
+
+
+def test_bind_iri_strlen_replace(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?fixed ?who WHERE {{
+          ?s ex:name ?name .
+          BIND(STRLEN(?name) AS ?n)
+          BIND(REPLACE(?name, "o", "0") AS ?fixed)
+          BIND(IRI(CONCAT("{EX}person/", LCASE(?name))) AS ?who)
+        }}
+    """, raw_terms=True).collect()
+    assert (rows[0].n, rows[0].fixed) == ('"3.0"', '"B0b"')
+    assert rows[0].who == f"<{EX}person/bob>"
+
+
+def test_bind_filter_sees_bound_var(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:age ?age .
+          BIND(?age * 2 AS ?dbl)
+          FILTER(?dbl > 70)
+        }}
+    """).collect()
+    assert {r.s for r in rows} == {EX + "carol"}  # 41*2 = 82
+
+
+def test_bind_duplicate_and_unbound_errors(quads):
+    with pytest.raises(SparqlError):
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{ ?s ex:age ?age .
+                               BIND(?age AS ?age) }}""")
+    with pytest.raises(SparqlError):
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{ ?s ex:age ?age .
+                               BIND(?nope + 1 AS ?x) }}""")
+
+
+def test_values_single_var(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{
+          ?s ex:age ?age .
+          VALUES ?age {{ "30" "41" }}
+        }} ORDER BY ?age
+    """).collect()
+    assert [(r.s, r.age) for r in rows] == \
+        [(EX + "alice", "30"), (EX + "carol", "41")]
+
+
+def test_values_multi_var(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age ?tag WHERE {{
+          ?s ex:age ?age .
+          VALUES (?age ?tag) {{ ("30" "thirty") ("25" "quarter") }}
+        }} ORDER BY ?age
+    """).collect()
+    assert [(r.s, r.tag) for r in rows] == \
+        [(EX + "bob", "quarter"), (EX + "alice", "thirty")]
+
+
+def test_values_undef_rejected(quads):
+    with pytest.raises(SparqlError):
+        parse_sparql("""SELECT ?s WHERE {
+            ?s ?p ?o . VALUES ?o { UNDEF "x" } }""")
+
+
+def test_construct_basic(quads):
+    from kgloom.sparql import sparql_construct
+    out = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:aged ?age . ?s a ex:Aged . }}
+        WHERE {{ ?s ex:age ?age . FILTER(?age > 26) }}
+    """)
+    assert out.columns == ["subj", "pred", "obj", "graph"]
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        (f"<{EX}alice>", f"<{EX}aged>", '"30"'),
+        (f"<{EX}carol>", f"<{EX}aged>", '"41"'),
+        (f"<{EX}alice>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         f"<{EX}Aged>"),
+        (f"<{EX}carol>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         f"<{EX}Aged>"),
+    }
+
+
+def test_construct_skips_unbound_and_literal_subject(quads):
+    from kgloom.sparql import sparql_construct
+    # ?name only binds for bob (OPTIONAL); other solutions skip the
+    # template triple instead of emitting a null term
+    out = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:hasName ?name . }}
+        WHERE {{ ?s ex:age ?age . OPTIONAL {{ ?s ex:name ?name }} }}
+    """).collect()
+    assert {(r.subj, r.obj) for r in out} == {(f"<{EX}bob>", '"Bob"@en')}
+    # a literal flowing into the subject position is skipped, not emitted
+    out2 = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?age ex:of ?s . }} WHERE {{ ?s ex:age ?age . }}
+    """).collect()
+    assert out2 == []
+
+
+def test_construct_feeds_select(quads):
+    """CONSTRUCT output is a quad DataFrame the SELECT engine accepts —
+    the KG→KG chain in one session."""
+    from kgloom.sparql import sparql_construct
+    derived = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:ageCopy ?age . }} WHERE {{ ?s ex:age ?age . }}
+    """)
+    rows = sparql_select(derived, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(?v) AS ?n) WHERE {{ ?s ex:ageCopy ?v . }}
+        GROUP BY ?s ORDER BY ?s
+    """).collect()
+    assert [(r.s, r.n) for r in rows] == \
+        [(EX + "alice", 1), (EX + "bob", 1), (EX + "carol", 1)]
+
+
+def test_construct_template_validation(quads):
+    from kgloom.sparql import sparql_construct
+    with pytest.raises(SparqlError):
+        sparql_construct(quads, 'CONSTRUCT { "lit" <http://p> ?o } '
+                                'WHERE { ?s ?p ?o . }')
+    with pytest.raises(SparqlError):
+        sparql_construct(quads, 'CONSTRUCT { ?s "notiri" ?o } '
+                                'WHERE { ?s ?p ?o . }')
+    with pytest.raises(SparqlError):
+        sparql_construct(quads, 'CONSTRUCT { } WHERE { ?s ?p ?o . }')
