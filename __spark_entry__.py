@@ -474,6 +474,27 @@ def q_text_winnow(spark, sf_dir):
     return T.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (kgloom/ops/retrieval.py): every document
+    matching at least one query term, scored with the Lucene idf
+    variant — postings filtered to the query vocabulary inside the
+    explode, corpus scalars broadcast, one lazy plan."""
+    from kgloom.ops.retrieval import bm25_scores
+    return bm25_scores(_docs(spark, sf_dir), "spark join merge window data")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the constructed KG's IRI→IRI edges (partOf +
+    usedTool triples): damped power iteration with dangling-mass
+    redistribution, one shuffle per round, lineage truncated via
+    localCheckpoint (kgloom/ops/graph.py)."""
+    from kgloom.ops.graph import pagerank
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), k=5,
                          query_ids=list(range(10))).select(
@@ -559,11 +580,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subwords": q_text_subwords,
         "text_redact_pii": q_text_redact_pii,
         "text_winnow": q_text_winnow,
+        "text_bm25": q_text_bm25,
+        "graph_pagerank": q_graph_pagerank,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _pagerank_sql(edges_cte: str, damping: float = 0.85,
+                  iterations: int = 3) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs (DuckDB has no
+    loop construct, so each round is one CTE generated here) — the
+    relational replay of kgloom.ops.graph.pagerank, dangling-mass
+    redistribution included."""
+    # mirror the engine's float exactly: F.lit(1.0 - damping) is the
+    # Python double 1.0-0.85, not the decimal literal 0.15
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [f"""edges AS ({edges_cte}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         {one_minus_d} / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0.0)
+                  + (SELECT COALESCE(SUM(r.rank), 0.0) FROM r{p} r
+                     LEFT JOIN deg ON r.node = deg.src
+                     WHERE deg.src IS NULL) / (SELECT n FROM nn)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / d.od) AS contrib
+             FROM r{p} r JOIN edges e ON r.node = e.src
+             JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) c ON n.node = c.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM r{iterations}")
 
 
 _SHINGLES_CTE = """
@@ -1145,6 +1201,52 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT doc_id, unnest(fps) AS fp FROM w
         """,
+        # BM25 (Lucene idf variant, k1=1.2 b=0.75): postings restricted
+        # to the query vocabulary, df/N/avgdl over the full corpus —
+        # k1+1 = 2.2, 1-b = 0.25 written as the exact Python doubles
+        "text_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            postings AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN ('data', 'join', 'merge', 'spark', 'window')
+              GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM postings
+                      GROUP BY term),
+            dl AS (SELECT doc_id,
+                          len(string_split(lower(text), ' ')) AS dl
+                   FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl)
+            SELECT p.doc_id, COUNT(*) AS n_hit_terms,
+                   SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                     AS score
+            FROM postings p
+            JOIN dfreq f USING (term)
+            JOIN dl d USING (doc_id), stats s
+            GROUP BY p.doc_id
+        """,
+        # PageRank replay: the KG's IRI→IRI edges (partOf + usedTool),
+        # 3 unrolled power-iteration rounds
+        "graph_pagerank": _pagerank_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>' AS src,
+                   '<http://kg.example/conv/' || conv_id || '>' AS dst
+            FROM tr
+            UNION
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>',
+                   '<http://kg.example/tool/' || tool || '>'
+            FROM tr WHERE tool IS NOT NULL""",
+            damping=0.85, iterations=3),
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,0 +1,93 @@
+"""Graph analytics over edge lists extracted from a constructed KG —
+the post-construction measures (node importance, hub detection) a KG
+pipeline reports on its output.
+
+PageRank is the classic iterative power-method: rank flows along
+out-edges each round, damped, with dangling-node mass redistributed
+uniformly (so total rank stays 1.0 and the result matches textbook
+PageRank, not a leaky approximation).
+
+100-TB design: each iteration is one shuffle (rank × edge join +
+hash-aggregate on the destination) — the same shape GraphFrames/Pregel
+produce; corpus scalars (node count, per-round dangling mass) are
+1-row DataFrames broadcast-cross-joined into the update expression, so
+NOTHING is collected to the driver; `localCheckpoint` truncates the
+lineage each round (the iterative-plan blowup guard the ER connected-
+components pass already uses, `kgloom/transcripts/er.py`); the edge
+list with out-degrees is computed once and persisted (tracked —
+release via :func:`kgloom.ops.cache.unpersist_tracked`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cache import tracked_persist
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iterations: int = 5, src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of damped power
+    iteration over the distinct directed edges; ranks sum to 1.0.
+
+    rank'(n) = (1-d)/N + d · (Σ_{m→n} rank(m)/outdeg(m) + dangling/N)
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges that round.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct())
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ew = tracked_persist(e.join(outdeg, "src"))   # (src, dst, out_deg)
+
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+             .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")))
+    for _ in range(iterations):
+        contrib = (ranks.join(ew, ranks["node"] == ew["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("out_deg")).alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("contrib")))
+        dangling = (ranks.join(outdeg, ranks["node"] == outdeg["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dangling")))
+        ranks = (nodes
+                 .join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit((1.0 - damping)) / F.col("n_nodes")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("dangling") / F.col("n_nodes")))
+                         .alias("rank")))
+        # truncate the iterative lineage; without this, round i's plan
+        # contains rounds 0..i-1 and optimization time grows superlinearly
+        ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def degree_summary(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree) over the distinct edge set —
+    two hash aggregates and an outer merge, no driver traffic."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct())
+    out_d = (e.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("out_degree")))
+    in_d = (e.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("in_degree")))
+    return (out_d.join(in_d, "node", "full")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))

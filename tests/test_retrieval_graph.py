@@ -1,0 +1,138 @@
+"""BM25/TF-IDF retrieval (kgloom/ops/retrieval.py) and graph analytics
+(kgloom/ops/graph.py) — each checked against a straightforward pure-
+Python reference implementation on small corpora/graphs."""
+
+import math
+
+import pytest
+
+from kgloom.ops.graph import degree_summary, pagerank
+from kgloom.ops.retrieval import bm25_scores, bm25_topk, tf_idf
+
+DOCS = [
+    (0, "spark join merge"),
+    (1, "spark spark spark filter"),
+    (2, "window sort window"),
+    (3, "join join join join merge spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    """Reference BM25 (Lucene idf variant) over DOCS."""
+    toks = [d[1].split(" ") for d in DOCS]
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for term in sorted(set(query.split(" "))):
+        df = sum(1 for t in toks if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for (doc_id, _), t in zip(DOCS, toks):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + s
+    return scores
+
+
+def test_bm25_matches_reference(docs):
+    got = {r.doc_id: r.score for r in
+           bm25_scores(docs, "spark join").collect()}
+    want = _py_bm25("spark join")
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+
+
+def test_bm25_duplicate_query_terms_count_once(docs):
+    a = {r.doc_id: r.score for r in
+         bm25_scores(docs, "spark spark").collect()}
+    b = {r.doc_id: r.score for r in bm25_scores(docs, "spark").collect()}
+    assert a == b
+
+
+def test_bm25_topk_order_and_tiebreak(docs):
+    rows = bm25_topk(docs, "join", k=2).collect()
+    want = sorted(_py_bm25("join").items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r.doc_id,) for r in rows] == [(d,) for d, _ in want]
+
+
+def test_bm25_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        bm25_scores(docs, "   ")
+
+
+def test_tf_idf(docs):
+    rows = tf_idf(docs, terms=["spark", "window"]).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in rows}
+    # 'spark' appears in docs 0,1,3 (df=3); 'window' only in 2 (df=1)
+    assert got[(1, "spark")][0] == 3 and got[(1, "spark")][1] == 3
+    assert got[(1, "spark")][2] == pytest.approx(3 * math.log(4 / 3))
+    assert got[(2, "window")] == (2, 1, pytest.approx(2 * math.log(4.0)))
+    assert (0, "merge") not in got  # restricted postings
+
+
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+
+
+def _py_pagerank(edges, d=0.85, iters=5):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        rank = {v: (1 - d) / n + d * (contrib[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_pagerank_matches_reference(edges):
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    want = _py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 'c' is dangling; without redistribution total rank would decay
+    e = spark.createDataFrame([("a", "c"), ("b", "c")],
+                              "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    want = _py_pagerank([("a", "c"), ("b", "c")], iters=3)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                              "src string, dst string")
+    got = [r.rank for r in pagerank(e, iterations=4).collect()]
+    assert all(x == pytest.approx(1 / 3, abs=1e-12) for x in got)
+
+
+def test_degree_summary(edges):
+    got = {r.node: (r.out_degree, r.in_degree)
+           for r in degree_summary(edges).collect()}
+    assert got == {"a": (2, 2), "b": (1, 1), "c": (1, 2), "d": (1, 0)}
