@@ -384,6 +384,62 @@ def q_sparql_kg_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _kg_with_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constructed turn-triples KG enriched with ``kg:next``
+    successor edges (turn i → the conversation's next turn by
+    ``turn_idx`` order) — the chain relation the property-path queries
+    traverse.  One window pass (partitioned by conversation), rendered
+    IRIs, unioned with the engine-constructed KG; pure Catalyst."""
+    from pyspark.sql.window import Window
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    turns = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+
+    def turn_iri(idx):
+        return F.concat(F.lit("<http://kg.example/conv/"), F.col("conv_id"),
+                        F.lit("/turn/"), idx.cast("string"), F.lit(">"))
+
+    nxt = (turns
+           .withColumn("next_idx", F.lead("turn_idx").over(w))
+           .where(F.col("next_idx").isNotNull())
+           .select(turn_iri(F.col("turn_idx")).alias("subj"),
+                   F.lit("<http://kg.example/ontology/next>").alias("pred"),
+                   turn_iri(F.col("next_idx")).alias("obj")))
+    return triples.unionByName(nxt)
+
+
+def q_sparql_kg_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property paths over the constructed KG: ``kg:next+``
+    transitive closure (distributed path doubling — ⌈log2 L⌉ shuffle
+    rounds for chain length L) joined with a ``kg:next/kg:usedTool``
+    sequence path: every turn pair (a strictly-before b) where b's
+    successor turn invoked a tool."""
+    from kgloom.sparql import sparql_select
+    quads = _kg_with_next(spark, sf_dir)
+    return sparql_select(quads, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT DISTINCT ?a ?b ?tool WHERE {
+          ?a kg:next+ ?b .
+          ?b kg:next/kg:usedTool ?tool .
+        }
+    """)
+
+
+def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL inverse + alternation + sequence path: conversations to
+    every tool IRI or role literal of their turns via
+    ``^kg:partOf/(kg:usedTool|kg:role)`` — inverse edge walk into a
+    unioned alternative, compiled to a constant-pred scan join/union."""
+    from kgloom.sparql import sparql_select
+    quads = _kg_with_next(spark, sf_dir)
+    return sparql_select(quads, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT DISTINCT ?conv ?v WHERE {
+          ?conv ^kg:partOf/(kg:usedTool|kg:role) ?v .
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -565,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_agg": q_sparql_kg_agg,
         "sparql_kg_construct": q_sparql_kg_construct,
         "sparql_kg_bind": q_sparql_kg_bind,
+        "sparql_kg_path": q_sparql_kg_path,
+        "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -845,6 +903,36 @@ def oracle_sql() -> dict[str, str]:
                      || conv_id || '/turn/'
                      || CAST(turn_idx AS VARCHAR) AS label
             FROM tr WHERE role IN ('user', 'assistant')
+        """,
+        # property-path replay: kg:next chains consecutive turn_idx
+        # within a conversation, so next+ is exactly the strict
+        # turn-order relation (a.turn_idx < b.turn_idx, same conv) and
+        # next/usedTool lands on b's successor row's tool
+        "sparql_kg_path": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+              'http://kg.example/conv/' || a.conv_id || '/turn/'
+                || CAST(a.turn_idx AS VARCHAR) AS a,
+              'http://kg.example/conv/' || b.conv_id || '/turn/'
+                || CAST(b.turn_idx AS VARCHAR) AS b,
+              'http://kg.example/tool/' || c.tool AS tool
+            FROM tr a
+            JOIN tr b ON a.conv_id = b.conv_id
+                     AND a.turn_idx < b.turn_idx
+            JOIN tr c ON c.conv_id = b.conv_id
+                     AND c.turn_idx = b.turn_idx + 1
+                     AND c.tool IS NOT NULL
+        """,
+        # inverse+alternation replay: conv → every tool IRI or role
+        # lexical value over its member turns
+        "sparql_kg_path_alt": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT * FROM (
+              SELECT 'http://kg.example/conv/' || conv_id AS conv,
+                     'http://kg.example/tool/' || tool AS v
+              FROM tr WHERE tool IS NOT NULL
+              UNION ALL
+              SELECT 'http://kg.example/conv/' || conv_id, role FROM tr)
         """,
         "transcripts_mentions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})

@@ -38,6 +38,15 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for
+    :func:`unpersist_tracked` (for callers that persist incrementally —
+    e.g. a fixpoint loop — and only know the final survivor)."""
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
 def unpersist_tracked(blocking: bool = False) -> int:
     """Unpersist every operator intermediate registered since the last
     call; returns how many were released.  Safe to call at any time —

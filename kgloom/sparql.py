@@ -20,9 +20,21 @@ inline data (no UNDEF), ``FILTER`` with comparisons on variables
 (string or numeric), ``ORDER BY``/``DESC``, ``LIMIT`` — plus
 ``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
 which returns a quad DataFrame (so a query result is itself a KG the
-engine can serialize, re-query, or feed to another mapping).
-Unsupported syntax raises ``SparqlError`` (SERVICE, MINUS, property
-paths).
+engine can serialize, re-query, or feed to another mapping), and
+property paths in the predicate position: sequence ``p1/p2``, inverse
+``^p``, alternation ``p1|p2``, grouping ``(p)`` and the closures
+``p+`` / ``p*`` / ``p?``.  Unsupported syntax raises ``SparqlError``
+(SERVICE, MINUS, negated property sets ``!p``).
+
+Path execution is Spark-first: an atom is a constant-pred scan of the
+quad DataFrame, ``/`` is a join on the intermediate node, ``|`` a
+union, ``^`` an end swap — all lazy Catalyst plans.  ``p+`` is the
+standard distributed transitive closure by *path doubling*
+(R ∪ R∘R per round, so a length-``L`` chain converges in ⌈log2 L⌉
+shuffle rounds, not ``L``) with each round's relation persisted and
+the superseded one released; per SPARQL §18.4 ArbitraryLengthPath the
+closure's pair set is distinct.  Non-closure paths keep multiset
+semantics, matching the spec's translation to triple patterns.
 
 Within a group, execution order is BGP → sub-groups/UNION → OPTIONAL →
 VALUES → BIND → FILTER (a FILTER can see OPTIONAL- and BIND-introduced
@@ -72,6 +84,37 @@ class Var:
 
 
 Term = Union[Var, str]  # non-var terms are pre-rendered strings
+
+
+# --- property paths (predicate position only) ------------------------------
+
+@dataclass(frozen=True)
+class PathSeq:
+    """``p1/p2/...`` — end-to-end composition."""
+    steps: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """``p1|p2|...`` — union of alternatives."""
+    branches: tuple
+
+
+@dataclass(frozen=True)
+class PathInv:
+    """``^p`` — swapped subject/object."""
+    inner: object
+
+
+@dataclass(frozen=True)
+class PathClosure:
+    """``p+`` (one-or-more), ``p*`` (zero-or-more) or ``p?``
+    (zero-or-one)."""
+    inner: object
+    mod: str  # '+' | '*' | '?'
+
+
+Path = (PathSeq, PathAlt, PathInv, PathClosure)
 
 
 @dataclass
@@ -148,6 +191,7 @@ _TOKEN = re.compile(r"""
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<a>\ba\b)
     | (?P<punct>[;,.{}()])
+    | (?P<pathop>[/|^+*?!])
     )""", re.VERBOSE)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -210,6 +254,70 @@ def _tok_at(toks: list, i: int):
     return toks[i]
 
 
+def _parse_path_unary(toks: list, i: int, prefixes: dict[str, str]):
+    """``^path``, ``(path)`` or an IRI atom, with ``+``/``*``/``?``
+    postfix closure modifiers."""
+    kind, val = _tok_at(toks, i)
+    if (kind, val) == ("pathop", "^"):
+        node, i = _parse_path_unary(toks, i + 1, prefixes)
+        node = PathInv(node)
+    elif (kind, val) == ("punct", "("):
+        node, i = _parse_path_expr(toks, i + 1, prefixes)
+        if _tok_at(toks, i) != ("punct", ")"):
+            raise SparqlError("unbalanced parentheses in property path")
+        i += 1
+    elif (kind, val) == ("pathop", "!"):
+        raise SparqlError("negated property sets (!p) are unsupported")
+    else:
+        term = _resolve_term(kind, val, prefixes)
+        i += 1
+        if isinstance(term, Var):
+            # a predicate variable is a plain pattern, never a path step
+            if i < len(toks) and toks[i][0] == "pathop":
+                raise SparqlError(
+                    "variables cannot appear inside a property path")
+            return term, i
+        if not term.startswith("<"):
+            raise SparqlError(
+                f"property path atoms must be IRIs, got {term!r}")
+        node = term
+    while i < len(toks) and toks[i][0] == "pathop" and \
+            toks[i][1] in "+*?":
+        node = PathClosure(node, toks[i][1])
+        i += 1
+    return node, i
+
+
+def _parse_path_seq(toks: list, i: int, prefixes: dict[str, str]):
+    node, i = _parse_path_unary(toks, i, prefixes)
+    steps = [node]
+    while i < len(toks) and toks[i] == ("pathop", "/"):
+        node, i = _parse_path_unary(toks, i + 1, prefixes)
+        steps.append(node)
+    if len(steps) == 1:
+        return steps[0], i
+    if any(isinstance(s, Var) for s in steps):
+        raise SparqlError("variables cannot appear inside a property path")
+    return PathSeq(tuple(steps)), i
+
+
+def _parse_path_expr(toks: list, i: int, prefixes: dict[str, str]):
+    """Full path grammar at the predicate position: ``|`` binds loosest,
+    then ``/``, then unary ``^`` / postfix ``+ * ?``.  A path of one
+    plain IRI atom collapses back to the rendered-string Term so
+    non-path queries compile exactly as before."""
+    node, i = _parse_path_seq(toks, i, prefixes)
+    branches = [node]
+    while i < len(toks) and toks[i] == ("pathop", "|"):
+        node, i = _parse_path_seq(toks, i + 1, prefixes)
+        branches.append(node)
+    if len(branches) == 1:
+        return branches[0], i
+    if any(isinstance(b, Var) for b in branches):
+        raise SparqlError("variables cannot appear inside a property path")
+    return PathAlt(tuple(branches)), i
+
+
 def _parse_triples(body: str, prefixes: dict[str, str]
                    ) -> list[tuple[Term, Term, Term]]:
     """Triple patterns with ``;`` predicate lists and ``,`` object
@@ -225,9 +333,7 @@ def _parse_triples(body: str, prefixes: dict[str, str]
         subj = _resolve_term(kind, val, prefixes)
         i += 1
         while True:  # predicate lists (';')
-            pk, pv = _tok_at(toks, i)
-            pred = _resolve_term(pk, pv, prefixes)
-            i += 1
+            pred, i = _parse_path_expr(toks, i, prefixes)
             while True:  # object lists (',')
                 ok_, ov = _tok_at(toks, i)
                 obj = _resolve_term(ok_, ov, prefixes)
@@ -582,8 +688,39 @@ def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
     return names, aggs
 
 
+def _strip_comments(text: str) -> str:
+    """Drop ``# ...`` end-of-line comments — but a ``#`` inside a
+    ``<...>`` IRI (fragment identifiers: ``ontology#label``) or a
+    string literal is content, not a comment."""
+    out, i, n = [], 0, len(text)
+    in_str = in_iri = False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i:i + 2])
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif in_iri:
+            if ch == ">":
+                in_iri = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "<":
+            in_iri = True
+        elif ch == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def parse_sparql(text: str) -> SelectQuery:
-    text = re.sub(r"#[^\n]*", "", text)  # comments
+    text = _strip_comments(text)
     if _UNSUPPORTED.search(text):
         raise SparqlError(
             f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
@@ -677,11 +814,207 @@ def _join_shared(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.join(right, on=common) if common else left.crossJoin(right)
 
 
+# --- property-path evaluation ----------------------------------------------
+
+#: 2^64-length paths — effectively "until fixpoint" for any real graph;
+#: the cap only guards against a logic bug looping forever.
+_CLOSURE_MAX_ROUNDS = 64
+
+
+def _graph_nodes(quads: DataFrame) -> DataFrame:
+    """All RDF terms appearing as a node (subject or object) — the
+    domain of zero-length path solutions (SPARQL 1.1 §18.4 ZeroLengthPath)."""
+    return (quads.select(F.col("subj").alias("__node"))
+            .unionByName(quads.select(F.col("obj").alias("__node")))
+            .distinct())
+
+
+#: per-component edge budget for the in-partition closure path: a
+#: component at the cap emits at most ~edge_cap² ≈ 1M pairs from one
+#:  task (a few tens of MB of Arrow batch), safely inside executor
+#: memory.  Components above it take the distributed doubling path.
+CLOSURE_LOCAL_MAX_EDGES = 1_000
+
+
+def _closure_doubling(edges: DataFrame) -> DataFrame:
+    """Distinct transitive closure of an ``(__ps, __po)`` relation by
+    path doubling: each round unions in R∘R, so a diameter-``L``
+    component converges in ⌈log2 L⌉ rounds of one shuffle join each.
+    ``localCheckpoint`` (eager) truncates lineage every round — without
+    it the logical plan *triples* per round (join of acc with itself
+    plus the union), which is exponential plan growth even though the
+    data is cached; the checkpointed blocks of superseded rounds are
+    released when their RDDs are garbage-collected, same pattern as the
+    ER connected-components loop (kgloom/transcripts/er.py).
+
+    This is the giant-component fallback: doubling re-derives each
+    closure pair once per split point of its shortest path (O(Σ n³)
+    tuples before the distinct for chain-shaped components), which is
+    the price of log-round convergence when a single component is too
+    big for one task."""
+    acc = edges.localCheckpoint()
+    n = acc.count()
+    if n == 0:
+        return acc
+    for _ in range(_CLOSURE_MAX_ROUNDS):
+        grown = (acc.alias("l")
+                 .join(acc.alias("r"), F.col("l.__po") == F.col("r.__ps"))
+                 .select(F.col("l.__ps").alias("__ps"),
+                         F.col("r.__po").alias("__po"))
+                 .unionByName(acc)
+                 .distinct()
+                 .localCheckpoint())
+        m = grown.count()
+        if m == n:  # fixpoint
+            return acc
+        acc, n = grown, m
+    raise SparqlError(  # pragma: no cover — unreachable for finite graphs
+        f"property-path closure did not converge in "
+        f"{_CLOSURE_MAX_ROUNDS} doubling rounds")
+
+
+def _local_closure_fn(pdf):
+    """Per-component transitive closure inside one task: BFS from every
+    source node of the (small, gated) component — O(V·E) work, each
+    output pair emitted exactly once (no cross-split duplicate
+    generation, unlike doubling)."""
+    import pandas as pd
+
+    adj: dict = {}
+    for s, o in zip(pdf["__ps"], pdf["__po"]):
+        adj.setdefault(s, set()).add(o)
+    out_s: list = []
+    out_o: list = []
+    for x, direct in adj.items():
+        seen = set(direct)
+        frontier = list(direct)
+        while frontier:
+            nxt = []
+            for m in frontier:
+                for y in adj.get(m, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        nxt.append(y)
+            frontier = nxt
+        out_s.extend([x] * len(seen))
+        out_o.extend(seen)
+    return pd.DataFrame({"__ps": out_s, "__po": out_o})
+
+
+def _transitive_closure(edges: DataFrame) -> DataFrame:
+    """Distinct transitive closure of an ``(__ps, __po)`` relation,
+    sized per connected component (the ER-pass architecture,
+    kgloom/transcripts/er.py): label components with the size-gated CC
+    operator, then close each component ≤
+    :data:`CLOSURE_LOCAL_MAX_EDGES` edges *inside one task* via
+    ``applyInPandas`` BFS — embarrassingly parallel across components,
+    one shuffle, each closure pair produced exactly once.  Components
+    above the gate (a giant strongly-connected region that can't sit in
+    one task) fall back to distributed log-round path doubling.
+
+    Real KG chain relations (conversation turn orders, version
+    successors, org hierarchies) are exactly the many-small-components
+    shape, so the local path is the hot one; the doubling fallback
+    keeps a single web-scale component correct rather than fast."""
+    from kgloom.transcripts.er import connected_components
+
+    edges = edges.distinct().localCheckpoint()
+    comp = connected_components(
+        edges.select(F.col("__ps").alias("src"), F.col("__po").alias("dst")))
+    labeled = edges.join(
+        comp.withColumnRenamed("node", "__ps"), "__ps")
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__n_edges"))
+    labeled = labeled.join(sizes, "component")
+    small = (labeled
+             .where(F.col("__n_edges") <= CLOSURE_LOCAL_MAX_EDGES)
+             .groupBy("component")
+             .applyInPandas(_local_closure_fn, "__ps string, __po string"))
+    big = (labeled.where(F.col("__n_edges") > CLOSURE_LOCAL_MAX_EDGES)
+           .select("__ps", "__po"))
+    return small.unionByName(_closure_doubling(big))
+
+
+def _path_pairs(quads: DataFrame, path) -> DataFrame:
+    """All ``(__ps, __po)`` node pairs the path connects.  Atoms scan
+    the quad DataFrame constant-filtered on ``pred`` (the filter
+    reaches the source; Catalyst prunes to two columns); ``/`` joins on
+    the intermediate node, ``|`` unions, ``^`` swaps ends.  Non-closure
+    operators keep multiset semantics (the SPARQL translation to
+    triple patterns); closures are distinct per §18.4."""
+    if isinstance(path, str):  # IRI atom
+        return (quads.where(F.col("pred") == F.lit(path))
+                .select(F.col("subj").alias("__ps"),
+                        F.col("obj").alias("__po")))
+    if isinstance(path, PathInv):
+        inner = _path_pairs(quads, path.inner)
+        return inner.select(F.col("__po").alias("__ps"),
+                            F.col("__ps").alias("__po"))
+    if isinstance(path, PathSeq):
+        out = _path_pairs(quads, path.steps[0])
+        for step in path.steps[1:]:
+            nxt = _path_pairs(quads, step)
+            out = (out.alias("l")
+                   .join(nxt.alias("r"), F.col("l.__po") == F.col("r.__ps"))
+                   .select(F.col("l.__ps").alias("__ps"),
+                           F.col("r.__po").alias("__po")))
+        return out
+    if isinstance(path, PathAlt):
+        out = _path_pairs(quads, path.branches[0])
+        for b in path.branches[1:]:
+            out = out.unionByName(_path_pairs(quads, b))
+        return out
+    if isinstance(path, PathClosure):
+        inner = _path_pairs(quads, path.inner)
+        if path.mod == "+":
+            return _transitive_closure(inner)
+        zero = _graph_nodes(quads).select(
+            F.col("__node").alias("__ps"), F.col("__node").alias("__po"))
+        if path.mod == "?":
+            return inner.distinct().unionByName(zero).distinct()
+        return _transitive_closure(inner).unionByName(zero).distinct()
+    raise SparqlError(f"unsupported path {path!r}")  # pragma: no cover
+
+
+def _exec_path_pattern(quads: DataFrame, s: Term, path, o: Term
+                       ) -> DataFrame:
+    """One ``?s <path> ?o`` pattern as a solution DataFrame, mirroring
+    the plain-pattern binding rules (constant ends filter, repeated
+    variables force equality, fully-ground patterns are a one-row
+    existence probe)."""
+    df = _path_pairs(quads, path)
+    cols = []
+    if isinstance(s, Var):
+        cols.append(F.col("__ps").alias(s.name))
+    else:
+        # SPARQL §18.4: a zero-length path connects a constant term to
+        # itself even when absent from the graph — inject before filter
+        if isinstance(path, PathClosure) and path.mod in "*?":
+            one = quads.sparkSession.createDataFrame(
+                [(s, s)], "__ps string, __po string")
+            df = df.unionByName(one).distinct()
+        df = df.where(F.col("__ps") == F.lit(s))
+    if isinstance(o, Var):
+        if isinstance(s, Var) and o.name == s.name:
+            df = df.where(F.col("__ps") == F.col("__po"))
+        else:
+            cols.append(F.col("__po").alias(o.name))
+    else:
+        df = df.where(F.col("__po") == F.lit(o))
+    if not cols:
+        return df.select(F.lit(1).alias("__one")).limit(1)
+    return df.select(*cols)
+
+
 def _exec_bgp(quads: DataFrame,
               patterns: list[tuple[Term, Term, Term]]
               ) -> Optional[DataFrame]:
     result: Optional[DataFrame] = None
     for (s, p, o) in patterns:
+        if isinstance(p, Path):
+            df = _exec_path_pattern(quads, s, p, o)
+            result = df if result is None else _join_shared(result, df)
+            continue
         df = quads
         positions = {"subj": s, "pred": p, "obj": o}
         bound: dict[str, str] = {}
@@ -952,7 +1285,7 @@ def sparql_select(quads: DataFrame, query: str,
 # ---------------------------------------------------------------------------
 
 def _parse_construct(text: str):
-    text = re.sub(r"#[^\n]*", "", text)
+    text = _strip_comments(text)
     if _UNSUPPORTED.search(text):
         raise SparqlError(
             f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
@@ -984,6 +1317,9 @@ def _parse_construct(text: str):
     for (s, p, _o) in template:
         if not isinstance(s, Var) and s.startswith('"'):
             raise SparqlError("CONSTRUCT template subject cannot be a literal")
+        if isinstance(p, Path):
+            raise SparqlError(
+                "property paths are not allowed in a CONSTRUCT template")
         if not isinstance(p, Var) and not p.startswith("<"):
             raise SparqlError("CONSTRUCT template predicate must be an IRI")
     group = _parse_group(body, prefixes)

@@ -533,3 +533,173 @@ def test_construct_template_validation(quads):
                                 'WHERE { ?s ?p ?o . }')
     with pytest.raises(SparqlError):
         sparql_construct(quads, 'CONSTRUCT { } WHERE { ?s ?p ?o . }')
+
+
+# --- property paths --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """a→b→c→d ``next`` chain (+ a detached x→y edge, a p/q branch and
+    a self-loop node) for path-operator tests."""
+    E = "http://ex.com/"
+    rows = [
+        (f"<{E}a>", f"<{E}next>", f"<{E}b>", None),
+        (f"<{E}b>", f"<{E}next>", f"<{E}c>", None),
+        (f"<{E}c>", f"<{E}next>", f"<{E}d>", None),
+        (f"<{E}x>", f"<{E}next>", f"<{E}y>", None),
+        (f"<{E}a>", f"<{E}p>", f"<{E}m>", None),
+        (f"<{E}m>", f"<{E}q>", f"<{E}z>", None),
+        (f"<{E}loop>", f"<{E}next>", f"<{E}loop>", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_path_parse_precedence():
+    from kgloom.sparql import PathAlt, PathClosure, PathInv, PathSeq
+    q = parse_sparql(f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x ?y WHERE {{ ?x (ex:p|^ex:q)/ex:r* ?y . }}
+    """)
+    (s, path, o), = q.group.patterns
+    # '/' binds tighter than '|'?  No: '|' loosest — the parens force
+    # the alt first, then the sequence with the starred atom
+    assert isinstance(path, PathSeq) and len(path.steps) == 2
+    alt, star = path.steps
+    assert isinstance(alt, PathAlt) and isinstance(alt.branches[1], PathInv)
+    assert isinstance(star, PathClosure) and star.mod == "*"
+    # without parens: a|b/c == a|(b/c)
+    q2 = parse_sparql(f"PREFIX ex: <{EX}> SELECT ?x ?y "
+                      f"WHERE {{ ?x ex:a|ex:b/ex:c ?y . }}")
+    (_, p2, _), = q2.group.patterns
+    assert isinstance(p2, PathAlt) and isinstance(p2.branches[1], PathSeq)
+
+
+def test_path_rejects_vars_and_negation(chain):
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p+ ?y . }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x <http://p>/?p ?y . }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x !<http://p> ?y . }")
+    with pytest.raises(SparqlError):  # literal atom
+        parse_sparql('SELECT ?x WHERE { ?x "lit"+ ?y . }')
+
+
+def test_path_plus_transitive(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s ?o WHERE {{ ?s ex:next+ ?o . }}
+    """).collect()
+    got = {(r.s, r.o) for r in rows}
+    want = {(E + a, E + b) for a, b in
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("x", "y"), ("loop", "loop")]}
+    assert got == want and len(rows) == len(got)  # distinct per §18.4
+
+
+def test_path_sequence_and_inverse(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s ?o WHERE {{ ?s ex:p/ex:q ?o . }}
+    """).collect()
+    assert {(r.s, r.o) for r in rows} == {(E + "a", E + "z")}
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s WHERE {{ ?s ^ex:next ?o . FILTER(?o = ex:b) }}
+    """).collect()
+    assert [r.s for r in rows] == [E + "c"]  # c's predecessor-of view... b←a inverted
+
+
+def test_path_alternation_multiset(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:a (ex:next|ex:p) ?o . }}
+    """).collect()
+    assert sorted(r.o for r in rows) == [E + "b", E + "m"]
+
+
+def test_path_star_and_question(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:a ex:next* ?o . }}
+    """).collect()
+    assert {r.o for r in rows} == {E + s for s in "abcd"}
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:a ex:next? ?o . }}
+    """).collect()
+    assert {r.o for r in rows} == {E + "a", E + "b"}
+    # zero-length from a term absent from the graph still yields itself
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:ghost ex:next* ?o . }}
+    """).collect()
+    assert [r.o for r in rows] == [E + "ghost"]
+
+
+def test_path_same_var_both_ends(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?n WHERE {{ ?n ex:next+ ?n . }}
+    """).collect()
+    assert [r.n for r in rows] == [E + "loop"]
+
+
+def test_path_joins_with_plain_patterns(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s ?o ?m WHERE {{
+          ?s ex:next+ ?o .
+          ?s ex:p ?m .
+        }}
+    """).collect()
+    assert {(r.s, r.o, r.m) for r in rows} == \
+        {(E + "a", E + t, E + "m") for t in "bcd"}
+
+
+def test_path_ground_existence_probe(chain):
+    E = "http://ex.com/"
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?z WHERE {{ ex:a ex:next+ ex:d . ex:a ex:p ?z . }}
+    """).collect()
+    assert [r.z for r in rows] == [E + "m"]
+    rows = sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?z WHERE {{ ex:d ex:next+ ex:a . ex:a ex:p ?z . }}
+    """).collect()
+    assert rows == []
+
+
+def test_path_in_construct_where_not_template(chain):
+    from kgloom.sparql import sparql_construct
+    E = "http://ex.com/"
+    out = sparql_construct(chain, f"""
+        PREFIX ex: <{E}>
+        CONSTRUCT {{ ?s ex:reaches ?o }} WHERE {{ ?s ex:next+ ?o . }}
+    """).collect()
+    assert len(out) == 8 and all(r.pred == f"<{E}reaches>" for r in out)
+    with pytest.raises(SparqlError):
+        sparql_construct(chain, f"""
+            PREFIX ex: <{E}>
+            CONSTRUCT {{ ?s ex:a/ex:b ?o }} WHERE {{ ?s ex:next ?o . }}
+        """)
+
+
+def test_path_closure_doubling_fallback_matches(chain, monkeypatch):
+    """Forcing every component above the local gate routes the closure
+    through the distributed path-doubling fallback — same pairs."""
+    import kgloom.sparql as sp
+    E = "http://ex.com/"
+    q = f"PREFIX ex: <{E}> SELECT ?s ?o WHERE {{ ?s ex:next+ ?o . }}"
+    local = {(r.s, r.o) for r in sparql_select(chain, q).collect()}
+    monkeypatch.setattr(sp, "CLOSURE_LOCAL_MAX_EDGES", 0)
+    doubled = {(r.s, r.o) for r in sparql_select(chain, q).collect()}
+    assert local == doubled and len(local) == 8
