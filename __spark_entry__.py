@@ -440,6 +440,58 @@ def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH over an engine-constructed two-named-graph KG:
+    nation names serialized into ``graph/names`` and region topology
+    into ``graph/topology`` by ONE plan (quad serializer templates),
+    then a cross-graph join — constant-IRI GRAPH scoping for the first
+    pattern, variable GRAPH binding (``?g``) for the second."""
+    from kgloom.sparql import sparql_select
+    g = Plan()
+    p = g.source(_table_source("nation"))
+    p = p.apply(ProjectOp(projection_attributes=frozenset(
+        {"n_nationkey", "n_name", "n_regionkey"})), "Projection")
+    p = p.apply(ExtendOp.make({
+        "sm": Function.iri(Function.uri_encode(
+            Function.template(EX + "nation/{n_nationkey}"))),
+        "p_name": Function.iri(Function.constant(EX + "ontology/name")),
+        "o_name": Function.literal(Function.reference("n_name")),
+        "g_names": Function.iri(Function.constant(EX + "graph/names")),
+        "p_reg": Function.iri(Function.constant(EX + "ontology/inRegion")),
+        "o_reg": Function.iri(Function.uri_encode(
+            Function.template(EX + "region/{n_regionkey}"))),
+        "g_topo": Function.iri(Function.constant(EX + "graph/topology")),
+    }), "Extend")
+    p = p.serialize(SerializerOp(template=(
+        "?sm ?p_name ?o_name ?g_names .\n?sm ?p_reg ?o_reg ?g_topo .")))
+    p = p.sink(_sink())
+    quads = _bind(spark, sf_dir, p, ["nation"])
+    return sparql_select(quads, f"""
+        SELECT DISTINCT ?n ?r ?g WHERE {{
+          GRAPH <{EX}graph/names> {{
+            ?s <{EX}ontology/name> ?n }}
+          GRAPH ?g {{ ?s <{EX}ontology/inRegion> ?r }}
+        }}
+    """)
+
+
+def q_sparql_kg_minus_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS + FILTER NOT EXISTS over the constructed KG: roles
+    of turns, MINUS the tool-invoking turns (anti join on the shared
+    ?turn), NOT EXISTS the assistant turns — leaving exactly the user
+    turns, each negation compiled to a distinct left-anti join."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?role WHERE {
+          ?turn kg:role ?role .
+          MINUS { ?turn kg:usedTool ?tool }
+          FILTER NOT EXISTS { ?turn kg:role "assistant" }
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -623,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_bind": q_sparql_kg_bind,
         "sparql_kg_path": q_sparql_kg_path,
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
+        "sparql_kg_graph": q_sparql_kg_graph,
+        "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -903,6 +957,25 @@ def oracle_sql() -> dict[str, str]:
                      || conv_id || '/turn/'
                      || CAST(turn_idx AS VARCHAR) AS label
             FROM tr WHERE role IN ('user', 'assistant')
+        """,
+        # named-graph replay: names live only in graph/names, topology
+        # only in graph/topology, so the cross-graph join is a plain
+        # nation-row projection and ?g always binds graph/topology
+        "sparql_kg_graph": f"""
+            SELECT DISTINCT n_name AS n,
+                   '{ex}region/' || CAST(n_regionkey AS VARCHAR) AS r,
+                   '{ex}graph/topology' AS g
+            FROM nation
+        """,
+        # negation replay: MINUS removes tool-invoking turns (exactly
+        # the role='tool' rows, which always carry a tool), NOT EXISTS
+        # removes assistant turns — user turns remain
+        "sparql_kg_minus_exists": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   role
+            FROM tr WHERE tool IS NULL AND role <> 'assistant'
         """,
         # property-path replay: kg:next chains consecutive turn_idx
         # within a conversation, so next+ is exactly the strict

@@ -14,10 +14,16 @@ Supported subset (the mapping-source shape the fixtures use):
 ``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v | *) AS ?alias)`` with ``GROUP
 BY`` and ``HAVING``, basic graph patterns with ``;`` predicate lists
 and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
-{ ... }``, nested ``{}`` groups, ``BIND(expr AS ?v)`` (CONCAT / STR /
+{ ... }``, nested ``{}`` groups, ``GRAPH ?g|<iri> { ... }`` named-graph
+scoping (the default BGP matches the union of all graphs; a GRAPH
+scope propagates to nested groups), ``MINUS`` (anti join on the shared
+variables; no shared variables removes nothing, §8.3), ``FILTER
+[NOT] EXISTS`` (semi/anti join, sees all of the group's bindings),
+``BIND(expr AS ?v)`` (CONCAT / STR /
 UCASE / LCASE / STRLEN / IRI / REPLACE + arithmetic), ``VALUES``
 inline data (no UNDEF), ``FILTER`` with comparisons on variables
-(string or numeric), ``ORDER BY``/``DESC``, ``LIMIT`` — plus
+(string or numeric), ``ORDER BY``/``DESC``, ``LIMIT``, ``ASK`` via
+:func:`sparql_ask` (a limit-1 probe) — plus
 ``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
 which returns a quad DataFrame (so a query result is itself a KG the
 engine can serialize, re-query, or feed to another mapping), and
@@ -130,10 +136,15 @@ class GroupPattern:
     binds: list[tuple["Expr", str]] = field(default_factory=list)
     values: list[tuple[list[str], list[list[str]]]] = \
         field(default_factory=list)   # (vars, rendered-term rows)
+    graphs: list[tuple[Term, "GroupPattern"]] = \
+        field(default_factory=list)   # GRAPH ?g|<iri> { ... }
+    minuses: list["GroupPattern"] = field(default_factory=list)
+    exists: list[tuple[bool, "GroupPattern"]] = \
+        field(default_factory=list)   # (negated?, group)
 
     def is_empty(self) -> bool:
         return not (self.patterns or self.optionals or self.unions
-                    or self.values or self.binds)
+                    or self.values or self.binds or self.graphs)
 
 
 @dataclass(frozen=True)
@@ -243,7 +254,7 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(SERVICE|GRAPH|MINUS|ASK|DESCRIBE|EXISTS)\b", re.IGNORECASE)
+    r"\b(SERVICE|DESCRIBE)\b", re.IGNORECASE)
 
 
 def _tok_at(toks: list, i: int):
@@ -570,8 +581,51 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
             g.optionals.append(_parse_group(inner, prefixes))
             chunk_start = i = j
             continue
+        if _at_keyword(text, i, "GRAPH"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"GRAPH\s+(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>"
+                         r"|[A-Za-z_][\w-]*:[\w.-]*)\s*", text[i:],
+                         re.IGNORECASE)
+            if m is None:
+                raise SparqlError("GRAPH needs ?var or an IRI")
+            gterm_src = m.group(1)
+            if gterm_src.startswith("?"):
+                gterm: Term = Var(gterm_src[1:])
+            elif gterm_src.startswith("<"):
+                gterm = gterm_src
+            else:
+                gterm = _resolve_term("pname", gterm_src, prefixes)
+            k = i + m.end()
+            if k >= n or text[k] != "{":
+                raise SparqlError("GRAPH must be followed by a group")
+            inner, j = _take_braced(text, k)
+            g.graphs.append((gterm, _parse_group(inner, prefixes)))
+            chunk_start = i = j
+            continue
+        if _at_keyword(text, i, "MINUS"):
+            chunks.append(text[chunk_start:i])
+            m = re.match(r"MINUS\s*", text[i:], re.IGNORECASE)
+            k = i + m.end()
+            if k >= n or text[k] != "{":
+                raise SparqlError("MINUS must be followed by a group")
+            inner, j = _take_braced(text, k)
+            g.minuses.append(_parse_group(inner, prefixes))
+            chunk_start = i = j
+            continue
         if _at_keyword(text, i, "FILTER"):
             chunks.append(text[chunk_start:i])
+            em = re.match(r"FILTER\s+(NOT\s+)?EXISTS\s*", text[i:],
+                          re.IGNORECASE)
+            if em is not None:
+                k = i + em.end()
+                if k >= n or text[k] != "{":
+                    raise SparqlError(
+                        "FILTER [NOT] EXISTS must be followed by a group")
+                inner, j = _take_braced(text, k)
+                g.exists.append((bool(em.group(1)),
+                                 _parse_group(inner, prefixes)))
+                chunk_start = i = j
+                continue
             m = re.match(r"FILTER\s*\(([^()]*)\)", text[i:], re.IGNORECASE)
             if m is None:
                 raise SparqlError(
@@ -1007,16 +1061,33 @@ def _exec_path_pattern(quads: DataFrame, s: Term, path, o: Term
 
 
 def _exec_bgp(quads: DataFrame,
-              patterns: list[tuple[Term, Term, Term]]
+              patterns: list[tuple[Term, Term, Term]],
+              graph_term: Optional[Term] = None
               ) -> Optional[DataFrame]:
+    """``graph_term`` scopes the BGP to named graphs (a ``GRAPH``
+    group): a constant filters the ``graph`` column, a variable binds
+    it per pattern (the natural join then unifies it across patterns,
+    exactly like any other shared variable).  ``None`` — the default —
+    matches the union of all graphs (union default graph, the usual
+    quad-store reading)."""
+    if isinstance(graph_term, str):
+        quads = quads.where(F.col("graph") == F.lit(graph_term))
+    elif isinstance(graph_term, Var):
+        quads = quads.where(F.col("graph").isNotNull())
     result: Optional[DataFrame] = None
     for (s, p, o) in patterns:
         if isinstance(p, Path):
+            if isinstance(graph_term, Var):
+                raise SparqlError(
+                    "property paths inside GRAPH ?var are unsupported "
+                    "(use a constant graph IRI)")
             df = _exec_path_pattern(quads, s, p, o)
             result = df if result is None else _join_shared(result, df)
             continue
         df = quads
         positions = {"subj": s, "pred": p, "obj": o}
+        if isinstance(graph_term, Var):
+            positions["graph"] = graph_term
         bound: dict[str, str] = {}
         cols = []
         for pos, term in positions.items():
@@ -1152,29 +1223,51 @@ def _expr_term(e: Expr) -> F.Column:
 
 
 def _exec_group(quads: DataFrame, g: GroupPattern,
-                prefixes: dict[str, str]) -> DataFrame:
+                prefixes: dict[str, str],
+                graph_term: Optional[Term] = None) -> DataFrame:
     """Execute one group: BGP join, then inline/UNION groups, then
-    OPTIONAL left joins, then the group's FILTERs (so a filter can see
-    optionally-bound variables)."""
-    result = _exec_bgp(quads, g.patterns)
+    GRAPH groups, then OPTIONAL left joins, then MINUS anti joins, then
+    the group's FILTERs (so a filter can see optionally-bound
+    variables), then FILTER [NOT] EXISTS semi/anti joins (which see
+    everything).  ``graph_term`` is the active graph (a GRAPH scope
+    propagates to every nested group, per SPARQL §13.3)."""
+    result = _exec_bgp(quads, g.patterns, graph_term)
     for branches in g.unions:
-        dfs = [_exec_group(quads, b, prefixes) for b in branches]
+        dfs = [_exec_group(quads, b, prefixes, graph_term)
+               for b in branches]
         u = dfs[0]
         for d in dfs[1:]:
             # UNION branches may bind different variable sets — missing
             # variables are null-filled (SPARQL unbound semantics)
             u = u.unionByName(d, allowMissingColumns=True)
         result = u if result is None else _join_shared(result, u)
+    for gterm, sub in g.graphs:
+        gdf = _exec_group(quads, sub, prefixes, gterm)
+        result = gdf if result is None else _join_shared(result, gdf)
     for opt in g.optionals:
         if result is None:
             raise SparqlError(
                 "OPTIONAL requires a preceding pattern in its group")
-        odf = _exec_group(quads, opt, prefixes)
+        odf = _exec_group(quads, opt, prefixes, graph_term)
         shared = [c for c in result.columns if c in odf.columns]
         if not shared:
             raise SparqlError(
                 "OPTIONAL with no shared variables is unsupported")
         result = result.join(odf, on=shared, how="left")
+    for mg in g.minuses:
+        if result is None:
+            raise SparqlError(
+                "MINUS requires a preceding pattern in its group")
+        sub = _exec_group(quads, mg, prefixes, graph_term)
+        shared = [c for c in result.columns if c in sub.columns]
+        # no shared variables → no solution is compatible → MINUS
+        # removes nothing (SPARQL §8.3); shared-var rows anti-join
+        # (a null/unbound shared key never matches, so OPTIONAL-null
+        # rows survive — the subset's documented reading of
+        # compatibility over partially-bound solutions)
+        if shared:
+            result = result.join(sub.select(*shared).distinct(),
+                                 on=shared, how="left_anti")
     for vars_, rows in g.values:
         vdf = quads.sparkSession.createDataFrame(
             rows, ", ".join(f"{v} string" for v in vars_))
@@ -1195,7 +1288,45 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
         result = result.withColumn(name, _expr_term(expr))
     for var, op, raw in g.filters:
         result = _apply_filter(result, var, op, raw, prefixes)
+    for negated, eg in g.exists:
+        sub = _exec_group(quads, eg, prefixes, graph_term)
+        shared = [c for c in result.columns if c in sub.columns]
+        if shared:
+            result = result.join(sub.select(*shared).distinct(),
+                                 on=shared,
+                                 how="left_anti" if negated else "left_semi")
+        else:
+            # variable-disjoint EXISTS: a pure emptiness probe on the
+            # sub-pattern gates every solution
+            probe = sub.select(F.lit(1).alias("__e")).limit(1)
+            result = result.join(
+                probe, F.lit(True),
+                "left_anti" if negated else "left_semi")
     return result
+
+
+def sparql_ask(quads: DataFrame, query: str) -> bool:
+    """Execute a SPARQL ``ASK { ... }`` subset: True iff the pattern
+    has at least one solution.  Compiles to the same group executor as
+    SELECT with a ``limit(1)`` probe — one short-circuiting job, never
+    a full materialization."""
+    text = _strip_comments(query)
+    if _UNSUPPORTED.search(text):
+        raise SparqlError(
+            f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^>]*)>", text,
+                         re.IGNORECASE):
+        prefixes[m.group(1) or ""] = m.group(2)
+    text = re.sub(r"PREFIX\s+[\w-]*:\s*<[^>]*>", "", text, flags=re.IGNORECASE)
+    m = re.search(r"ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", text,
+                  re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise SparqlError("not an ASK query")
+    group = _parse_group(m.group(1), prefixes)
+    if group.is_empty():
+        raise SparqlError("empty basic graph pattern")
+    return _exec_group(quads, group, prefixes).limit(1).count() > 0
 
 
 def _agg_expr(a: AggExpr) -> F.Column:

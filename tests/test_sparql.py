@@ -76,13 +76,13 @@ def test_raw_terms_mode(quads):
 
 
 def test_unsupported_features_raise():
-    with pytest.raises(SparqlError):
-        parse_sparql("SELECT ?s WHERE { ?s ?p ?o . "
-                     "MINUS { ?s ?q ?r } }")
+    # ASK queries go through sparql_ask, not parse_sparql
     with pytest.raises(SparqlError):
         parse_sparql("ASK { ?s ?p ?o }")
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }")
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE <http://x>")
 
 
 def test_truncated_bgp_raises_sparql_error():
@@ -703,3 +703,77 @@ def test_path_closure_doubling_fallback_matches(chain, monkeypatch):
     monkeypatch.setattr(sp, "CLOSURE_LOCAL_MAX_EDGES", 0)
     doubled = {(r.s, r.o) for r in sparql_select(chain, q).collect()}
     assert local == doubled and len(local) == 8
+
+
+# --- GRAPH / MINUS / EXISTS / ASK ------------------------------------------
+
+@pytest.fixture(scope="module")
+def gquads(spark):
+    rows = [
+        ("<a>", "<p>", "<b>", "<g1>"),
+        ("<a>", "<p>", "<c>", "<g2>"),
+        ("<b>", "<q>", '"x"', None),
+        ("<c>", "<q>", '"y"', "<g1>"),
+        ("<d>", "<p>", "<e>", "<g1>"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_graph_constant_scopes_bgp(gquads):
+    rows = sparql_select(gquads,
+                         "SELECT ?s ?o WHERE { GRAPH <g1> { ?s <p> ?o } }")
+    assert {(r.s, r.o) for r in rows.collect()} == {("a", "b"), ("d", "e")}
+
+
+def test_graph_variable_binds_and_skips_default(gquads):
+    rows = sparql_select(gquads,
+                         "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
+    got = {(r.g, r.s) for r in rows.collect()}
+    # the default-graph quad (<b> <q> "x") never matches GRAPH ?g
+    assert got == {("g1", "a"), ("g1", "c"), ("g1", "d"), ("g2", "a")}
+
+
+def test_graph_cross_graph_join_and_default_union(gquads):
+    rows = sparql_select(gquads, """SELECT ?s ?v WHERE {
+        GRAPH <g2> { ?s <p> ?o } GRAPH <g1> { ?o <q> ?v } }""")
+    assert [(r.s, r.v) for r in rows.collect()] == [("a", "y")]
+    # outside GRAPH the BGP is the union of all graphs + default
+    rows = sparql_select(gquads, "SELECT ?v WHERE { ?o <q> ?v }")
+    assert sorted(r.v for r in rows.collect()) == ["x", "y"]
+
+
+def test_minus_and_disjoint_minus(gquads):
+    rows = sparql_select(gquads, """SELECT ?s ?o WHERE {
+        ?s <p> ?o . MINUS { ?o <q> ?v } }""")
+    assert [(r.s, r.o) for r in rows.collect()] == [("d", "e")]
+    # no shared variables: MINUS removes nothing (SPARQL §8.3)
+    rows = sparql_select(gquads, """SELECT ?s WHERE {
+        ?s <p> ?o . MINUS { ?x <q> ?v } }""")
+    assert rows.count() == 3
+
+
+def test_filter_exists_and_not_exists(gquads):
+    q = """SELECT ?s ?o WHERE {
+        ?s <p> ?o . FILTER EXISTS { ?o <q> ?v } }"""
+    assert {(r.s, r.o) for r in sparql_select(gquads, q).collect()} == \
+        {("a", "b"), ("a", "c")}
+    q = """SELECT ?s ?o WHERE {
+        ?s <p> ?o . FILTER NOT EXISTS { ?o <q> ?v } }"""
+    assert [(r.s, r.o) for r in sparql_select(gquads, q).collect()] == \
+        [("d", "e")]
+    # variable-disjoint probe gates all-or-nothing
+    q = "SELECT ?s WHERE { ?s <q> ?o . FILTER EXISTS { <d> <p> <e> } }"
+    assert sparql_select(gquads, q).count() == 2
+    q = "SELECT ?s WHERE { ?s <q> ?o . FILTER EXISTS { <zz> <p> <e> } }"
+    assert sparql_select(gquads, q).count() == 0
+
+
+def test_ask(gquads):
+    from kgloom.sparql import sparql_ask
+    assert sparql_ask(gquads, "ASK { <a> <p> ?x }") is True
+    assert sparql_ask(gquads, "ASK WHERE { <zz> <p> ?x }") is False
+    assert sparql_ask(gquads,
+                      "ASK { GRAPH <g2> { ?s <p> ?o } }") is True
+    with pytest.raises(SparqlError):
+        sparql_ask(gquads, "ASK { }")
