@@ -21,8 +21,11 @@ variables; no shared variables removes nothing, §8.3), ``FILTER
 [NOT] EXISTS`` (semi/anti join, sees all of the group's bindings),
 ``BIND(expr AS ?v)`` (CONCAT / STR /
 UCASE / LCASE / STRLEN / IRI / REPLACE + arithmetic), ``VALUES``
-inline data (no UNDEF), ``FILTER`` with comparisons on variables
-(string or numeric), ``ORDER BY``/``DESC``, ``LIMIT``, ``ASK`` via
+inline data (no UNDEF), ``FILTER`` boolean expressions (comparisons on
+variables, ``&&``/``||``/``!``, ``REGEX``, ``CONTAINS`` / ``STRSTARTS``
+/ ``STRENDS``, ``BOUND``, ``isIRI``/``isLITERAL``/``isBLANK``,
+``LANG(?v) = "tag"`` — all compiled to codegen'd Column predicates),
+``ORDER BY``/``DESC``, ``LIMIT``, ``ASK`` via
 :func:`sparql_ask` (a limit-1 probe) — plus
 ``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
 which returns a quad DataFrame (so a query result is itself a KG the
@@ -130,7 +133,7 @@ class GroupPattern:
     list of 2+ branch groups), ``BIND(expr AS ?v)`` assignments and
     ``VALUES`` inline-data blocks."""
     patterns: list[tuple[Term, Term, Term]] = field(default_factory=list)
-    filters: list[tuple[str, str, str]] = field(default_factory=list)
+    filters: list = field(default_factory=list)  # _parse_filter_expr trees
     optionals: list["GroupPattern"] = field(default_factory=list)
     unions: list[list["GroupPattern"]] = field(default_factory=list)
     binds: list[tuple["Expr", str]] = field(default_factory=list)
@@ -396,6 +399,167 @@ def _parse_filter(inner: str) -> tuple[str, str, str]:
     return (cm.group(1), cm.group(2), cm.group(3).strip())
 
 
+# --- FILTER boolean expressions --------------------------------------------
+#
+# bexpr  := bterm ('||' bterm)*
+# bterm  := bfactor ('&&' bfactor)*
+# bfactor:= '!' bfactor | '(' bexpr ')' | atom
+# atom   := ?v op value                  (the original comparison form)
+#         | REGEX(?v, "pat" [, "flags"]) | CONTAINS/STRSTARTS/STRENDS(?v, "s")
+#         | BOUND(?v) | isIRI(?v) | isLITERAL(?v) | isBLANK(?v)
+#         | LANG(?v) = "tag"             (empty tag = plain literal)
+#
+# Trees: ('or'|'and', [subs]) | ('not', sub) | ('cmp', var, op, raw)
+#      | ('regex', var, pat, flags) | ('strfn', fn, var, lit)
+#      | ('bound', var) | ('isa', kind, var) | ('lang', var, tag)
+
+_STR_FNS = {"contains", "strstarts", "strends"}
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    """Split at top-level occurrences of a 2-char operator (paren- and
+    quote-aware)."""
+    parts, depth, in_str, start, i = [], 0, False, 0, 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + 2] == sep:
+            parts.append(text[start:i])
+            start = i + 2
+            i += 2
+            continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _parse_filter_expr(text: str, prefixes: dict[str, str]):
+    text = text.strip()
+    ors = _split_top(text, "||")
+    if len(ors) > 1:
+        return ("or", [_parse_filter_expr(p, prefixes) for p in ors])
+    ands = _split_top(text, "&&")
+    if len(ands) > 1:
+        return ("and", [_parse_filter_expr(p, prefixes) for p in ands])
+    if text.startswith("!") and not text.startswith("!="):
+        return ("not", _parse_filter_expr(text[1:], prefixes))
+    if text.startswith("("):
+        inner, j = _take_parens(text, 0)
+        if text[j:].strip():
+            raise SparqlError(f"trailing text in FILTER: {text[j:]!r}")
+        return _parse_filter_expr(inner, prefixes)
+    fm = re.match(r"^([A-Za-z]+)\s*\(", text)
+    if fm:
+        fn = fm.group(1).lower()
+        inner, j = _take_parens(text, fm.end() - 1)
+        rest = text[j:].strip()
+        if fn == "lang":
+            m = re.match(r'^(!?=)\s*"([A-Za-z0-9-]*)"$', rest)
+            vm = re.match(r"^\?([A-Za-z_]\w*)$", inner.strip())
+            if m is None or vm is None:
+                raise SparqlError(
+                    f'LANG filter must be LANG(?v) = "tag": {text!r}')
+            node = ("lang", vm.group(1), m.group(2))
+            return node if m.group(1) == "=" else ("not", node)
+        if rest:
+            raise SparqlError(f"trailing text in FILTER: {rest!r}")
+        args = [a.strip() for a in _split_args(inner)]
+        if fn == "regex":
+            if len(args) not in (2, 3) or \
+                    not re.match(r"^\?[A-Za-z_]\w*$", args[0]):
+                raise SparqlError(f"REGEX takes (?v, \"pat\"[, flags])")
+            flags = _unrender(_resolve_term(
+                *_tokenize(args[2])[0], prefixes)) if len(args) == 3 else ""
+            return ("regex", args[0][1:],
+                    _unrender(_resolve_term(*_tokenize(args[1])[0],
+                                            prefixes)), flags)
+        if fn in _STR_FNS:
+            if len(args) != 2 or not re.match(r"^\?[A-Za-z_]\w*$", args[0]):
+                raise SparqlError(f"{fn.upper()} takes (?v, \"literal\")")
+            return ("strfn", fn, args[0][1:],
+                    _unrender(_resolve_term(*_tokenize(args[1])[0],
+                                            prefixes)))
+        if fn == "bound":
+            vm = re.match(r"^\?([A-Za-z_]\w*)$", inner.strip())
+            if vm is None:
+                raise SparqlError("BOUND takes a single variable")
+            return ("bound", vm.group(1))
+        if fn in ("isiri", "isuri", "isliteral", "isblank"):
+            vm = re.match(r"^\?([A-Za-z_]\w*)$", inner.strip())
+            if vm is None:
+                raise SparqlError(f"{fn} takes a single variable")
+            kind = {"isiri": "iri", "isuri": "iri",
+                    "isliteral": "literal", "isblank": "blank"}[fn]
+            return ("isa", kind, vm.group(1))
+        raise SparqlError(f"unsupported FILTER function {fn!r}")
+    return ("cmp",) + _parse_filter(text)
+
+
+def _filter_col(node, result_cols: list[str],
+                prefixes: dict[str, str]) -> F.Column:
+    """Compile a FILTER tree to a boolean Column over the solution
+    DataFrame (pure Catalyst — rlike/startswith/contains/regexp are all
+    codegen'd)."""
+    kind = node[0]
+    if kind == "or":
+        out = _filter_col(node[1][0], result_cols, prefixes)
+        for sub in node[1][1:]:
+            out = out | _filter_col(sub, result_cols, prefixes)
+        return out
+    if kind == "and":
+        out = _filter_col(node[1][0], result_cols, prefixes)
+        for sub in node[1][1:]:
+            out = out & _filter_col(sub, result_cols, prefixes)
+        return out
+    if kind == "not":
+        # SPARQL !E is true only where E evaluates false (an unbound
+        # operand is an error, not true) — Column ~ has exactly the
+        # three-valued behavior we want (~null = null = filtered out)
+        return ~_filter_col(node[1], result_cols, prefixes)
+    var = node[2] if kind in ("strfn", "isa") else node[1]
+    if var not in result_cols:
+        raise SparqlError(f"FILTER references unbound variable ?{var}")
+    c = F.col(var)
+    if kind == "cmp":
+        _, v, op, raw = node
+        return _cmp_col(v, op, raw, prefixes)
+    if kind == "regex":
+        pat = node[2] if not node[3] else f"(?{node[3]}){node[2]}"
+        return _lexical(c).rlike(pat)
+    if kind == "strfn":
+        fn, lit = node[1], node[3]
+        lex = _lexical(c)
+        if fn == "contains":
+            return lex.contains(lit)
+        if fn == "strstarts":
+            return lex.startswith(lit)
+        return lex.endswith(lit)
+    if kind == "bound":
+        return c.isNotNull()
+    if kind == "isa":
+        if node[1] == "iri":
+            return c.startswith("<")
+        if node[1] == "literal":
+            return c.startswith('"')
+        return c.startswith("_:")
+    if kind == "lang":
+        tag = node[2]
+        m = F.regexp_extract(c, r'@([A-Za-z0-9-]+)$', 1)
+        return (c.startswith('"')) & (F.lower(m) == tag.lower())
+    raise SparqlError(f"bad filter node {node!r}")  # pragma: no cover
+
+
 def _take_parens(text: str, i: int) -> tuple[str, int]:
     """Return (inner, next_index) for the balanced ``(...)`` starting at
     ``text[i]`` — quote-aware, like :func:`_take_braced`."""
@@ -626,12 +790,14 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
                                  _parse_group(inner, prefixes)))
                 chunk_start = i = j
                 continue
-            m = re.match(r"FILTER\s*\(([^()]*)\)", text[i:], re.IGNORECASE)
-            if m is None:
+            m = re.match(r"FILTER\s*", text[i:], re.IGNORECASE)
+            k = i + m.end()
+            if k >= n or text[k] != "(":
                 raise SparqlError(
                     f"unsupported FILTER syntax at: {text[i:i + 40]!r}")
-            g.filters.append(_parse_filter(m.group(1)))
-            chunk_start = i = i + m.end()
+            inner, j = _take_parens(text, k)
+            g.filters.append(_parse_filter_expr(inner, prefixes))
+            chunk_start = i = j
             continue
         if _at_keyword(text, i, "BIND"):
             chunks.append(text[chunk_start:i])
@@ -1109,10 +1275,8 @@ def _exec_bgp(quads: DataFrame,
     return result
 
 
-def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
-                  prefixes: dict[str, str]) -> DataFrame:
-    if var not in result.columns:
-        raise SparqlError(f"FILTER references unbound variable ?{var}")
+def _cmp_col(var: str, op: str, raw: str,
+             prefixes: dict[str, str]) -> F.Column:
     c = F.col(var)
     if re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", raw):
         lhs, rhs = _numeric(c), F.lit(float(raw))
@@ -1123,9 +1287,15 @@ def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
         term = _resolve_term(*toks[0], prefixes)
         lhs = c
         rhs = F.col(term.name) if isinstance(term, Var) else F.lit(term)
-    ops = {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-           "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs}
-    return result.where(ops[op])
+    return {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+            "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs}[op]
+
+
+def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
+                  prefixes: dict[str, str]) -> DataFrame:
+    if var not in result.columns:
+        raise SparqlError(f"FILTER references unbound variable ?{var}")
+    return result.where(_cmp_col(var, op, raw, prefixes))
 
 
 def _expr_vars(e: Expr) -> set[str]:
@@ -1286,8 +1456,8 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
         if missing:
             raise SparqlError(f"BIND references unbound variables {missing}")
         result = result.withColumn(name, _expr_term(expr))
-    for var, op, raw in g.filters:
-        result = _apply_filter(result, var, op, raw, prefixes)
+    for node in g.filters:
+        result = result.where(_filter_col(node, result.columns, prefixes))
     for negated, eg in g.exists:
         sub = _exec_group(quads, eg, prefixes, graph_term)
         shared = [c for c in result.columns if c in sub.columns]

@@ -777,3 +777,79 @@ def test_ask(gquads):
                       "ASK { GRAPH <g2> { ?s <p> ?o } }") is True
     with pytest.raises(SparqlError):
         sparql_ask(gquads, "ASK { }")
+
+
+# --- FILTER boolean expressions --------------------------------------------
+
+def test_filter_bool_connectives(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{
+          ?s ex:age ?age .
+          FILTER(?age > 26 && ?age < 40 || ?age = 25)
+        }}
+    """).collect()
+    assert {(r.s, r.age) for r in rows} == \
+        {(EX + "alice", "30"), (EX + "bob", "25")}
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:age ?age . FILTER(!(?age > 26)) }}
+    """).collect()
+    assert [r.s for r in rows] == [EX + "bob"]
+
+
+def test_filter_regex_and_strfns(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:name ?n . FILTER(REGEX(?n, "^B.b$")) }}
+    """).collect()
+    assert [r.s for r in rows] == [EX + "bob"]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:name ?n . FILTER(REGEX(?n, "^b.b$", "i")) }}
+    """).collect()
+    assert [r.s for r in rows] == [EX + "bob"]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER(STRSTARTS(?n, "Bo") && STRENDS(?n, "b")
+                 && CONTAINS(?n, "o"))
+        }}
+    """).collect()
+    assert [r.n for r in rows] == ["Bob"]
+
+
+def test_filter_bound_with_optional(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:age ?age .
+          OPTIONAL {{ ?s ex:name ?n }}
+          FILTER(!BOUND(?n))
+        }}
+    """).collect()
+    assert sorted(r.s for r in rows) == [EX + "alice", EX + "carol"]
+
+
+def test_filter_is_tests_and_lang(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ ex:alice ?p ?o . FILTER(isLITERAL(?o)) }}
+    """).collect()
+    assert [r.o for r in rows] == ["30"]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ ex:alice ?p ?o . FILTER(isIRI(?o)) }}
+    """).collect()
+    assert sorted(r.o for r in rows) == [EX + "Person", EX + "bob"]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:name ?n . FILTER(LANG(?n) = "EN") }}
+    """).collect()
+    assert [r.s for r in rows] == [EX + "bob"]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:age ?a . FILTER(LANG(?a) != "en") }}
+    """).collect()
+    assert len(rows) == 3  # plain literals have no lang tag
