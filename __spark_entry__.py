@@ -492,6 +492,28 @@ def q_sparql_kg_minus_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER boolean expressions over the constructed KG:
+    ``||``/``&&``/``!`` connectives over REGEX, CONTAINS, STRSTARTS,
+    BOUND and isIRI — chat turns about Entity_7* plus tool turns in the
+    turn-10s — every predicate compiled to a codegen'd Column (rlike /
+    contains / startswith / isNotNull), no Python row path."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?role ?txt WHERE {
+          ?turn kg:role ?role ;
+                kg:text ?txt .
+          OPTIONAL { ?turn kg:usedTool ?tool }
+          FILTER( (!BOUND(?tool) && REGEX(?role, "^(user|assistant)$")
+                   && CONTAINS(?txt, "Entity_7"))
+                  || (BOUND(?tool) && isIRI(?tool)
+                      && STRSTARTS(?txt, "turn 1")) )
+        }
+    """)
+
+
 def q_transcripts_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = transcripts_from_events(spark, sf_dir)
     return detect_mentions(turns).select(
@@ -677,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
+        "sparql_kg_filter": q_sparql_kg_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -976,6 +999,20 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(turn_idx AS VARCHAR) AS turn,
                    role
             FROM tr WHERE tool IS NULL AND role <> 'assistant'
+        """,
+        # FILTER boolean replay: branch one keeps chat turns (no tool
+        # triple → unbound ?tool) whose role matches the regex and whose
+        # text mentions Entity_7*; branch two keeps tool turns (the tool
+        # binding is always an IRI) with turn_idx in the 1/10s
+        "sparql_kg_filter": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   role, text AS txt
+            FROM tr
+            WHERE (tool IS NULL AND role IN ('user', 'assistant')
+                   AND text LIKE '%Entity_7%')
+               OR (tool IS NOT NULL AND text LIKE 'turn 1%')
         """,
         # property-path replay: kg:next chains consecutive turn_idx
         # within a conversation, so next+ is exactly the strict
