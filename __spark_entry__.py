@@ -668,6 +668,146 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "modality", "n_bytes")
 
 
+_KGO = "http://kg.example/ontology/"
+
+#: relational replay of the turn-triples plan (one SELECT per template
+#: line) against a `tr` CTE of TRANSCRIPTS_SQL — shared by the
+#: turn-triples oracle and the reasoning oracles built on top of it
+_TURN_TRIPLES_UNION = """
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS subj,
+                     '<http://kg.example/ontology/partOf>' AS pred,
+                     '<http://kg.example/conv/' || conv_id || '>' AS obj
+              FROM tr
+              UNION ALL
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/ontology/role>',
+                     '"' || role || '"'
+              FROM tr
+              UNION ALL
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/ontology/text>',
+                     '"' || text || '"'
+              FROM tr
+              UNION ALL
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/ontology/usedTool>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL
+"""
+
+#: inline ontology over the turn-triples vocabulary (reasoning demo —
+#: part of the query, not external data): a two-deep subPropertyOf
+#: chain, domain/range axioms for usedTool/partOf, a two-deep
+#: subClassOf chain.  The SQL oracle replays the SAME literal rows.
+_REASON_ONTOLOGY: list[tuple[str, str, str]] = [
+    (f"<{_KGO}usedTool>", "subPropertyOf", f"<{_KGO}involvedResource>"),
+    (f"<{_KGO}partOf>", "subPropertyOf", f"<{_KGO}involvedResource>"),
+    (f"<{_KGO}involvedResource>", "subPropertyOf", f"<{_KGO}related>"),
+    (f"<{_KGO}usedTool>", "domain", f"<{_KGO}ToolTurn>"),
+    (f"<{_KGO}usedTool>", "range", f"<{_KGO}Tool>"),
+    (f"<{_KGO}partOf>", "domain", f"<{_KGO}Turn>"),
+    (f"<{_KGO}partOf>", "range", f"<{_KGO}Conversation>"),
+    (f"<{_KGO}ToolTurn>", "subClassOf", f"<{_KGO}Turn>"),
+    (f"<{_KGO}Turn>", "subClassOf", f"<{_KGO}Node>"),
+    (f"<{_KGO}Conversation>", "subClassOf", f"<{_KGO}Node>"),
+]
+
+
+_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_RDFS_SUBCLASS = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
+_RDFS_SUBPROP = "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>"
+_RDFS_DOMAIN = "<http://www.w3.org/2000/01/rdf-schema#domain>"
+_RDFS_RANGE = "<http://www.w3.org/2000/01/rdf-schema#range>"
+_REASON_PRED_IRI = {"subPropertyOf": _RDFS_SUBPROP, "domain": _RDFS_DOMAIN,
+                    "range": _RDFS_RANGE, "subClassOf": _RDFS_SUBCLASS}
+
+
+def _reason_ontology_values() -> str:
+    """_REASON_ONTOLOGY as a SQL VALUES list — the oracle reads the
+    ontology from the same literal rows the Spark query does."""
+    return ",\n              ".join(
+        f"('{s}', '{_REASON_PRED_IRI[p]}', '{o}')"
+        for s, p, o in _REASON_ONTOLOGY)
+
+
+def q_reason_rdfs_closure(spark, sf_dir):
+    """RDFS (ρdf) materialization of the constructed turn KG under an
+    inline ontology (kgloom/ops/reasoning.py): subPropertyOf chains
+    generalize usedTool/partOf triples, domain/range axioms derive
+    rdf:type triples, subClassOf chains lift them — the WebPIE-style
+    stratified one-pass-per-rule plan with broadcast schema joins."""
+    from kgloom.ops.reasoning import rdfs_closure
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    schema = spark.createDataFrame(
+        [(s, _REASON_PRED_IRI[p], o) for s, p, o in _REASON_ONTOLOGY],
+        "subj string, pred string, obj string")
+    return rdfs_closure(triples, schema=schema, include_schema=True)
+
+
+def q_reason_sameas_fusion(spark, sf_dir):
+    """owl:sameAs fusion over an entity KG with three IRI namespaces
+    per entity (kgloom/ops/reasoning.py): mention triples reference
+    <ent/…>, label triples live on <legacy/…>, and a sameAs CHAIN
+    ent→alias→legacy declares them equal.  Fusion runs real connected
+    components over the sameAs edges (size-gated driver/distributed CC)
+    and rewrites both subject and object positions to the component
+    minimum — which the SQL oracle replays because the chain structure
+    makes each component's canonical a closed form of the entity key."""
+    from kgloom.ops.reasoning import OWL_SAMEAS, same_as_fusion
+    from kgloom.transcripts.derive import transcripts_from_events
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns).select("norm_key").distinct()
+    ent = F.concat(F.lit("<http://kg.example/ent/Entity_"),
+                   F.col("norm_key"), F.lit(">"))
+    alias = F.concat(F.lit("<http://kg.example/alias/entity-"),
+                     F.col("norm_key"), F.lit(">"))
+    legacy = F.concat(F.lit("<http://kg.example/legacy/"),
+                      F.col("norm_key"), F.lit(">"))
+    sameas = (m.select(ent.alias("subj"), F.lit(OWL_SAMEAS).alias("pred"),
+                       alias.alias("obj"))
+              .unionByName(m.select(alias.alias("subj"),
+                                    F.lit(OWL_SAMEAS).alias("pred"),
+                                    legacy.alias("obj"))))
+    labels = m.select(legacy.alias("subj"),
+                      F.lit(f"<{_KGO}label>").alias("pred"),
+                      F.concat(F.lit('"Entity_'), F.col("norm_key"),
+                               F.lit('"')).alias("obj"))
+    mentions = (detect_mentions(turns)
+                .select(F.concat(F.lit("<http://kg.example/conv/"),
+                                 F.col("conv_id"), F.lit("/turn/"),
+                                 F.col("turn_idx"), F.lit(">")).alias("subj"),
+                        F.lit(f"<{_KGO}mentions>").alias("pred"),
+                        F.concat(F.lit("<http://kg.example/ent/Entity_"),
+                                 F.col("norm_key"), F.lit(">")).alias("obj")))
+    kg = mentions.unionByName(labels).unionByName(sameas)
+    return same_as_fusion(kg)
+
+
+def q_reason_shacl(spark, sf_dir):
+    """SHACL-lite validation report over the constructed turn KG
+    (kgloom/ops/reasoning.py): focus = subjects of kg:partOf (every
+    turn); kg:role constrained to exactly one value in
+    {"user","assistant"} (tool turns violate `in`), kg:usedTool
+    required and IRI-kinded (non-tool turns violate minCount).  One
+    scan feeds all constraints; counts are one groupBy over the
+    focus×path grid."""
+    from kgloom.ops.reasoning import NodeShape, PropertyShape, shacl_validate
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    shape = NodeShape(
+        name="TurnShape", target_subjects_of=f"<{_KGO}partOf>",
+        properties=(
+            PropertyShape(path=f"<{_KGO}role>", min_count=1, max_count=1,
+                          in_values=('"user"', '"assistant"')),
+            PropertyShape(path=f"<{_KGO}usedTool>", min_count=1,
+                          node_kind="IRI"),
+        ))
+    return shacl_validate(triples, (shape,))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -700,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
+        "reason_rdfs_closure": q_reason_rdfs_closure,
+        "reason_sameas_fusion": q_reason_sameas_fusion,
+        "reason_shacl": q_reason_shacl,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -862,30 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcripts_turn_triples": f"""
             WITH tr AS ({TRANSCRIPTS_SQL})
-            SELECT DISTINCT * FROM (
-              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>' AS subj,
-                     '<http://kg.example/ontology/partOf>' AS pred,
-                     '<http://kg.example/conv/' || conv_id || '>' AS obj
-              FROM tr
-              UNION ALL
-              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>',
-                     '<http://kg.example/ontology/role>',
-                     '"' || role || '"'
-              FROM tr
-              UNION ALL
-              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>',
-                     '<http://kg.example/ontology/text>',
-                     '"' || text || '"'
-              FROM tr
-              UNION ALL
-              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>',
-                     '<http://kg.example/ontology/usedTool>',
-                     '<http://kg.example/tool/' || tool || '>'
-              FROM tr WHERE tool IS NOT NULL)
+            SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})
         """,
         # ER replay: every surface variant on this corpus scores above
         # the 0.5 link threshold, so canonical_map's components are
@@ -1013,6 +1133,106 @@ def oracle_sql() -> dict[str, str]:
             WHERE (tool IS NULL AND role IN ('user', 'assistant')
                    AND text LIKE '%Entity_7%')
                OR (tool IS NOT NULL AND text LIKE 'turn 1%')
+        """,
+        # RDFS ρdf closure replay: sp/sc transitive closures as
+        # recursive CTEs over the SAME ontology literals the Spark
+        # query uses (_REASON_ONTOLOGY), then one SELECT per rule —
+        # rdfs7 (subproperty inheritance), rdfs2/3 (domain/range
+        # typing over the rdfs7-generalized triples), rdfs9 (subclass
+        # lifting over asserted + derived types), unioned with the
+        # closed schema and set-deduplicated, mirroring the WebPIE
+        # stratification in kgloom/ops/reasoning.py
+        "reason_rdfs_closure": f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            inst AS (SELECT * FROM ({_TURN_TRIPLES_UNION})),
+            ont(subj, pred, obj) AS (VALUES {_reason_ontology_values()}),
+            sp(a, b) AS (
+              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBPROP}'
+              UNION
+              SELECT sp.a, o.obj FROM sp
+              JOIN ont o ON sp.b = o.subj AND o.pred = '{_RDFS_SUBPROP}'
+              WHERE sp.a <> o.obj),
+            sc(a, b) AS (
+              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBCLASS}'
+              UNION
+              SELECT sc.a, o.obj FROM sc
+              JOIN ont o ON sc.b = o.subj AND o.pred = '{_RDFS_SUBCLASS}'
+              WHERE sc.a <> o.obj),
+            inst_all AS (
+              SELECT * FROM inst
+              UNION ALL
+              SELECT i.subj, sp.b AS pred, i.obj
+              FROM inst i JOIN sp ON i.pred = sp.a),
+            types(s, c) AS (
+              SELECT subj, obj FROM inst_all WHERE pred = '{_RDF_TYPE}'
+              UNION ALL
+              SELECT i.subj, o.obj FROM inst_all i
+              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_DOMAIN}'
+              UNION ALL
+              SELECT i.obj, o.obj FROM inst_all i
+              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_RANGE}'
+              WHERE i.obj LIKE '<%')
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT * FROM inst_all
+              UNION ALL
+              SELECT s, '{_RDF_TYPE}', c FROM types
+              UNION ALL
+              SELECT t.s, '{_RDF_TYPE}', sc.b FROM types t
+              JOIN sc ON t.c = sc.a
+              UNION ALL
+              SELECT * FROM ont
+              UNION ALL
+              SELECT a, '{_RDFS_SUBPROP}', b FROM sp
+              UNION ALL
+              SELECT a, '{_RDFS_SUBCLASS}', b FROM sc)
+        """,
+        # sameAs-fusion replay: each entity's component is the 3-IRI
+        # chain ent→alias→legacy, whose lexicographic minimum is the
+        # alias IRI (alias < ent < legacy under the shared prefix) —
+        # so rewriting subj/obj to the component canonical is a direct
+        # string rewrite of the mention and label triples, the sameAs
+        # triples vanish, and DISTINCT applies set semantics
+        "reason_sameas_fusion": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (SELECT DISTINCT conv_id, turn_idx,
+                         regexp_extract(text, 'Entity_([0-9]+)', 1)
+                           AS norm_key
+                  FROM tr)
+            SELECT DISTINCT * FROM (
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS subj,
+                     '<http://kg.example/ontology/mentions>' AS pred,
+                     '<http://kg.example/alias/entity-' || norm_key || '>'
+                       AS obj
+              FROM m
+              UNION ALL
+              SELECT DISTINCT
+                     '<http://kg.example/alias/entity-' || norm_key || '>',
+                     '<http://kg.example/ontology/label>',
+                     '"Entity_' || norm_key || '"'
+              FROM m)
+        """,
+        # SHACL replay: every turn has exactly one role triple (so
+        # min/maxCount on kg:role never fire) and a usedTool triple iff
+        # the source row has a tool; `in` violations are exactly the
+        # role='tool' turns, minCount(usedTool) violations exactly the
+        # tool-less turns with the count rendered as '0'
+        "reason_shacl": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            turns AS (
+              SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS focus,
+                     role, tool
+              FROM tr)
+            SELECT focus, 'TurnShape' AS shape,
+                   '<http://kg.example/ontology/role>' AS path,
+                   'in' AS "constraint", '"' || role || '"' AS value
+            FROM turns WHERE role NOT IN ('user', 'assistant')
+            UNION ALL
+            SELECT focus, 'TurnShape',
+                   '<http://kg.example/ontology/usedTool>',
+                   'minCount', '0'
+            FROM turns WHERE tool IS NULL
         """,
         # property-path replay: kg:next chains consecutive turn_idx
         # within a conversation, so next+ is exactly the strict

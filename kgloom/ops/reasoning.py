@@ -1,0 +1,365 @@
+"""KG reasoning over constructed triple/quad DataFrames — RDFS
+materialization, owl:sameAs fusion, and SHACL-lite validation.
+
+These are the post-construction semantic passes a KG pipeline runs on
+its own output: close the graph under the ontology's subclass /
+subproperty / domain / range axioms, fuse nodes the data declares
+identical, and validate the result against shape constraints.  The
+reference stops at triple emission (serializer → target,
+`/root/reference/operator/src/lib.rs`); this module is beyond-reference
+surface in the same spirit as the executable SPARQL engine — the
+constructed KG stays a first-class, queryable, *reasonable* artifact
+without leaving Spark.
+
+Terms are in the engine's rendered lexical form (``<iri>``,
+``"lit"[@lang|^^<dt>]``), exactly what the serializer emits and what
+``kgloom.sparql`` consumes, so the three engines compose: construct →
+reason → query.
+
+RDFS closure — the ρdf fragment (Muñoz, Pérez, Gutierrez, "Minimal
+deductive systems for RDF"): rules rdfs5/7 (subPropertyOf transitivity
++ inheritance), rdfs2/3 (domain/range typing), rdfs9/11 (subClassOf
+transitivity + inheritance).  Execution is the WebPIE stratification
+(Urbani et al., "OWL reasoning with WebPIE: calculating the closure of
+100 billion triples"): because ρdf schema vocabulary never appears in
+the *conclusion* position of an instance rule (derived triples have
+instance predicates or ``rdf:type``, and ``rdf:type`` is assumed not
+to be redeclared under ``rdfs:subPropertyOf``), the fixpoint collapses
+to ONE pass per rule applied in dependency order:
+
+    sp-closure → rdfs7 → rdfs2/rdfs3 → sc-closure → rdfs9
+
+100-TB design: the schema (ontology) is tiny relative to the instance
+data — the sp/sc transitive closures run as log-round path doubling on
+the schema relation alone, and every instance-side rule is a single
+broadcast hash join of the instance triples against a closed schema
+table (no instance-instance joins, no instance fixpoint).  The only
+full-width shuffle is the final set-semantics ``distinct``.
+
+owl:sameAs fusion: connected components over the sameAs edge set (the
+size-gated driver/distributed CC from ``kgloom.transcripts.er``), each
+component canonicalized to its lexicographically minimal node, then
+one projection rewrites subj/obj through the (small, usually
+broadcast) mapping and re-distincts.
+
+SHACL-lite: node shapes with class / subjects-of targets and the core
+property constraints (minCount, maxCount, nodeKind, pattern, in,
+datatype).  One scan of the triples feeds all shapes; counting
+constraints are a single groupBy; value constraints are codegen'd
+Column predicates — zero Python in any path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .cache import tracked_persist
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+RDFS_SUBCLASS = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
+RDFS_SUBPROP = "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>"
+RDFS_DOMAIN = "<http://www.w3.org/2000/01/rdf-schema#domain>"
+RDFS_RANGE = "<http://www.w3.org/2000/01/rdf-schema#range>"
+OWL_SAMEAS = "<http://www.w3.org/2002/07/owl#sameAs>"
+
+_SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def _transitive_pairs(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Distinct transitive closure of a small (a, b) relation by path
+    doubling: R_{i+1} = R_i ∪ R_i∘R_i, so a depth-L hierarchy closes in
+    ⌈log2 L⌉ rounds.  Intended for SCHEMA relations (ontology edges —
+    thousands of rows, not billions); each round's relation is persisted
+    and the superseded one released, and the self-join is
+    broadcastable by size."""
+    rel = tracked_persist(pairs.select("a", "b").where(
+        F.col("a") != F.col("b")).distinct())
+    for _ in range(max_rounds):
+        hop = (rel.alias("l")
+               .join(F.broadcast(rel.alias("r")),
+                     F.col("l.b") == F.col("r.a"))
+               .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+               .where(F.col("a") != F.col("b")))
+        grown = tracked_persist(rel.unionByName(hop).distinct())
+        if grown.count() == rel.count():
+            rel.unpersist()
+            return grown
+        rel.unpersist()
+        rel = grown
+    return rel
+
+
+def schema_closure(schema: DataFrame) -> DataFrame:
+    """Close a schema triple set under rdfs5 (subPropertyOf
+    transitivity) and rdfs11 (subClassOf transitivity); domain/range
+    axioms pass through unchanged.  Returns distinct schema triples."""
+    sp = _transitive_pairs(schema.where(F.col("pred") == RDFS_SUBPROP)
+                           .select(F.col("subj").alias("a"),
+                                   F.col("obj").alias("b")))
+    sc = _transitive_pairs(schema.where(F.col("pred") == RDFS_SUBCLASS)
+                           .select(F.col("subj").alias("a"),
+                                   F.col("obj").alias("b")))
+    return (schema
+            .unionByName(sp.select(F.col("a").alias("subj"),
+                                   F.lit(RDFS_SUBPROP).alias("pred"),
+                                   F.col("b").alias("obj")))
+            .unionByName(sc.select(F.col("a").alias("subj"),
+                                   F.lit(RDFS_SUBCLASS).alias("pred"),
+                                   F.col("b").alias("obj")))
+            .distinct())
+
+
+def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
+                 include_schema: bool = True) -> DataFrame:
+    """Materialize the ρdf/RDFS closure of ``triples`` (columns subj,
+    pred, obj in rendered term form).
+
+    ``schema`` — the ontology triples (subPropertyOf / subClassOf /
+    domain / range).  When None, schema triples are extracted from
+    ``triples`` itself (and instance rules run over the remainder).
+    ``include_schema`` — include the (closed) schema triples in the
+    output, matching what a full materialization of the input graph
+    contains; False returns only instance-level triples.
+
+    One broadcast join per rule, one final distinct — see module
+    docstring for the stratification argument.
+    """
+    if schema is None:
+        schema = triples.where(F.col("pred").isin(*_SCHEMA_PREDS))
+        inst = triples.where(~F.col("pred").isin(*_SCHEMA_PREDS))
+    else:
+        schema = schema.select("subj", "pred", "obj")
+        inst = triples
+    inst = inst.select("subj", "pred", "obj")
+
+    sp = tracked_persist(_transitive_pairs(
+        schema.where(F.col("pred") == RDFS_SUBPROP)
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))))
+    sc = tracked_persist(_transitive_pairs(
+        schema.where(F.col("pred") == RDFS_SUBCLASS)
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))))
+
+    # rdfs7: (s p o), (p sp+ q) ⇒ (s q o) — broadcast the closed schema
+    derived_sp = (inst.join(F.broadcast(sp), inst["pred"] == sp["a"])
+                  .select("subj", F.col("b").alias("pred"), "obj"))
+    inst_all = inst.unionByName(derived_sp)
+
+    # rdfs2: (s p o), (p domain C) ⇒ (s type C)
+    dom = (schema.where(F.col("pred") == RDFS_DOMAIN)
+           .select(F.col("subj").alias("p"), F.col("obj").alias("c"))
+           .distinct())
+    derived_dom = (inst_all.join(F.broadcast(dom),
+                                 inst_all["pred"] == dom["p"])
+                   .select(F.col("subj"), F.lit(RDF_TYPE).alias("pred"),
+                           F.col("c").alias("obj")))
+
+    # rdfs3: (s p o), (p range C), o is a resource ⇒ (o type C)
+    rng = (schema.where(F.col("pred") == RDFS_RANGE)
+           .select(F.col("subj").alias("p"), F.col("obj").alias("c"))
+           .distinct())
+    derived_rng = (inst_all.join(F.broadcast(rng),
+                                 inst_all["pred"] == rng["p"])
+                   .where(F.col("obj").startswith("<"))
+                   .select(F.col("obj").alias("subj"),
+                           F.lit(RDF_TYPE).alias("pred"),
+                           F.col("c").alias("obj")))
+
+    # rdfs9: (s type C), (C sc+ D) ⇒ (s type D) — over BOTH asserted
+    # and domain/range-derived types (the stratification's last layer)
+    types = (inst_all.where(F.col("pred") == RDF_TYPE)
+             .unionByName(derived_dom).unionByName(derived_rng))
+    derived_sc = (types.join(F.broadcast(sc), types["obj"] == sc["a"])
+                  .select(types["subj"], F.lit(RDF_TYPE).alias("pred"),
+                          F.col("b").alias("obj")))
+
+    out = (inst_all.unionByName(derived_dom).unionByName(derived_rng)
+           .unionByName(derived_sc))
+    if include_schema:
+        closed_schema = (schema
+                         .unionByName(sp.select(
+                             F.col("a").alias("subj"),
+                             F.lit(RDFS_SUBPROP).alias("pred"),
+                             F.col("b").alias("obj")))
+                         .unionByName(sc.select(
+                             F.col("a").alias("subj"),
+                             F.lit(RDFS_SUBCLASS).alias("pred"),
+                             F.col("b").alias("obj"))))
+        out = out.unionByName(closed_schema)
+    return out.distinct()
+
+
+def same_as_components(triples: DataFrame,
+                       same_as_pred: str = OWL_SAMEAS) -> DataFrame:
+    """(node, canonical) for every node in a non-singleton owl:sameAs
+    component; canonical = the component's lexicographically minimal
+    node.  Components come from the size-gated driver/distributed CC
+    pass (`kgloom.transcripts.er.connected_components`)."""
+    from ..transcripts.er import connected_components
+    pairs = (triples.where(F.col("pred") == same_as_pred)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .where(F.col("src") != F.col("dst")))
+    comp = connected_components(pairs)
+    return comp.select(F.col("node"), F.col("component").alias("canonical"))
+
+
+def same_as_fusion(triples: DataFrame,
+                   same_as_pred: str = OWL_SAMEAS) -> DataFrame:
+    """Fuse owl:sameAs-equal nodes: drop the sameAs triples, rewrite
+    every subject and object to its component canonical, and
+    re-distinct (rewrites collapse formerly distinct triples).
+
+    100-TB design: the mapping is one row per aliased node — orders of
+    magnitude smaller than the triple stream — so both rewrite joins
+    broadcast (AQE decides; no hint forced for the rare huge-alias
+    case, where a hash join on subj/obj is the right fallback)."""
+    mapping = tracked_persist(
+        same_as_components(triples, same_as_pred)
+        .where(F.col("node") != F.col("canonical")))
+    data = triples.where(F.col("pred") != same_as_pred)
+    m_s = mapping.select(F.col("node").alias("__sn"),
+                         F.col("canonical").alias("__sc"))
+    m_o = mapping.select(F.col("node").alias("__on"),
+                         F.col("canonical").alias("__oc"))
+    return (data
+            .join(m_s, data["subj"] == m_s["__sn"], "left")
+            .join(m_o, data["obj"] == m_o["__on"], "left")
+            .select(F.coalesce("__sc", "subj").alias("subj"),
+                    F.col("pred"),
+                    F.coalesce("__oc", "obj").alias("obj"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PropertyShape:
+    """Core SHACL property constraints over one predicate path.
+
+    ``path`` — predicate IRI in rendered form.  Constraint fields are
+    each optional; ``None`` means unconstrained.  ``node_kind`` is one
+    of "IRI" / "Literal" / "BlankNode" (rendered-form prefix test);
+    ``pattern`` is a regex over the value's rendered lexical form;
+    ``in_values`` is a set of allowed rendered terms; ``datatype`` is
+    a datatype IRI the literal must carry (``^^<dt>`` suffix)."""
+    path: str
+    min_count: Optional[int] = None
+    max_count: Optional[int] = None
+    node_kind: Optional[str] = None
+    pattern: Optional[str] = None
+    in_values: Optional[tuple[str, ...]] = None
+    datatype: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class NodeShape:
+    """A SHACL node shape: focus nodes via ``target_class`` (subjects
+    with ``rdf:type target_class``) and/or ``target_subjects_of``
+    (subjects of a predicate), validated against ``properties``."""
+    name: str
+    target_class: Optional[str] = None
+    target_subjects_of: Optional[str] = None
+    properties: tuple[PropertyShape, ...] = ()
+
+
+def shacl_validate(triples: DataFrame,
+                   shapes: tuple[NodeShape, ...]) -> DataFrame:
+    """Validation report: one row per violation with columns
+    (focus, shape, path, constraint, value) — ``value`` is the
+    offending term for value constraints and the offending cardinality
+    (as a string) for count constraints.
+
+    Plan shape: focus sets and the path-filtered value scan are
+    persisted once per shape and fan out to every constraint; counting
+    constraints share one groupBy; all value tests are Column
+    predicates (codegen, no Python).
+    """
+    spark = triples.sparkSession
+    reports: list[DataFrame] = []
+    for shape in shapes:
+        focus = None
+        if shape.target_class is not None:
+            focus = (triples.where((F.col("pred") == RDF_TYPE)
+                                   & (F.col("obj") == shape.target_class))
+                     .select(F.col("subj").alias("focus")))
+        if shape.target_subjects_of is not None:
+            by_pred = (triples
+                       .where(F.col("pred") == shape.target_subjects_of)
+                       .select(F.col("subj").alias("focus")))
+            focus = by_pred if focus is None else focus.unionByName(by_pred)
+        if focus is None:
+            raise ValueError(f"shape {shape.name!r} has no target")
+        focus = tracked_persist(focus.distinct())
+
+        paths = sorted({p.path for p in shape.properties})
+        if not paths:
+            continue
+        vals = tracked_persist(
+            triples.where(F.col("pred").isin(paths))
+            .select(F.col("subj").alias("focus"), "pred",
+                    F.col("obj").alias("value"))
+            .join(focus, "focus"))
+        # one count per (focus, path), zero-filled over the focus×path
+        # grid (the paths list is a tiny literal table — broadcast)
+        grid = focus.crossJoin(F.broadcast(
+            spark.createDataFrame([(p,) for p in paths], "pred string")))
+        counts = (vals.groupBy("focus", "pred")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        counts = (grid.join(counts, ["focus", "pred"], "left")
+                  .select("focus", "pred",
+                          F.coalesce("n", F.lit(0)).alias("n")))
+
+        for ps in shape.properties:
+            def _report(df: DataFrame, constraint: str,
+                        value: Column) -> DataFrame:
+                return df.select(
+                    F.col("focus"), F.lit(shape.name).alias("shape"),
+                    F.lit(ps.path).alias("path"),
+                    F.lit(constraint).alias("constraint"),
+                    value.alias("value"))
+
+            cnt = counts.where(F.col("pred") == ps.path)
+            if ps.min_count is not None:
+                reports.append(_report(
+                    cnt.where(F.col("n") < ps.min_count), "minCount",
+                    F.col("n").cast("string")))
+            if ps.max_count is not None:
+                reports.append(_report(
+                    cnt.where(F.col("n") > ps.max_count), "maxCount",
+                    F.col("n").cast("string")))
+
+            v = vals.where(F.col("pred") == ps.path)
+            if ps.node_kind is not None:
+                ok = {"IRI": F.col("value").startswith("<"),
+                      "BlankNode": F.col("value").startswith("_:"),
+                      "Literal": F.col("value").startswith('"')}[ps.node_kind]
+                reports.append(_report(v.where(~ok), "nodeKind",
+                                       F.col("value")))
+            if ps.pattern is not None:
+                reports.append(_report(
+                    v.where(~F.col("value").rlike(ps.pattern)), "pattern",
+                    F.col("value")))
+            if ps.in_values is not None:
+                reports.append(_report(
+                    v.where(~F.col("value").isin(list(ps.in_values))), "in",
+                    F.col("value")))
+            if ps.datatype is not None:
+                suffix = "^^" + ps.datatype
+                ok = (F.col("value").startswith('"')
+                      & F.col("value").endswith(suffix))
+                reports.append(_report(v.where(~ok), "datatype",
+                                       F.col("value")))
+
+    if not reports:
+        return spark.createDataFrame(
+            [], "focus string, shape string, path string, "
+                "constraint string, value string")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

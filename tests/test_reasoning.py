@@ -1,0 +1,184 @@
+"""kgloom.ops.reasoning — RDFS ρdf closure vs a naive Python fixpoint,
+owl:sameAs fusion, SHACL-lite constraint-by-constraint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgloom.ops.reasoning import (
+    NodeShape,
+    OWL_SAMEAS,
+    PropertyShape,
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    rdfs_closure,
+    same_as_fusion,
+    schema_closure,
+    shacl_validate,
+)
+
+T = "subj string, pred string, obj string"
+
+
+def _naive_rdfs_fixpoint(triples: set[tuple[str, str, str]]
+                         ) -> set[tuple[str, str, str]]:
+    """Reference implementation: apply the six ρdf rules to saturation,
+    no stratification — the ground truth the one-pass plan must match."""
+    closed = set(triples)
+    while True:
+        new = set()
+        sp = {(s, o) for s, p, o in closed if p == RDFS_SUBPROP}
+        sc = {(s, o) for s, p, o in closed if p == RDFS_SUBCLASS}
+        # rdfs5 / rdfs11 transitivity
+        new |= {(a, RDFS_SUBPROP, c) for a, b in sp for b2, c in sp
+                if b == b2 and a != c}
+        new |= {(a, RDFS_SUBCLASS, c) for a, b in sc for b2, c in sc
+                if b == b2 and a != c}
+        for s, p, o in list(closed):
+            for p1, p2 in sp:                       # rdfs7
+                if p == p1:
+                    new.add((s, p2, o))
+            for pd, c in ((x, y) for x, q, y in closed
+                          if q == RDFS_DOMAIN):     # rdfs2
+                if p == pd:
+                    new.add((s, RDF_TYPE, c))
+            for pr, c in ((x, y) for x, q, y in closed
+                          if q == RDFS_RANGE):      # rdfs3
+                if p == pr and o.startswith("<"):
+                    new.add((o, RDF_TYPE, c))
+            if p == RDF_TYPE:                       # rdfs9
+                for c1, c2 in sc:
+                    if o == c1:
+                        new.add((s, RDF_TYPE, c2))
+        if new <= closed:
+            return closed
+        closed |= new
+
+
+SCHEMA = [
+    ("<p:usedTool>", RDFS_SUBPROP, "<p:involved>"),
+    ("<p:involved>", RDFS_SUBPROP, "<p:related>"),
+    ("<p:usedTool>", RDFS_DOMAIN, "<c:ToolTurn>"),
+    ("<p:usedTool>", RDFS_RANGE, "<c:Tool>"),
+    ("<p:partOf>", RDFS_DOMAIN, "<c:Turn>"),
+    ("<p:partOf>", RDFS_RANGE, "<c:Conv>"),
+    ("<c:ToolTurn>", RDFS_SUBCLASS, "<c:Turn>"),
+    ("<c:Turn>", RDFS_SUBCLASS, "<c:Node>"),
+    ("<c:Conv>", RDFS_SUBCLASS, "<c:Node>"),
+]
+INSTANCE = [
+    ("<t:1>", "<p:usedTool>", "<tool:search>"),
+    ("<t:1>", "<p:partOf>", "<conv:a>"),
+    ("<t:2>", "<p:partOf>", "<conv:a>"),
+    ("<t:2>", "<p:role>", '"user"'),
+    ("<t:3>", RDF_TYPE, "<c:ToolTurn>"),
+    # range rule must NOT type a literal object
+    ("<t:2>", "<p:usedTool>", '"not-a-resource"'),
+]
+
+
+def test_rdfs_closure_matches_naive_fixpoint(spark):
+    triples = spark.createDataFrame(SCHEMA + INSTANCE, T)
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(triples).collect()}
+    want = _naive_rdfs_fixpoint(set(SCHEMA) | set(INSTANCE))
+    assert got == want
+    # spot-check the interesting derivations
+    assert ("<t:1>", "<p:related>", "<tool:search>") in got   # sp chain
+    assert ("<t:1>", RDF_TYPE, "<c:Node>") in got            # dom + sc chain
+    assert ("<tool:search>", RDF_TYPE, "<c:Tool>") in got    # range
+    assert ("<t:3>", RDF_TYPE, "<c:Node>") in got            # asserted + sc
+    assert ('"not-a-resource"', RDF_TYPE, "<c:Tool>") not in got
+
+
+def test_rdfs_closure_explicit_schema_and_instance_only(spark):
+    schema = spark.createDataFrame(SCHEMA, T)
+    inst = spark.createDataFrame(INSTANCE, T)
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(inst, schema=schema,
+                                 include_schema=False).collect()}
+    want = {t for t in _naive_rdfs_fixpoint(set(SCHEMA) | set(INSTANCE))
+            if t[1] not in (RDFS_SUBPROP, RDFS_SUBCLASS,
+                            RDFS_DOMAIN, RDFS_RANGE)}
+    assert got == want
+
+
+def test_schema_closure_transitivity(spark):
+    schema = spark.createDataFrame(SCHEMA, T)
+    got = {(r.subj, r.pred, r.obj) for r in schema_closure(schema).collect()}
+    assert ("<p:usedTool>", RDFS_SUBPROP, "<p:related>") in got
+    assert ("<c:ToolTurn>", RDFS_SUBCLASS, "<c:Node>") in got
+    assert set(SCHEMA) <= got
+
+
+def test_same_as_fusion_chain(spark):
+    rows = [
+        ("<a>", OWL_SAMEAS, "<b>"),
+        ("<b>", OWL_SAMEAS, "<c>"),
+        ("<c>", "<p:name>", '"x"'),
+        ("<b>", "<p:name>", '"x"'),          # collapses with the above
+        ("<z>", "<p:knows>", "<b>"),         # object rewrite
+        ("<d>", "<p:name>", '"y"'),          # untouched
+    ]
+    fused = {(r.subj, r.pred, r.obj)
+             for r in same_as_fusion(spark.createDataFrame(rows, T)).collect()}
+    assert fused == {
+        ("<a>", "<p:name>", '"x"'),
+        ("<z>", "<p:knows>", "<a>"),
+        ("<d>", "<p:name>", '"y"'),
+    }
+
+
+def test_shacl_constraints(spark):
+    rows = [
+        ("<t:1>", RDF_TYPE, "<c:Turn>"),
+        ("<t:1>", "<p:role>", '"user"'),
+        ("<t:2>", RDF_TYPE, "<c:Turn>"),                 # missing role
+        ("<t:3>", RDF_TYPE, "<c:Turn>"),
+        ("<t:3>", "<p:role>", '"user"'),
+        ("<t:3>", "<p:role>", '"admin"'),                # maxCount + in
+        ("<t:3>", "<p:partOf>", '"not-an-iri"'),         # nodeKind
+        ("<t:1>", "<p:idx>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<t:3>", "<p:idx>", '"zz"'),                    # datatype + pattern
+    ]
+    shape = NodeShape(
+        name="TurnShape", target_class="<c:Turn>",
+        properties=(
+            PropertyShape(path="<p:role>", min_count=1, max_count=1,
+                          in_values=('"user"', '"assistant"', '"tool"')),
+            PropertyShape(path="<p:partOf>", node_kind="IRI"),
+            PropertyShape(
+                path="<p:idx>",
+                datatype="<http://www.w3.org/2001/XMLSchema#integer>",
+                pattern='^"[0-9]+"'),
+        ))
+    rep = {(r.focus, r.constraint, r.value)
+           for r in shacl_validate(
+               spark.createDataFrame(rows, T), (shape,)).collect()}
+    assert rep == {
+        ("<t:2>", "minCount", "0"),
+        ("<t:3>", "maxCount", "2"),
+        ("<t:3>", "in", '"admin"'),
+        ("<t:3>", "nodeKind", '"not-an-iri"'),
+        ("<t:3>", "datatype", '"zz"'),
+        ("<t:3>", "pattern", '"zz"'),
+    }
+
+
+def test_shacl_target_subjects_of_and_no_target_error(spark):
+    rows = [("<t:1>", "<p:partOf>", "<conv:a>"),
+            ("<t:2>", "<p:partOf>", "<conv:a>"),
+            ("<t:1>", "<p:role>", '"user"')]
+    shape = NodeShape(name="S", target_subjects_of="<p:partOf>",
+                      properties=(PropertyShape(path="<p:role>",
+                                                min_count=1),))
+    rep = shacl_validate(spark.createDataFrame(rows, T), (shape,))
+    assert [(r.focus, r.constraint) for r in rep.collect()] == [
+        ("<t:2>", "minCount")]
+    with pytest.raises(ValueError):
+        shacl_validate(spark.createDataFrame(rows, T),
+                       (NodeShape(name="bad"),))
