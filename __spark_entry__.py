@@ -717,6 +717,33 @@ _REASON_ONTOLOGY: list[tuple[str, str, str]] = [
 ]
 
 
+def q_sparql_kg_nps(spark, sf_dir):
+    """SPARQL negated property set over the constructed KG
+    (kgloom/sparql.py): every edge whose predicate is NOT kg:text or
+    kg:role — i.e. the partOf + usedTool structure without enumerating
+    it — compiled to one NOT-IN-filtered scan."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples.withColumn("graph", F.lit(None).cast("string")), f"""
+        PREFIX kg: <{_KGO}>
+        SELECT ?s ?o WHERE {{ ?s !(kg:text|kg:role) ?o . }}
+    """)
+
+
+def q_sparql_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE over the constructed KG (kgloom/sparql.py):
+    the symmetric description of every tool-invoking turn — all four
+    of its outgoing triples — via DESCRIBE ?turn WHERE {{ role "tool" }};
+    the resource set stays distributed (two semi joins, no collect)."""
+    from kgloom.sparql import sparql_describe
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    quads = triples.withColumn("graph", F.lit(None).cast("string"))
+    return sparql_describe(quads, f"""
+        PREFIX kg: <{_KGO}>
+        DESCRIBE ?turn WHERE {{ ?turn kg:role "tool" . }}
+    """).select("subj", "pred", "obj")
+
+
 _RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 _RDFS_SUBCLASS = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
 _RDFS_SUBPROP = "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>"
@@ -840,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
+        "sparql_kg_nps": q_sparql_kg_nps,
+        "sparql_kg_describe": q_sparql_kg_describe,
         "reason_rdfs_closure": q_reason_rdfs_closure,
         "reason_sameas_fusion": q_reason_sameas_fusion,
         "reason_shacl": q_reason_shacl,
@@ -1133,6 +1162,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE (tool IS NULL AND role IN ('user', 'assistant')
                    AND text LIKE '%Entity_7%')
                OR (tool IS NOT NULL AND text LIKE 'turn 1%')
+        """,
+        # negated-property-set replay: !(kg:text|kg:role) keeps exactly
+        # the partOf and usedTool edges; bindings are lexical values
+        # (turn-triple rows are unique by construction, so UNION ALL
+        # preserves the multiset)
+        "sparql_kg_nps": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS s,
+                   'http://kg.example/conv/' || conv_id AS o
+            FROM tr
+            UNION ALL
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR),
+                   'http://kg.example/tool/' || tool
+            FROM tr WHERE tool IS NOT NULL
+        """,
+        # DESCRIBE replay: tool-turn IRIs appear only in the subject
+        # position of this KG, so the symmetric description of the
+        # role="tool" turns is exactly their four outgoing triples
+        "sparql_kg_describe": f"""
+            WITH tr AS (SELECT * FROM ({TRANSCRIPTS_SQL})
+                        WHERE role = 'tool')
+            SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})
         """,
         # RDFS ρdf closure replay: sp/sc transitive closures as
         # recursive CTEs over the SAME ontology literals the Spark

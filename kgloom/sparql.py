@@ -32,8 +32,11 @@ which returns a quad DataFrame (so a query result is itself a KG the
 engine can serialize, re-query, or feed to another mapping), and
 property paths in the predicate position: sequence ``p1/p2``, inverse
 ``^p``, alternation ``p1|p2``, grouping ``(p)`` and the closures
-``p+`` / ``p*`` / ``p?``.  Unsupported syntax raises ``SparqlError``
-(SERVICE, MINUS, negated property sets ``!p``).
+``p+`` / ``p*`` / ``p?`` and negated property sets ``!p`` /
+``!(p1|^p2|...)``, plus ``DESCRIBE`` via :func:`sparql_describe`
+(symmetric description: every quad whose subject or object is a
+described resource).  Unsupported syntax raises ``SparqlError``
+(SERVICE).
 
 Path execution is Spark-first: an atom is a constant-pred scan of the
 quad DataFrame, ``/`` is a join on the intermediate node, ``|`` a
@@ -123,7 +126,17 @@ class PathClosure:
     mod: str  # '+' | '*' | '?'
 
 
-Path = (PathSeq, PathAlt, PathInv, PathClosure)
+@dataclass(frozen=True)
+class PathNeg:
+    """``!p`` / ``!(p1|^p2|...)`` — a negated property set: any
+    forward edge whose predicate is not in ``fwd`` (when ``fwd`` has
+    members), unioned with any reversed edge whose predicate is not in
+    ``inv`` (when ``inv`` has members) — SPARQL 1.1 §9.1/§18.4."""
+    fwd: tuple
+    inv: tuple
+
+
+Path = (PathSeq, PathAlt, PathInv, PathClosure, PathNeg)
 
 
 @dataclass
@@ -257,7 +270,7 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(SERVICE|DESCRIBE)\b", re.IGNORECASE)
+    r"\b(SERVICE)\b", re.IGNORECASE)
 
 
 def _tok_at(toks: list, i: int):
@@ -281,7 +294,40 @@ def _parse_path_unary(toks: list, i: int, prefixes: dict[str, str]):
             raise SparqlError("unbalanced parentheses in property path")
         i += 1
     elif (kind, val) == ("pathop", "!"):
-        raise SparqlError("negated property sets (!p) are unsupported")
+        def nps_member(j: int):
+            k2, v2 = _tok_at(toks, j)
+            invd = False
+            if (k2, v2) == ("pathop", "^"):
+                invd = True
+                j += 1
+                k2, v2 = _tok_at(toks, j)
+            term = _resolve_term(k2, v2, prefixes)
+            if isinstance(term, Var) or not term.startswith("<"):
+                raise SparqlError(
+                    "negated property set members must be IRIs")
+            return term, invd, j + 1
+
+        fwd: list = []
+        inv: list = []
+        if _tok_at(toks, i + 1) == ("punct", "("):
+            j = i + 2
+            while True:
+                term, invd, j = nps_member(j)
+                (inv if invd else fwd).append(term)
+                nxt = _tok_at(toks, j)
+                if nxt == ("pathop", "|"):
+                    j += 1
+                    continue
+                if nxt == ("punct", ")"):
+                    j += 1
+                    break
+                raise SparqlError(
+                    "expected '|' or ')' in negated property set")
+            i = j
+        else:
+            term, invd, i = nps_member(i + 1)
+            (inv if invd else fwd).append(term)
+        node = PathNeg(tuple(fwd), tuple(inv))
     else:
         term = _resolve_term(kind, val, prefixes)
         i += 1
@@ -1193,6 +1239,22 @@ def _path_pairs(quads: DataFrame, path) -> DataFrame:
         if path.mod == "?":
             return inner.distinct().unionByName(zero).distinct()
         return _transitive_closure(inner).unionByName(zero).distinct()
+    if isinstance(path, PathNeg):
+        parts = []
+        if path.fwd:
+            parts.append(
+                quads.where(~F.col("pred").isin(list(path.fwd)))
+                .select(F.col("subj").alias("__ps"),
+                        F.col("obj").alias("__po")))
+        if path.inv:
+            parts.append(
+                quads.where(~F.col("pred").isin(list(path.inv)))
+                .select(F.col("obj").alias("__ps"),
+                        F.col("subj").alias("__po")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     raise SparqlError(f"unsupported path {path!r}")  # pragma: no cover
 
 
@@ -1672,3 +1734,68 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out.withColumn("graph", F.lit(None).cast("string"))
+
+
+def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
+    """Execute a SPARQL DESCRIBE subset: ``DESCRIBE <iri>... [WHERE
+    {...}]`` or ``DESCRIBE ?v... WHERE {...}``.  The description form
+    is implementation-defined per SPARQL 1.1 §16.4; here it is the
+    SYMMETRIC description — every quad whose subject or object is a
+    described resource — returned in the input's quad shape.
+
+    Spark shape: the resource set (constants + the DISTINCT bindings
+    of the described variables, IRI-valued only) is one small
+    DataFrame; the description is two semi joins against it (subject
+    side and object side — typically broadcast, AQE decides), unioned
+    and de-duplicated.  No collect; resources discovered by the WHERE
+    group never reach the driver."""
+    text = _strip_comments(query)
+    if _UNSUPPORTED.search(text):
+        raise SparqlError(
+            f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^>]*)>", text,
+                         re.IGNORECASE):
+        prefixes[m.group(1) or ""] = m.group(2)
+    text = re.sub(r"PREFIX\s+[\w-]*:\s*<[^>]*>", "", text,
+                  flags=re.IGNORECASE)
+    m = re.search(r"DESCRIBE\s+(.*?)(?:\bWHERE\b\s*\{(.*)\})?\s*$", text,
+                  re.IGNORECASE | re.DOTALL)
+    if m is None or not m.group(1).strip():
+        raise SparqlError("not a DESCRIBE query")
+    spark = quads.sparkSession
+    consts: list[str] = []
+    described_vars: list[str] = []
+    for kind, val in _tokenize(m.group(1)):
+        term = _resolve_term(kind, val, prefixes)
+        if isinstance(term, Var):
+            described_vars.append(term.name)
+        elif term.startswith("<"):
+            consts.append(term)
+        else:
+            raise SparqlError(
+                f"DESCRIBE takes IRIs or variables, got {term!r}")
+    resources = spark.createDataFrame(
+        [(c,) for c in consts], "__r string")
+    if described_vars:
+        if m.group(2) is None:
+            raise SparqlError("DESCRIBE with variables requires WHERE")
+        group = _parse_group(m.group(2), prefixes)
+        if group.is_empty():
+            raise SparqlError("empty basic graph pattern")
+        sol = _exec_group(quads, group, prefixes)
+        missing = [v for v in described_vars if v not in sol.columns]
+        if missing:
+            raise SparqlError(
+                f"DESCRIBE references unbound variables {missing}")
+        for v in described_vars:
+            resources = resources.unionByName(
+                sol.select(F.col(v).alias("__r"))
+                .where(F.col("__r").startswith("<")))
+    resources = resources.distinct()
+    cols = quads.columns
+    by_subj = quads.join(resources, quads["subj"] == resources["__r"],
+                         "left_semi")
+    by_obj = quads.join(resources, quads["obj"] == resources["__r"],
+                        "left_semi")
+    return by_subj.unionByName(by_obj).select(*cols).distinct()

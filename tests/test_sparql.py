@@ -853,3 +853,65 @@ def test_filter_is_tests_and_lang(quads):
         SELECT ?s WHERE {{ ?s ex:age ?a . FILTER(LANG(?a) != "en") }}
     """).collect()
     assert len(rows) == 3  # plain literals have no lang tag
+
+
+def test_negated_property_set_forward(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{ ?s !(ex:age|a) ?o . }}
+    """).collect()
+    got = {(r.s, r.o) for r in rows}
+    assert got == {(EX + "alice", EX + "bob"), (EX + "bob", "Bob")}
+
+
+def test_negated_property_set_single_and_inverse(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ ex:alice !ex:knows ?o . }}
+    """).collect()
+    assert {r.o for r in rows} == {"30", EX + "Person"}
+    # inverse-only: match reversed edges whose pred is NOT ex:age —
+    # bob is reached via ^knows (from alice) and ^type is excluded by
+    # nothing, so Person gains both typed subjects
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{ ?s !(^ex:age) ?o . }}
+    """).collect()
+    got = {(r.s, r.o) for r in rows}
+    assert (EX + "bob", EX + "alice") in got          # ^knows
+    assert (EX + "Person", EX + "alice") in got        # ^type
+    assert ("30", EX + "alice") not in got             # ^age negated
+
+
+def test_negated_property_set_errors(quads):
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT ?s WHERE {{ ?s !(<{EX}p>|?v) ?o . }}")
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT ?s WHERE {{ ?s !(<{EX}p> ?o . }}")
+
+
+def test_describe_constant_and_variable(quads):
+    from kgloom.sparql import sparql_describe
+    got = {(r.subj, r.pred, r.obj)
+           for r in sparql_describe(quads, f"""
+               PREFIX ex: <{EX}>
+               DESCRIBE ex:carol
+           """).collect()}
+    assert got == {(f"<{EX}carol>", f"<{EX}age>", '"41"')}
+    # variable form: all quads touching every typed resource
+    got = {(r.subj, r.pred, r.obj)
+           for r in sparql_describe(quads, f"""
+               PREFIX ex: <{EX}>
+               DESCRIBE ?p WHERE {{ ?p a ex:Person . }}
+           """).collect()}
+    assert (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>") in got
+    assert (f"<{EX}bob>", f"<{EX}name>", '"Bob"@en') in got
+    assert (f"<{EX}carol>", f"<{EX}age>", '"41"') not in got
+
+
+def test_describe_errors(quads):
+    from kgloom.sparql import sparql_describe
+    with pytest.raises(SparqlError):
+        sparql_describe(quads, "DESCRIBE ?x")          # vars need WHERE
+    with pytest.raises(SparqlError):
+        sparql_describe(quads, 'DESCRIBE "lit"')       # not an IRI
