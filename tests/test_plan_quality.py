@@ -136,3 +136,27 @@ def test_sparql_bgp_join_is_jvm_only(spark):
         SELECT ?s ?o WHERE { ?s <http://e/p> ?o ; <http://e/q> ?o . }
     """)
     assert "EvalPython" not in explain_str(df)
+
+
+def test_rdfs_closure_broadcasts_schema_and_stays_jvm(spark):
+    """Every instance-side rule join in the RDFS closure must broadcast
+    the (tiny) schema side, and the whole plan must stay JVM-only —
+    no Python evaluation anywhere in the reasoning path."""
+    import __spark_entry__ as em
+    df = em.queries()["reason_rdfs_closure"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    # no sort-merge join should appear: all rule joins are
+    # schema-broadcasts, the only wide exchange is the final distinct
+    assert "SortMergeJoin" not in plan
+
+
+def test_shacl_validate_single_scan_no_python(spark):
+    """The SHACL report is codegen-only (no Python nodes) and the
+    focus×path count grid broadcasts its tiny path relation."""
+    import __spark_entry__ as em
+    df = em.queries()["reason_shacl"](spark, SF)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    assert "Broadcast" in plan
