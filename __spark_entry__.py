@@ -625,6 +625,15 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_graph_kg_profile(spark, sf_dir):
+    """Per-predicate KG profile over the RDFS-closed turn KG
+    (kgloom/ops/graph.py): triple counts, distinct subjects/objects,
+    object-kind breakdown — one hash aggregate, the metrics report a
+    construction pipeline emits per stage."""
+    from kgloom.ops.graph import kg_profile
+    return kg_profile(q_reason_rdfs_closure(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), k=5,
                          query_ids=list(range(10))).select(
@@ -761,6 +770,62 @@ def _reason_ontology_values() -> str:
         for s, p, o in _REASON_ONTOLOGY)
 
 
+def _rdfs_closure_sql() -> str:
+    """RDFS ρdf closure replay: sp/sc transitive closures as recursive
+    CTEs over the SAME ontology literals the Spark query uses
+    (_REASON_ONTOLOGY), then one SELECT per rule — rdfs7 (subproperty
+    inheritance), rdfs2/3 (domain/range typing over the
+    rdfs7-generalized triples), rdfs9 (subclass lifting over asserted +
+    derived types), unioned with the closed schema and
+    set-deduplicated, mirroring the WebPIE stratification in
+    kgloom/ops/reasoning.py.  Shared by the reason_rdfs_closure and
+    graph_kg_profile oracles."""
+    return f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            inst AS (SELECT * FROM ({_TURN_TRIPLES_UNION})),
+            ont(subj, pred, obj) AS (VALUES {_reason_ontology_values()}),
+            sp(a, b) AS (
+              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBPROP}'
+              UNION
+              SELECT sp.a, o.obj FROM sp
+              JOIN ont o ON sp.b = o.subj AND o.pred = '{_RDFS_SUBPROP}'
+              WHERE sp.a <> o.obj),
+            sc(a, b) AS (
+              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBCLASS}'
+              UNION
+              SELECT sc.a, o.obj FROM sc
+              JOIN ont o ON sc.b = o.subj AND o.pred = '{_RDFS_SUBCLASS}'
+              WHERE sc.a <> o.obj),
+            inst_all AS (
+              SELECT * FROM inst
+              UNION ALL
+              SELECT i.subj, sp.b AS pred, i.obj
+              FROM inst i JOIN sp ON i.pred = sp.a),
+            types(s, c) AS (
+              SELECT subj, obj FROM inst_all WHERE pred = '{_RDF_TYPE}'
+              UNION ALL
+              SELECT i.subj, o.obj FROM inst_all i
+              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_DOMAIN}'
+              UNION ALL
+              SELECT i.obj, o.obj FROM inst_all i
+              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_RANGE}'
+              WHERE i.obj LIKE '<%')
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT * FROM inst_all
+              UNION ALL
+              SELECT s, '{_RDF_TYPE}', c FROM types
+              UNION ALL
+              SELECT t.s, '{_RDF_TYPE}', sc.b FROM types t
+              JOIN sc ON t.c = sc.a
+              UNION ALL
+              SELECT * FROM ont
+              UNION ALL
+              SELECT a, '{_RDFS_SUBPROP}', b FROM sp
+              UNION ALL
+              SELECT a, '{_RDFS_SUBCLASS}', b FROM sc)
+    """
+
+
 def q_reason_rdfs_closure(spark, sf_dir):
     """RDFS (ρdf) materialization of the constructed turn KG under an
     inline ontology (kgloom/ops/reasoning.py): subPropertyOf chains
@@ -889,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_bm25": q_text_bm25,
         "graph_pagerank": q_graph_pagerank,
+        "graph_kg_profile": q_graph_kg_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -1187,57 +1253,23 @@ def oracle_sql() -> dict[str, str]:
                         WHERE role = 'tool')
             SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})
         """,
-        # RDFS ρdf closure replay: sp/sc transitive closures as
-        # recursive CTEs over the SAME ontology literals the Spark
-        # query uses (_REASON_ONTOLOGY), then one SELECT per rule —
-        # rdfs7 (subproperty inheritance), rdfs2/3 (domain/range
-        # typing over the rdfs7-generalized triples), rdfs9 (subclass
-        # lifting over asserted + derived types), unioned with the
-        # closed schema and set-deduplicated, mirroring the WebPIE
-        # stratification in kgloom/ops/reasoning.py
-        "reason_rdfs_closure": f"""
-            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
-            inst AS (SELECT * FROM ({_TURN_TRIPLES_UNION})),
-            ont(subj, pred, obj) AS (VALUES {_reason_ontology_values()}),
-            sp(a, b) AS (
-              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBPROP}'
-              UNION
-              SELECT sp.a, o.obj FROM sp
-              JOIN ont o ON sp.b = o.subj AND o.pred = '{_RDFS_SUBPROP}'
-              WHERE sp.a <> o.obj),
-            sc(a, b) AS (
-              SELECT subj, obj FROM ont WHERE pred = '{_RDFS_SUBCLASS}'
-              UNION
-              SELECT sc.a, o.obj FROM sc
-              JOIN ont o ON sc.b = o.subj AND o.pred = '{_RDFS_SUBCLASS}'
-              WHERE sc.a <> o.obj),
-            inst_all AS (
-              SELECT * FROM inst
-              UNION ALL
-              SELECT i.subj, sp.b AS pred, i.obj
-              FROM inst i JOIN sp ON i.pred = sp.a),
-            types(s, c) AS (
-              SELECT subj, obj FROM inst_all WHERE pred = '{_RDF_TYPE}'
-              UNION ALL
-              SELECT i.subj, o.obj FROM inst_all i
-              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_DOMAIN}'
-              UNION ALL
-              SELECT i.obj, o.obj FROM inst_all i
-              JOIN ont o ON i.pred = o.subj AND o.pred = '{_RDFS_RANGE}'
-              WHERE i.obj LIKE '<%')
-            SELECT DISTINCT subj, pred, obj FROM (
-              SELECT * FROM inst_all
-              UNION ALL
-              SELECT s, '{_RDF_TYPE}', c FROM types
-              UNION ALL
-              SELECT t.s, '{_RDF_TYPE}', sc.b FROM types t
-              JOIN sc ON t.c = sc.a
-              UNION ALL
-              SELECT * FROM ont
-              UNION ALL
-              SELECT a, '{_RDFS_SUBPROP}', b FROM sp
-              UNION ALL
-              SELECT a, '{_RDFS_SUBCLASS}', b FROM sc)
+        # RDFS ρdf closure replay: see _rdfs_closure_sql
+        "reason_rdfs_closure": _rdfs_closure_sql(),
+        # per-predicate profile of the SAME closed KG: one GROUP BY
+        # over the closure replay
+        "graph_kg_profile": f"""
+            SELECT pred,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subjects,
+                   COUNT(DISTINCT obj) AS n_objects,
+                   SUM(CASE WHEN obj LIKE '<%' THEN 1 ELSE 0 END)
+                     AS n_iri_obj,
+                   SUM(CASE WHEN obj LIKE '"%' THEN 1 ELSE 0 END)
+                     AS n_literal_obj,
+                   SUM(CASE WHEN obj LIKE '\\_:%' ESCAPE '\\'
+                            THEN 1 ELSE 0 END) AS n_bnode_obj
+            FROM ({_rdfs_closure_sql()})
+            GROUP BY pred
         """,
         # sameAs-fusion replay: each entity's component is the 3-IRI
         # chain ent→alias→legacy, whose lexicographic minimum is the

@@ -76,6 +76,25 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
+def kg_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate KG profile — the shape report a construction
+    pipeline logs next to its triple counts: for every predicate, the
+    triple count, distinct subject/object counts, and the object-kind
+    breakdown (IRI / literal / blank node, by rendered-term prefix).
+
+    One hash aggregate keyed on ``pred`` (map-side partial aggregation;
+    the two COUNT DISTINCTs expand to the standard two-phase distinct
+    aggregate) — no joins, no Python, linear in the triple count."""
+    obj = F.col("obj")
+    return (triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+        F.sum(obj.startswith("<").cast("long")).alias("n_iri_obj"),
+        F.sum(obj.startswith('"').cast("long")).alias("n_literal_obj"),
+        F.sum(obj.startswith("_:").cast("long")).alias("n_bnode_obj")))
+
+
 def degree_summary(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree) over the distinct edge set —
