@@ -104,6 +104,7 @@ def turn_triples_plan() -> Plan:
 class PipelineResult:
     triples: DataFrame
     metrics: dict = dc_field(default_factory=dict)
+    closure: Optional[DataFrame] = None
 
 
 class TranscriptPipeline:
@@ -165,7 +166,15 @@ class TranscriptPipeline:
                            resume=resume)
 
     def run(self, transcripts: Optional[DataFrame] = None,
-            resume: bool = False, with_nquads: bool = False) -> PipelineResult:
+            resume: bool = False, with_nquads: bool = False,
+            ontology: Optional[DataFrame] = None) -> PipelineResult:
+        """Run (or resume) the staged pipeline.  ``ontology`` — an
+        optional (subj, pred, obj) schema-triple DataFrame; when given,
+        a fifth checkpointed stage materializes the RDFS ρdf closure of
+        the triple stage under it (kgloom/ops/reasoning.py) and the
+        result carries it as ``.closure``.  The closure stage's lineage
+        includes a content hash of the ontology, so editing the
+        ontology invalidates the snapshot while a mere re-run resumes."""
         t_start = time.time()
         if transcripts is not None:
             in_snap = self.ingest(transcripts, resume=resume)
@@ -247,12 +256,30 @@ class TranscriptPipeline:
                 "triples": t_snap.snapshot_id,
             },
         }
+        closure = None
+        if ontology is not None:
+            from ..ops.reasoning import rdfs_closure
+            # one-row aggregate; only a 32-char digest reaches the driver
+            ont_hash = ontology.agg(F.md5(F.concat_ws("\n", F.sort_array(
+                F.collect_list(F.concat_ws("\t", "subj", "pred", "obj"))))
+            ).alias("h")).collect()[0].h
+            c_snap = self._stage(
+                "closure",
+                parents=[t_snap.snapshot_id, f"ontology:{ont_hash}"],
+                build=lambda: rdfs_closure(
+                    triples.select("subj", "pred", "obj"),
+                    schema=ontology, include_schema=True),
+                resume=resume)
+            closure = self.store.read("closure")
+            metrics["closure_triples"] = c_snap.manifest["row_count"]
+            metrics["snapshots"]["closure"] = c_snap.snapshot_id
         if with_nquads:
             from ..exec.binder import to_nquads_lines
             self._stage("nquads", parents=[t_snap.snapshot_id],
                         build=lambda: to_nquads_lines(triples),
                         resume=resume)
-        return PipelineResult(triples=triples, metrics=metrics)
+        return PipelineResult(triples=triples, metrics=metrics,
+                              closure=closure)
 
 
 def ordered_turns(df: DataFrame) -> DataFrame:

@@ -195,3 +195,35 @@ def test_pipeline_deterministic_across_parallelism(spark, turns, tmp_path):
     a = set(map(tuple, r1.triples.collect()))
     b = set(map(tuple, r2.triples.collect()))
     assert a == b
+
+
+def test_pipeline_closure_stage_resume_and_invalidation(spark, turns,
+                                                        tmp_path):
+    """The optional RDFS-closure stage checkpoints like every other
+    stage: re-running with the same ontology resumes the snapshot;
+    editing the ontology (content hash in the lineage) rebuilds it."""
+    from kgloom.ops.reasoning import RDF_TYPE, RDFS_DOMAIN
+    KGO = "http://kg.example/ontology/"
+    ont = spark.createDataFrame(
+        [(f"<{KGO}usedTool>", RDFS_DOMAIN, f"<{KGO}ToolTurn>")],
+        "subj string, pred string, obj string")
+    pipe = TranscriptPipeline(spark, str(tmp_path / "store"),
+                              shuffle_partitions=8)
+    res = pipe.run(transcripts=turns, ontology=ont)
+    assert res.closure is not None
+    assert res.metrics["closure_triples"] > res.metrics["triples"]
+    n_types = res.closure.where(F.col("pred") == RDF_TYPE).count()
+    assert n_types > 0
+
+    res2 = pipe.run(resume=True, ontology=ont)
+    assert res2.metrics["snapshots"]["closure"] == \
+        res.metrics["snapshots"]["closure"]
+
+    ont2 = ont.unionByName(spark.createDataFrame(
+        [(f"<{KGO}partOf>", RDFS_DOMAIN, f"<{KGO}Turn>")],
+        "subj string, pred string, obj string"))
+    res3 = pipe.run(resume=True, ontology=ont2)
+    assert res3.metrics["snapshots"]["closure"] != \
+        res.metrics["snapshots"]["closure"]
+    assert res3.metrics["snapshots"]["triples"] == \
+        res.metrics["snapshots"]["triples"]  # upstream stages untouched
