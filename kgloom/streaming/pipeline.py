@@ -156,3 +156,45 @@ def stream_session_state(turns: DataFrame) -> DataFrame:
                                     stateStructType=_STATE_SCHEMA,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_closed_triples(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str,
+                          ontology: DataFrame,
+                          available_now: bool = True):
+    """Streaming INCREMENTAL RDFS materialization: file-source turns →
+    turn triples → per-micro-batch ρdf closure under ``ontology`` →
+    parquet append.
+
+    Exactness: for the ρdf fragment every derived instance triple
+    depends on exactly ONE instance triple plus (fixed) schema axioms
+    — no instance-instance joins — so the closure distributes over
+    union: closure(G ∪ Δ) = closure(G) ∪ closure(Δ).  Closing each
+    micro-batch independently and appending therefore yields exactly
+    the closure of the full input, up to RDF set semantics (read the
+    sink with ``.distinct()``, or compact it periodically).  Schema
+    triples are excluded per batch (``include_schema=False``) so they
+    are not re-appended every trigger; verified stream==batch by
+    ``tests/test_streaming.py``.
+
+    foreachBatch is the right tool here (not a streaming join): the
+    closure is a batch transformation of the micro-batch against a
+    static, broadcast-sized schema — inside the hook it runs the SAME
+    rdfs_closure code the batch pipeline uses."""
+    from ..ops.reasoning import rdfs_closure
+
+    turns = read_transcript_stream(spark, input_path)
+    triples = _turn_triple_columns(
+        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    ).select("subj", "pred", "obj")
+
+    def _close_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        (rdfs_closure(batch_df, schema=ontology, include_schema=False)
+         .write.mode("append").parquet(output_path))
+
+    writer = (triples.writeStream
+              .foreachBatch(_close_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -182,3 +182,21 @@ def test_shacl_target_subjects_of_and_no_target_error(spark):
     with pytest.raises(ValueError):
         shacl_validate(spark.createDataFrame(rows, T),
                        (NodeShape(name="bad"),))
+
+
+def test_closure_distributes_over_union(spark):
+    """closure(G ∪ Δ) == closure(G) ∪ closure(Δ) for the ρdf fragment
+    (fixed schema) — the theorem that makes incremental / streaming
+    materialization exact (kgloom/streaming/pipeline.py
+    stream_closed_triples)."""
+    schema = spark.createDataFrame(SCHEMA, T)
+    g = spark.createDataFrame(INSTANCE[:3], T)
+    d = spark.createDataFrame(INSTANCE[3:], T)
+    both = spark.createDataFrame(INSTANCE, T)
+    full = {tuple(r) for r in rdfs_closure(
+        both, schema=schema, include_schema=False).collect()}
+    incr = ({tuple(r) for r in rdfs_closure(
+                g, schema=schema, include_schema=False).collect()}
+            | {tuple(r) for r in rdfs_closure(
+                d, schema=schema, include_schema=False).collect()})
+    assert full == incr

@@ -68,3 +68,27 @@ def test_stream_session_state(spark, tmp_path, turn_files):
     g = {r.conv_id: r.n for r in got.collect()}
     t = {r.conv_id: r["count"] for r in truth.collect()}
     assert g == t
+
+
+def test_stream_closed_triples_equals_batch_closure(spark, tmp_path,
+                                                    turn_files):
+    """Incremental per-micro-batch closure == one-shot batch closure
+    (set equality) — the rho-df distributivity the docstring claims."""
+    from kgloom.ops.reasoning import RDFS_DOMAIN, RDFS_SUBCLASS, rdfs_closure
+    from kgloom.streaming.pipeline import (_turn_triple_columns,
+                                           stream_closed_triples)
+    inp, turns = turn_files
+    KGO = "http://kg.example/ontology/"
+    ont = spark.createDataFrame(
+        [(f"<{KGO}usedTool>", RDFS_DOMAIN, f"<{KGO}ToolTurn>"),
+         (f"<{KGO}ToolTurn>", RDFS_SUBCLASS, f"<{KGO}Turn>")],
+        "subj string, pred string, obj string")
+    out = str(tmp_path / "closed")
+    q = stream_closed_triples(spark, inp, out, str(tmp_path / "ckpt2"), ont)
+    q.awaitTermination(120)
+    got = set(map(tuple, spark.read.parquet(out).distinct().collect()))
+    batch = _turn_triple_columns(turns).select("subj", "pred", "obj")
+    want = set(map(tuple, rdfs_closure(
+        batch, schema=ont, include_schema=False).collect()))
+    assert got == want
+    assert any(p.endswith("#type>") for _, p, _ in got)
