@@ -849,10 +849,14 @@ def q_reason_sameas_fusion(spark, sf_dir):
     and rewrites both subject and object positions to the component
     minimum — which the SQL oracle replays because the chain structure
     makes each component's canonical a closed form of the entity key."""
+    from kgloom.ops.cache import tracked_persist
     from kgloom.ops.reasoning import OWL_SAMEAS, same_as_fusion
     from kgloom.transcripts.derive import transcripts_from_events
     turns = transcripts_from_events(spark, sf_dir)
-    m = detect_mentions(turns).select("norm_key").distinct()
+    # the mention stream feeds four branches (two sameAs directions,
+    # labels, mention triples) — persist the scan+regex pass once
+    detected = tracked_persist(detect_mentions(turns))
+    m = detected.select("norm_key").distinct()
     ent = F.concat(F.lit("<http://kg.example/ent/Entity_"),
                    F.col("norm_key"), F.lit(">"))
     alias = F.concat(F.lit("<http://kg.example/alias/entity-"),
@@ -868,7 +872,7 @@ def q_reason_sameas_fusion(spark, sf_dir):
                       F.lit(f"<{_KGO}label>").alias("pred"),
                       F.concat(F.lit('"Entity_'), F.col("norm_key"),
                                F.lit('"')).alias("obj"))
-    mentions = (detect_mentions(turns)
+    mentions = (detected
                 .select(F.concat(F.lit("<http://kg.example/conv/"),
                                  F.col("conv_id"), F.lit("/turn/"),
                                  F.col("turn_idx"), F.lit(">")).alias("subj"),

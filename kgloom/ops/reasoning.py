@@ -134,7 +134,14 @@ def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
     else:
         schema = schema.select("subj", "pred", "obj")
         inst = triples
-    inst = inst.select("subj", "pred", "obj")
+    # the instance set feeds every rule branch (rdfs7 join, the
+    # inst_all union, domain/range joins, the type scan, the output
+    # union) — persist it once or each branch re-runs the upstream
+    # construction (term templating over the raw table); MEMORY_AND_DISK
+    # so it spills rather than OOMs at scale, released via
+    # unpersist_tracked() (the WebPIE equivalent materializes this
+    # intermediate to HDFS between jobs)
+    inst = tracked_persist(inst.select("subj", "pred", "obj"))
 
     sp = tracked_persist(_transitive_pairs(
         schema.where(F.col("pred") == RDFS_SUBPROP)
