@@ -726,6 +726,44 @@ _REASON_ONTOLOGY: list[tuple[str, str, str]] = [
 ]
 
 
+def q_reason_owl_properties(spark, sf_dir):
+    """OWL-Horst property rules (kgloom/ops/reasoning.py
+    owl_property_closure) over an entity-chain KG: kg:follows edges
+    chain consecutive entity ids (transitive, inverseOf kg:precedes —
+    itself transitive), kg:adjacentTo is symmetric.  The closure runs
+    distributed path doubling per transitive property; the oracle
+    replays it as a recursive CTE."""
+    from kgloom.ops.reasoning import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                      OWL_TRANSITIVE, RDF_TYPE,
+                                      owl_property_closure)
+    from kgloom.transcripts.derive import transcripts_from_events
+    turns = transcripts_from_events(spark, sf_dir)
+    keys = (detect_mentions(turns)
+            .select(F.col("norm_key").cast("int").alias("i")).distinct())
+    # consecutive present ids: (i, i+1) where both exist
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cons = (a.join(b, F.col("b.i") == F.col("a.i") + 1)
+            .select(F.col("a.i").alias("i"), F.col("b.i").alias("j")))
+
+    def ent(c):
+        return F.concat(F.lit("<http://kg.example/ent/Entity_"),
+                        c.cast("string"), F.lit(">"))
+    follows = cons.select(ent(F.col("i")).alias("subj"),
+                          F.lit(f"<{_KGO}follows>").alias("pred"),
+                          ent(F.col("j")).alias("obj"))
+    adjacent = cons.select(ent(F.col("i")).alias("subj"),
+                           F.lit(f"<{_KGO}adjacentTo>").alias("pred"),
+                           ent(F.col("j")).alias("obj"))
+    axioms = spark.createDataFrame([
+        (f"<{_KGO}follows>", RDF_TYPE, OWL_TRANSITIVE),
+        (f"<{_KGO}precedes>", RDF_TYPE, OWL_TRANSITIVE),
+        (f"<{_KGO}follows>", OWL_INVERSE_OF, f"<{_KGO}precedes>"),
+        (f"<{_KGO}adjacentTo>", RDF_TYPE, OWL_SYMMETRIC),
+    ], "subj string, pred string, obj string")
+    return owl_property_closure(follows.unionByName(adjacent), axioms)
+
+
 def q_sparql_kg_nps(spark, sf_dir):
     """SPARQL negated property set over the constructed KG
     (kgloom/sparql.py): every edge whose predicate is NOT kg:text or
@@ -941,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_rdfs_closure": q_reason_rdfs_closure,
         "reason_sameas_fusion": q_reason_sameas_fusion,
         "reason_shacl": q_reason_shacl,
+        "reason_owl_properties": q_reason_owl_properties,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1274,6 +1313,49 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS n_bnode_obj
             FROM ({_rdfs_closure_sql()})
             GROUP BY pred
+        """,
+        # OWL-Horst property replay: the follows chain's transitive
+        # closure as a recursive CTE, the inverse as its mirror
+        # (closure commutes with inversion), the symmetric property as
+        # both orientations of its base edges
+        "reason_owl_properties": f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            k(i) AS (SELECT DISTINCT CAST(
+                       regexp_extract(text, 'Entity_([0-9]+)', 1) AS INT)
+                     FROM tr),
+            e(a, b) AS (SELECT k1.i, k2.i FROM k k1
+                        JOIN k k2 ON k2.i = k1.i + 1),
+            c(a, b) AS (SELECT a, b FROM e
+                        UNION
+                        SELECT c.a, e.b FROM c JOIN e ON c.b = e.a)
+            SELECT DISTINCT * FROM (
+              SELECT '<http://kg.example/ent/Entity_' || CAST(a AS VARCHAR)
+                       || '>' AS subj,
+                     '<{_KGO}follows>' AS pred,
+                     '<http://kg.example/ent/Entity_' || CAST(b AS VARCHAR)
+                       || '>' AS obj
+              FROM c
+              UNION ALL
+              SELECT '<http://kg.example/ent/Entity_' || CAST(b AS VARCHAR)
+                       || '>',
+                     '<{_KGO}precedes>',
+                     '<http://kg.example/ent/Entity_' || CAST(a AS VARCHAR)
+                       || '>'
+              FROM c
+              UNION ALL
+              SELECT '<http://kg.example/ent/Entity_' || CAST(a AS VARCHAR)
+                       || '>',
+                     '<{_KGO}adjacentTo>',
+                     '<http://kg.example/ent/Entity_' || CAST(b AS VARCHAR)
+                       || '>'
+              FROM e
+              UNION ALL
+              SELECT '<http://kg.example/ent/Entity_' || CAST(b AS VARCHAR)
+                       || '>',
+                     '<{_KGO}adjacentTo>',
+                     '<http://kg.example/ent/Entity_' || CAST(a AS VARCHAR)
+                       || '>'
+              FROM e)
         """,
         # sameAs-fusion replay: each entity's component is the 3-IRI
         # chain ent→alias→legacy, whose lexicographic minimum is the

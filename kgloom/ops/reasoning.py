@@ -69,27 +69,38 @@ OWL_SAMEAS = "<http://www.w3.org/2002/07/owl#sameAs>"
 _SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
 
 
-def _transitive_pairs(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+def _transitive_pairs(pairs: DataFrame, max_rounds: int = 16,
+                      drop_self: bool = True) -> DataFrame:
     """Distinct transitive closure of a small (a, b) relation by path
     doubling: R_{i+1} = R_i ∪ R_i∘R_i, so a depth-L hierarchy closes in
     ⌈log2 L⌉ rounds.  Intended for SCHEMA relations (ontology edges —
     thousands of rows, not billions); each round's relation is persisted
     and the superseded one released, and the self-join is
-    broadcastable by size."""
-    rel = tracked_persist(pairs.select("a", "b").where(
-        F.col("a") != F.col("b")).distinct())
+    broadcastable by size.
+
+    ``drop_self`` — suppress (x, x) pairs (the irreflexive convention
+    for class/property hierarchies).  ``owl:TransitiveProperty``
+    closure passes False: a cycle x→y→x legitimately derives (x, x).
+
+    ``localCheckpoint`` (eager) truncates lineage every round — a
+    plain persist() keeps the full logical plan, which TRIPLES per
+    round (self-join + union) and sends optimizer time superlinear
+    long before data size matters; same pattern as the SPARQL ``p+``
+    doubling (kgloom/sparql.py) and the ER components loop."""
+    keep = (F.col("a") != F.col("b")) if drop_self else F.lit(True)
+    rel = pairs.select("a", "b").where(keep).distinct().localCheckpoint()
+    n = rel.count()
     for _ in range(max_rounds):
         hop = (rel.alias("l")
                .join(F.broadcast(rel.alias("r")),
                      F.col("l.b") == F.col("r.a"))
                .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
-               .where(F.col("a") != F.col("b")))
-        grown = tracked_persist(rel.unionByName(hop).distinct())
-        if grown.count() == rel.count():
-            rel.unpersist()
+               .where(keep))
+        grown = rel.unionByName(hop).distinct().localCheckpoint()
+        m = grown.count()
+        if m == n:
             return grown
-        rel.unpersist()
-        rel = grown
+        rel, n = grown, m
     return rel
 
 
@@ -196,6 +207,77 @@ def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
                              F.lit(RDFS_SUBCLASS).alias("pred"),
                              F.col("b").alias("obj"))))
         out = out.unionByName(closed_schema)
+    return out.distinct()
+
+
+OWL_INVERSE_OF = "<http://www.w3.org/2002/07/owl#inverseOf>"
+OWL_SYMMETRIC = "<http://www.w3.org/2002/07/owl#SymmetricProperty>"
+OWL_TRANSITIVE = "<http://www.w3.org/2002/07/owl#TransitiveProperty>"
+
+
+def owl_property_closure(triples: DataFrame, schema: DataFrame,
+                         max_rounds: int = 16) -> DataFrame:
+    """Materialize the OWL-Horst (pD*) PROPERTY rules over ``triples``:
+    rdfp8 (``owl:inverseOf``, both directions), rdfp3
+    (``owl:SymmetricProperty``) and rdfp4 (``owl:TransitiveProperty``).
+    ``schema`` holds the axiom triples; returns the closed instance
+    triples (distinct), axioms not included.
+
+    Rule order is one pass, no fixpoint: symmetric expansion, then the
+    inverse exchange, then per-property transitive closure.  This is
+    complete for the three-rule fragment because (a) symmetric /
+    inverse derivations only *feed* transitivity, and (b) transitive
+    closure commutes with edge inversion — if ``p owl:inverseOf q``
+    then each property's input edge set is the other's inversion, so
+    closing them separately leaves the pair consistent
+    (closure(R⁻¹) = closure(R)⁻¹); a symmetric relation's closure is
+    likewise symmetric.  Interplay with RDFS subsumption is out of
+    scope here — compose with :func:`rdfs_closure` when both are
+    needed (pD* applies the same stratification).
+
+    100-TB design: axioms are ontology-sized — the symmetric/inverse
+    rules are broadcast joins, and only the LIST of transitive
+    property IRIs (not their edges) reaches the driver to drive the
+    per-property path-doubling loop; each closure is the same
+    log-round distributed doubling the SPARQL ``p+`` path uses."""
+    inst = tracked_persist(triples.select("subj", "pred", "obj"))
+
+    sym = (schema.where((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj") == OWL_SYMMETRIC))
+           .select(F.col("subj").alias("p")).distinct())
+    derived_sym = (inst.join(F.broadcast(sym), inst["pred"] == sym["p"])
+                   .select(F.col("obj").alias("subj"), F.col("pred"),
+                           F.col("subj").alias("obj")))
+
+    invs = schema.where(F.col("pred") == OWL_INVERSE_OF)
+    inv_pairs = (invs.select(F.col("subj").alias("p"),
+                             F.col("obj").alias("q"))
+                 .unionByName(invs.select(F.col("obj").alias("p"),
+                                          F.col("subj").alias("q")))
+                 .distinct())
+    base = inst.unionByName(derived_sym)
+    derived_inv = (base.join(F.broadcast(inv_pairs),
+                             base["pred"] == inv_pairs["p"])
+                   .select(F.col("obj").alias("subj"),
+                           F.col("q").alias("pred"),
+                           F.col("subj").alias("obj")))
+    all_edges = tracked_persist(
+        base.unionByName(derived_inv).distinct())
+
+    trans_props = sorted(
+        r.subj for r in schema.where(
+            (F.col("pred") == RDF_TYPE)
+            & (F.col("obj") == OWL_TRANSITIVE))
+        .select("subj").distinct().collect())
+    out = all_edges
+    for p in trans_props:
+        closed = _transitive_pairs(
+            all_edges.where(F.col("pred") == p)
+            .select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+            max_rounds=max_rounds, drop_self=False)
+        out = out.unionByName(closed.select(
+            F.col("a").alias("subj"), F.lit(p).alias("pred"),
+            F.col("b").alias("obj")))
     return out.distinct()
 
 

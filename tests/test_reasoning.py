@@ -200,3 +200,64 @@ def test_closure_distributes_over_union(spark):
             | {tuple(r) for r in rdfs_closure(
                 d, schema=schema, include_schema=False).collect()})
     assert full == incr
+
+
+def _naive_owl_fixpoint(inst: set, axioms: set) -> set:
+    """Ground truth for rdfp3/rdfp4/rdfp8: saturate symmetric, inverse
+    (both directions) and transitive rules over the instance set."""
+    from kgloom.ops.reasoning import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                      OWL_TRANSITIVE)
+    sym = {s for s, p, o in axioms if p == RDF_TYPE and o == OWL_SYMMETRIC}
+    trans = {s for s, p, o in axioms if p == RDF_TYPE and o == OWL_TRANSITIVE}
+    inv = {(s, o) for s, p, o in axioms if p == OWL_INVERSE_OF}
+    inv |= {(q, p) for p, q in inv}
+    closed = set(inst)
+    while True:
+        new = set()
+        for s, p, o in list(closed):
+            if p in sym:
+                new.add((o, p, s))
+            for p1, q in inv:
+                if p == p1:
+                    new.add((o, q, s))
+        for p in trans:
+            edges = {(s, o) for s, pp, o in closed if pp == p}
+            new |= {(a, p, c) for a, b in edges for b2, c in edges
+                    if b == b2}
+        if new <= closed:
+            return closed
+        closed |= new
+
+
+def test_owl_property_closure_matches_naive_fixpoint(spark):
+    from kgloom.ops.reasoning import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                      OWL_TRANSITIVE, owl_property_closure)
+    axioms = [
+        ("<p:follows>", RDF_TYPE, OWL_TRANSITIVE),
+        ("<p:follows>", OWL_INVERSE_OF, "<p:precedes>"),
+        ("<p:precedes>", RDF_TYPE, OWL_TRANSITIVE),
+        ("<p:adjacent>", RDF_TYPE, OWL_SYMMETRIC),
+    ]
+    inst = [
+        ("<n:1>", "<p:follows>", "<n:2>"),
+        ("<n:2>", "<p:follows>", "<n:3>"),
+        ("<n:3>", "<p:follows>", "<n:4>"),
+        ("<n:9>", "<p:precedes>", "<n:8>"),   # feeds follows via inverse
+        ("<n:8>", "<p:precedes>", "<n:7>"),
+        ("<n:5>", "<p:adjacent>", "<n:6>"),
+        ("<n:5>", "<p:other>", "<n:6>"),      # untouched
+        # cycle: transitive closure must derive the self-pairs
+        ("<n:10>", "<p:follows>", "<n:11>"),
+        ("<n:11>", "<p:follows>", "<n:10>"),
+    ]
+    got = {tuple(r) for r in owl_property_closure(
+        spark.createDataFrame(inst, T),
+        spark.createDataFrame(axioms, T)).collect()}
+    want = _naive_owl_fixpoint(set(inst), set(axioms))
+    assert got == want
+    assert ("<n:1>", "<p:follows>", "<n:4>") in got       # chained
+    assert ("<n:4>", "<p:precedes>", "<n:1>") in got      # inverted chain
+    assert ("<n:7>", "<p:follows>", "<n:9>") in got       # via inverse feed
+    assert ("<n:6>", "<p:adjacent>", "<n:5>") in got      # symmetric
+    assert ("<n:10>", "<p:follows>", "<n:10>") in got     # cycle self-pair
+    assert ("<n:6>", "<p:other>", "<n:5>") not in got
