@@ -108,6 +108,7 @@ def schema_closure(schema: DataFrame) -> DataFrame:
     """Close a schema triple set under rdfs5 (subPropertyOf
     transitivity) and rdfs11 (subClassOf transitivity); domain/range
     axioms pass through unchanged.  Returns distinct schema triples."""
+    schema = schema.select("subj", "pred", "obj")
     sp = _transitive_pairs(schema.where(F.col("pred") == RDFS_SUBPROP)
                            .select(F.col("subj").alias("a"),
                                    F.col("obj").alias("b")))
@@ -140,7 +141,8 @@ def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
     docstring for the stratification argument.
     """
     if schema is None:
-        schema = triples.where(F.col("pred").isin(*_SCHEMA_PREDS))
+        schema = (triples.where(F.col("pred").isin(*_SCHEMA_PREDS))
+                  .select("subj", "pred", "obj"))
         inst = triples.where(~F.col("pred").isin(*_SCHEMA_PREDS))
     else:
         schema = schema.select("subj", "pred", "obj")
@@ -301,6 +303,9 @@ def same_as_fusion(triples: DataFrame,
     every subject and object to its component canonical, and
     re-distinct (rewrites collapse formerly distinct triples).
 
+    Extra columns (e.g. ``graph`` on quad input) pass through the
+    rewrite untouched and participate in the final distinct.
+
     100-TB design: the mapping is one row per aliased node — orders of
     magnitude smaller than the triple stream — so both rewrite joins
     broadcast (AQE decides; no hint forced for the rare huge-alias
@@ -309,6 +314,7 @@ def same_as_fusion(triples: DataFrame,
         same_as_components(triples, same_as_pred)
         .where(F.col("node") != F.col("canonical")))
     data = triples.where(F.col("pred") != same_as_pred)
+    rest = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
     m_s = mapping.select(F.col("node").alias("__sn"),
                          F.col("canonical").alias("__sc"))
     m_o = mapping.select(F.col("node").alias("__on"),
@@ -318,7 +324,7 @@ def same_as_fusion(triples: DataFrame,
             .join(m_o, data["obj"] == m_o["__on"], "left")
             .select(F.coalesce("__sc", "subj").alias("subj"),
                     F.col("pred"),
-                    F.coalesce("__oc", "obj").alias("obj"))
+                    F.coalesce("__oc", "obj").alias("obj"), *rest)
             .distinct())
 
 

@@ -261,3 +261,24 @@ def test_owl_property_closure_matches_naive_fixpoint(spark):
     assert ("<n:6>", "<p:adjacent>", "<n:5>") in got      # symmetric
     assert ("<n:10>", "<p:follows>", "<n:10>") in got     # cycle self-pair
     assert ("<n:6>", "<p:other>", "<n:5>") not in got
+
+
+def test_quad_input_shapes(spark):
+    """Quad input (extra graph column): schema-extraction closure must
+    not break on unionByName, and fusion must carry the graph column
+    through the rewrite."""
+    rows = [(s, p, o, "<g:1>") for s, p, o in SCHEMA + INSTANCE]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    closed = rdfs_closure(quads)   # schema extracted from the input
+    assert closed.columns == ["subj", "pred", "obj"]
+    assert {(r.subj, r.pred, r.obj) for r in closed.collect()} == \
+        _naive_rdfs_fixpoint(set(SCHEMA) | set(INSTANCE))
+
+    fused = same_as_fusion(spark.createDataFrame(
+        [("<a>", OWL_SAMEAS, "<b>", None),
+         ("<b>", "<p:name>", '"x"', "<g:1>")],
+        "subj string, pred string, obj string, graph string"))
+    assert fused.columns == ["subj", "pred", "obj", "graph"]
+    assert [tuple(r) for r in fused.collect()] == [
+        ("<a>", "<p:name>", '"x"', "<g:1>")]
