@@ -726,6 +726,28 @@ _REASON_ONTOLOGY: list[tuple[str, str, str]] = [
 ]
 
 
+def q_sparql_kg_group_concat(spark, sf_dir):
+    """SPARQL GROUP_CONCAT + SAMPLE over the constructed KG
+    (kgloom/sparql.py): per conversation, the sorted comma-joined set
+    of distinct tool IRIs, a sample role, and the tool-turn count —
+    all one groupBy/agg."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(
+        triples.withColumn("graph", F.lit(None).cast("string")), f"""
+        PREFIX kg: <{_KGO}>
+        SELECT ?conv
+               (GROUP_CONCAT(DISTINCT ?tool; SEPARATOR=",") AS ?tools)
+               (SAMPLE(?role) AS ?arole)
+               (COUNT(*) AS ?n_tool_turns)
+        WHERE {{
+          ?turn kg:partOf ?conv ;
+                kg:role ?role ;
+                kg:usedTool ?tool .
+        }} GROUP BY ?conv
+    """)
+
+
 def q_reason_owl_properties(spark, sf_dir):
     """OWL-Horst property rules (kgloom/ops/reasoning.py
     owl_property_closure) over an entity-chain KG: kg:follows edges
@@ -974,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
+        "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
         "sparql_kg_describe": q_sparql_kg_describe,
         "reason_rdfs_closure": q_reason_rdfs_closure,
@@ -1271,6 +1294,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE (tool IS NULL AND role IN ('user', 'assistant')
                    AND text LIKE '%Entity_7%')
                OR (tool IS NOT NULL AND text LIKE 'turn 1%')
+        """,
+        # GROUP_CONCAT/SAMPLE replay: the engine defines GROUP_CONCAT
+        # as sorted-order concatenation and SAMPLE as the lexical
+        # minimum (deterministic refinements), so string_agg with
+        # ORDER BY and MIN replay them exactly; solutions are one row
+        # per tool turn (role + tool both bind)
+        "sparql_kg_group_concat": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/conv/' || conv_id AS conv,
+                   string_agg(DISTINCT 'http://kg.example/tool/' || tool,
+                              ',' ORDER BY 'http://kg.example/tool/' || tool)
+                     AS tools,
+                   MIN(role) AS arole,
+                   COUNT(*) AS n_tool_turns
+            FROM tr WHERE tool IS NOT NULL
+            GROUP BY conv_id
         """,
         # negated-property-set replay: !(kg:text|kg:role) keeps exactly
         # the partOf and usedTool edges; bindings are lexical values

@@ -11,8 +11,11 @@ queried (and can feed another mapping) without leaving Spark.
 
 Supported subset (the mapping-source shape the fixtures use):
 ``PREFIX``, ``SELECT [DISTINCT] ?v ... | *``, aggregate projections
-``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v | *) AS ?alias)`` with ``GROUP
-BY`` and ``HAVING``, basic graph patterns with ``;`` predicate lists
+``(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT([DISTINCT] ?v | *
+[; SEPARATOR="s"]) AS ?alias)`` with ``GROUP BY`` and ``HAVING``
+(SAMPLE returns the lexical minimum, GROUP_CONCAT concatenates in
+sorted order — both deterministic refinements of the
+implementation-defined spec points), basic graph patterns with ``;`` predicate lists
 and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
 { ... }``, nested ``{}`` groups, ``GRAPH ?g|<iri> { ... }`` named-graph
 scoping (the default BGP matches the union of all graphs; a GRAPH
@@ -166,10 +169,11 @@ class GroupPattern:
 @dataclass(frozen=True)
 class AggExpr:
     """One aggregate projection ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
-    func: str                       # count | sum | avg | min | max
+    func: str       # count | sum | avg | min | max | sample | group_concat
     var: Optional[str]              # None = COUNT(*)
     distinct: bool
     alias: str
+    sep: Optional[str] = None       # GROUP_CONCAT separator (default " ")
 
 
 @dataclass
@@ -915,8 +919,9 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
 
 
 _AGG_PROJ = re.compile(
-    r"\(\s*(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
-    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+"
+    r"\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*"([^"]*)"\s*)?\)\s+AS\s+'
     r"\?([A-Za-z_][A-Za-z0-9_]*)\s*\)", re.IGNORECASE)
 
 
@@ -945,8 +950,12 @@ def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
             var = None if m.group(3) == "*" else m.group(3)[1:]
             if var is None and (distinct or func != "count"):
                 raise SparqlError(f"{func.upper()}(*) only valid as COUNT(*)")
-            alias = m.group(4)
-            aggs.append(AggExpr(func, var, distinct, alias))
+            sep = m.group(4)
+            if sep is not None and func != "group_concat":
+                raise SparqlError(
+                    "SEPARATOR is only valid in GROUP_CONCAT")
+            alias = m.group(5)
+            aggs.append(AggExpr(func, var, distinct, alias, sep))
             names.append(alias)
             i = m.end()
             continue
@@ -1571,6 +1580,18 @@ def _agg_expr(a: AggExpr) -> F.Column:
             e = F.count(F.col(a.var))
     elif a.func in ("sum", "avg"):
         e = getattr(F, a.func)(_numeric(F.col(a.var)))
+    elif a.func == "sample":
+        # §18.5.1.11 SAMPLE may return any value of the group; we pick
+        # the lexical minimum so results are deterministic (and
+        # relationally replayable)
+        e = F.min(_lexical(F.col(a.var)))
+    elif a.func == "group_concat":
+        # §18.5.1.7 leaves concatenation order undefined; we sort the
+        # lexical forms for determinism.  DISTINCT → collect_set.
+        vals = (F.collect_set(_lexical(F.col(a.var))) if a.distinct
+                else F.collect_list(_lexical(F.col(a.var))))
+        e = F.array_join(F.sort_array(vals),
+                         a.sep if a.sep is not None else " ")
     else:  # min / max: numeric order when the value parses, else lexical
         c = F.col(a.var)
         num = _numeric(c)

@@ -100,6 +100,52 @@ def turn_triples_plan() -> Plan:
     return plan.sink(TargetOp.make({}, IOType.DATAFRAME, DataFormat.NQUADS))
 
 
+def construct_triples(spark: SparkSession, turns: DataFrame,
+                      mentions: Optional[DataFrame] = None,
+                      entities: Optional[DataFrame] = None) -> DataFrame:
+    """The triple-stage dataflow as one plan: algebra-built turn
+    triples unioned with canonical-entity mention triples.  The
+    checkpointed pipeline passes snapshot-read ``mentions``/``entities``;
+    compute-only callers (scaling measurement, ad-hoc construction)
+    omit them and get the full dataflow with no snapshot I/O.
+
+    Mention triples dedup on the narrow natural key BEFORE term
+    construction: the RDF-set shuffle moves (conv_id, turn_idx, digits)
+    rows instead of three fully-formatted IRI strings per row — same
+    output set, a fraction of the shuffle bytes.  conv_id is
+    percent-encoded with the SAME encoder the turn-triples plan applies
+    to its template substitutions, so (a) mention subjects always equal
+    turn subjects for the same turn and (b) the IRI formatting is
+    injective in (conv_id, turn_idx) even when an externally ingested
+    conv_id contains '/turn/' — the narrow-key distinct therefore
+    equals a post-format distinct on every input.  Turn triples are
+    already distinct (serializer RDF set semantics) and share no
+    predicate with mention triples, so the union is distinct by
+    construction — no extra shuffle."""
+    from ..exec.functions import uri_encode
+    if mentions is None:
+        mentions = detect_mentions(turns)
+    if entities is None:
+        entities = canonical_map(mentions)
+    binder = SparkBinder(spark, dataframes={"transcripts": turns})
+    results = binder.execute(turn_triples_plan().graph)
+    turn_triples = list(write_sinks(results).values())[0]
+    mention_triples = (
+        mentions.join(entities, "surface")
+        .select("conv_id", "turn_idx",
+                normalize_surface(F.col("canonical")).alias("ent"))
+        .distinct()
+        .select(
+            F.concat(F.lit(f"<{KG}conv/"), uri_encode(F.col("conv_id")),
+                     F.lit("/turn/"), F.col("turn_idx"),
+                     F.lit(">")).alias("subj"),
+            F.lit(f"<{KG}ontology/mentions>").alias("pred"),
+            F.concat(F.lit(f"<{KG}entity/"), F.col("ent"),
+                     F.lit(">")).alias("obj"),
+            F.lit(None).cast("string").alias("graph")))
+    return turn_triples.unionByName(mention_triples)
+
+
 @dataclass
 class PipelineResult:
     triples: DataFrame
@@ -200,41 +246,8 @@ class TranscriptPipeline:
         entities = self.store.read("entities")
 
         def build_triples():
-            binder = SparkBinder(self.spark,
-                                 dataframes={"transcripts": turns})
-            sunk = turn_triples_plan()
-            results = binder.execute(sunk.graph)
-            turn_triples = list(write_sinks(results).values())[0]
-
-            # dedup on the narrow natural key BEFORE term construction:
-            # the RDF-set shuffle moves (conv_id, turn_idx, digits) rows
-            # instead of three fully-formatted IRI strings per row —
-            # same output set, a fraction of the shuffle bytes.  conv_id
-            # is percent-encoded with the SAME encoder the turn-triples
-            # plan applies to its template substitutions, so (a) mention
-            # subjects always equal turn subjects for the same turn and
-            # (b) the IRI formatting is injective in (conv_id, turn_idx)
-            # even when an externally ingested conv_id contains '/turn/'
-            # — the narrow-key distinct therefore equals the old
-            # post-format distinct on every input
-            from ..exec.functions import uri_encode
-            mention_triples = (
-                mentions.join(entities, "surface")
-                .select("conv_id", "turn_idx",
-                        normalize_surface(F.col("canonical")).alias("ent"))
-                .distinct()
-                .select(
-                    F.concat(F.lit(f"<{KG}conv/"), uri_encode(F.col("conv_id")),
-                             F.lit("/turn/"), F.col("turn_idx"),
-                             F.lit(">")).alias("subj"),
-                    F.lit(f"<{KG}ontology/mentions>").alias("pred"),
-                    F.concat(F.lit(f"<{KG}entity/"), F.col("ent"),
-                             F.lit(">")).alias("obj"),
-                    F.lit(None).cast("string").alias("graph")))
-            # turn triples are already distinct (serializer RDF set
-            # semantics) and share no predicate with mention triples —
-            # the union is distinct by construction, no extra shuffle
-            return turn_triples.unionByName(mention_triples)
+            return construct_triples(self.spark, turns,
+                                     mentions=mentions, entities=entities)
 
         t_snap = self._stage("triples",
                              parents=[in_snap.snapshot_id,

@@ -60,6 +60,37 @@ spark.stop()
 """
 
 
+RUN_ONE_COMPUTE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from kgloom.transcripts.pipeline import construct_triples
+
+cores = int(sys.argv[1]); input_path = sys.argv[2]
+spark = (SparkSession.builder.master(f"local[{{cores}}]")
+         .appName(f"kgloom-scale-compute-{{cores}}")
+         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+         .config("spark.driver.memory", "20g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# identical warm-up policy to the full-pipeline runner: the whole
+# dataflow once over a 200k-turn slice so codegen/shuffle are hot
+warm = spark.read.parquet(input_path).limit(200_000)
+construct_triples(spark, warm).write.format("noop").mode("overwrite").save()
+turns = spark.read.parquet(input_path)
+n_turns = turns.count()
+t0 = time.time()
+construct_triples(spark, turns).write.format("noop") \
+    .mode("overwrite").save()
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "wall": round(wall, 2),
+                   "turns": n_turns,
+                   "turns_per_sec": round(n_turns / wall, 1)}}))
+spark.stop()
+"""
+
+
 def generate_input(path: str, n_turns: int) -> None:
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
@@ -77,11 +108,14 @@ spark.stop()
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
-def run_level(cores: int, input_path: str, store: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", RUN_ONE.format(repo=REPO), str(cores),
-         input_path, store],
-        check=True, capture_output=True, text=True)
+def run_level(cores: int, input_path: str, store: str,
+              compute_only: bool = False) -> dict:
+    script = RUN_ONE_COMPUTE if compute_only else RUN_ONE
+    argv = [sys.executable, "-c", script.format(repo=REPO), str(cores),
+            input_path]
+    if not compute_only:
+        argv.append(store)
+    out = subprocess.run(argv, check=True, capture_output=True, text=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -99,6 +133,14 @@ def main() -> None:
     ap.add_argument("--input", default=None,
                     help="reuse an existing transcripts parquet dir "
                          "instead of regenerating (must match --turns)")
+    ap.add_argument("--compute-only", action="store_true",
+                    help="time the triple-construction dataflow with a "
+                         "noop sink instead of the checkpointing pipeline: "
+                         "on this single box every parallelism level shares "
+                         "ONE disk, so snapshot-write bandwidth is a fixed "
+                         "serial term that a real cluster (per-executor "
+                         "disks) does not have — this mode measures the "
+                         "compute scaling the cluster deployment would see")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="kgloom_scaling_")
@@ -111,9 +153,11 @@ def main() -> None:
         lo_runs, hi_runs = [], []
         for r in range(args.repeats):
             lo_runs.append(run_level(args.low, input_path,
-                                     os.path.join(work, f"s_lo_{r}")))
+                                     os.path.join(work, f"s_lo_{r}"),
+                                     compute_only=args.compute_only))
             hi_runs.append(run_level(args.high, input_path,
-                                     os.path.join(work, f"s_hi_{r}")))
+                                     os.path.join(work, f"s_hi_{r}"),
+                                     compute_only=args.compute_only))
             print(json.dumps({"repeat": r, "low": lo_runs[-1],
                               "high": hi_runs[-1]}), file=sys.stderr)
         lo = min(lo_runs, key=lambda d: d["wall"])
@@ -141,9 +185,12 @@ def main() -> None:
         if args.update_md:
             stamp = subprocess.run(["date", "-u", "+%Y-%m-%dT%H:%M:%SZ"],
                                    capture_output=True, text=True).stdout.strip()
+            mode = (" (compute-only: noop sink, no snapshot writes — "
+                    "single shared disk excluded)" if args.compute_only
+                    else "")
             with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
                 f.write(
-                    f"\n## Scaling run {stamp}\n\n"
+                    f"\n## Scaling run {stamp}{mode}\n\n"
                     f"- input: {result['turns']:,} synthetic transcript turns "
                     f"(same parquet input for both levels; synthesis excluded "
                     f"from timing)\n"

@@ -282,3 +282,38 @@ def test_quad_input_shapes(spark):
     assert fused.columns == ["subj", "pred", "obj", "graph"]
     assert [tuple(r) for r in fused.collect()] == [
         ("<a>", "<p:name>", '"x"', "<g:1>")]
+
+
+def test_rdfs_closure_random_graphs_match_fixpoint(spark):
+    """Seeded-random small graphs vs the naive fixpoint — catches rule
+    interactions the hand-built fixture misses (deep mixed hierarchies,
+    domain axioms on derived superproperties, type chains)."""
+    import random
+    rng = random.Random(20260817)
+    props = [f"<p:{i}>" for i in range(6)]
+    classes = [f"<c:{i}>" for i in range(6)]
+    nodes = [f"<n:{i}>" for i in range(8)]
+    for trial in range(6):
+        schema = set()
+        for _ in range(rng.randint(2, 6)):
+            schema.add((rng.choice(props), RDFS_SUBPROP, rng.choice(props)))
+        for _ in range(rng.randint(2, 6)):
+            schema.add((rng.choice(classes), RDFS_SUBCLASS,
+                        rng.choice(classes)))
+        for _ in range(rng.randint(1, 4)):
+            schema.add((rng.choice(props), RDFS_DOMAIN, rng.choice(classes)))
+        for _ in range(rng.randint(1, 4)):
+            schema.add((rng.choice(props), RDFS_RANGE, rng.choice(classes)))
+        inst = set()
+        for _ in range(rng.randint(3, 10)):
+            inst.add((rng.choice(nodes), rng.choice(props),
+                      rng.choice(nodes + ['"lit"'])))
+        for _ in range(rng.randint(0, 3)):
+            inst.add((rng.choice(nodes), RDF_TYPE, rng.choice(classes)))
+        # self-loops in the hierarchy are legal inputs; the closure's
+        # irreflexive convention must still match the naive fixpoint,
+        # which also skips a==c pairs
+        got = {tuple(r) for r in rdfs_closure(
+            spark.createDataFrame(sorted(schema | inst), T)).collect()}
+        want = _naive_rdfs_fixpoint(schema | inst)
+        assert got == want, f"trial {trial}: diff={got ^ want}"

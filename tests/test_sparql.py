@@ -575,15 +575,18 @@ def test_path_parse_precedence():
     assert isinstance(p2, PathAlt) and isinstance(p2.branches[1], PathSeq)
 
 
-def test_path_rejects_vars_and_negation(chain):
+def test_path_rejects_vars_and_literals(chain):
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ?p+ ?y . }")
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x <http://p>/?p ?y . }")
-    with pytest.raises(SparqlError):
-        parse_sparql("SELECT ?x WHERE { ?x !<http://p> ?y . }")
     with pytest.raises(SparqlError):  # literal atom
         parse_sparql('SELECT ?x WHERE { ?x "lit"+ ?y . }')
+    # negation now parses (round 3): single-IRI NPS
+    from kgloom.sparql import PathNeg
+    q = parse_sparql("SELECT ?x WHERE { ?x !<http://p> ?y . }")
+    (_, p, _), = q.group.patterns
+    assert isinstance(p, PathNeg) and p.fwd == ("<http://p>",)
 
 
 def test_path_plus_transitive(chain):
@@ -915,3 +918,30 @@ def test_describe_errors(quads):
         sparql_describe(quads, "DESCRIBE ?x")          # vars need WHERE
     with pytest.raises(SparqlError):
         sparql_describe(quads, 'DESCRIBE "lit"')       # not an IRI
+
+
+def test_group_concat_and_sample(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?p (GROUP_CONCAT(?age; SEPARATOR="|") AS ?ages)
+               (SAMPLE(?age) AS ?one)
+        WHERE {{ ?p ex:age ?age . }} GROUP BY ?p
+    """).collect()
+    got = {(r.p, r.ages, r.one) for r in rows}
+    assert got == {(EX + "alice", "30", "30"), (EX + "bob", "25", "25"),
+                   (EX + "carol", "41", "41")}
+    # cross-group concat, default separator, DISTINCT collapse
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(DISTINCT ?age) AS ?ages) WHERE {{
+          ?p ex:age ?age . }}
+    """).collect()
+    assert rows[0].ages == "25 30 41"   # sorted, space-joined
+
+
+def test_group_concat_errors(quads):
+    with pytest.raises(SparqlError):
+        parse_sparql('SELECT (SUM(?x; SEPARATOR=",") AS ?s) '
+                     'WHERE { ?a ?b ?x . }')
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SAMPLE(*) AS ?s) WHERE { ?a ?b ?x . }")
