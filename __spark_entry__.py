@@ -1344,12 +1344,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_triples,
                    COUNT(DISTINCT subj) AS n_subjects,
                    COUNT(DISTINCT obj) AS n_objects,
-                   SUM(CASE WHEN obj LIKE '<%' THEN 1 ELSE 0 END)
+                   COUNT(*) FILTER (WHERE obj LIKE '<%')
                      AS n_iri_obj,
-                   SUM(CASE WHEN obj LIKE '"%' THEN 1 ELSE 0 END)
+                   COUNT(*) FILTER (WHERE obj LIKE '"%')
                      AS n_literal_obj,
-                   SUM(CASE WHEN obj LIKE '\\_:%' ESCAPE '\\'
-                            THEN 1 ELSE 0 END) AS n_bnode_obj
+                   COUNT(*) FILTER (WHERE obj LIKE '\\_:%' ESCAPE '\\')
+                     AS n_bnode_obj
             FROM ({_rdfs_closure_sql()})
             GROUP BY pred
         """,

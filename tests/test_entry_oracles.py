@@ -24,6 +24,28 @@ def ducks():
     return con
 
 
+def _norm_arrow(t):
+    """Collapse representation-only arrow-type differences that the
+    driver's hash treats as equal (string widths, tz spelling), while
+    keeping width/kind differences (int64 vs decimal128) distinct."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    # integer widths hash alike at the driver (int32 n_tokens vs the
+    # oracle's int64 was green in r3) — but decimal128 (DuckDB HUGEINT)
+    # vs int64 does NOT, so only plain-integer widths collapse here
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_arrow(t.value_type)}>"
+    return str(t)
+
+
 def canon(rows, cols):
     out = []
     for row in rows:
@@ -58,6 +80,15 @@ def test_query_vs_oracle(spark, ducks, name):
     ores = ducks.execute(ORACLES[name]).fetchall()
     ocols = [d[0] for d in ducks.description]
     assert sorted(cols) == sorted(ocols), (cols, ocols)
+    # Typed compare, mirroring the driver's value-hash which is
+    # type-sensitive (round-3 lesson: DuckDB HUGEINT vs Spark bigint
+    # hash-mismatched on value-identical results). Compare the arrow
+    # type of every shared column, with lossless-width normalisation.
+    otypes = {f.name: _norm_arrow(f.type)
+              for f in ducks.execute(ORACLES[name]).arrow().schema}
+    stypes = {f.name: _norm_arrow(f.type) for f in sdf.toArrow().schema}
+    for c in cols:
+        assert stypes[c] == otypes[c], (name, c, stypes[c], otypes[c])
     got = canon([dict(zip(cols, r)) for r in srows], cols)
     want = canon([dict(zip(ocols, r)) for r in ores], ocols)
     assert len(got) == len(want), (name, len(got), len(want))
