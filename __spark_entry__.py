@@ -425,6 +425,27 @@ def q_sparql_kg_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_path_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-anchored transitive path: every turn strictly after
+    conv-1's turn 0, with its role.  The ground subject routes the
+    closure through the SEEDED strategy
+    (`kgloom.ops.closure.anchored_closure`): the ``kg:next`` edge
+    relation is restricted to the anchor's connected component (one
+    log-round CC pass, work linear in edges) before closing, so the
+    work scales with the REACHABLE region — conv-1's own chain — not
+    the whole graph's closure, unlike the both-ends-variable
+    ``sparql_kg_path``."""
+    from kgloom.sparql import sparql_select
+    quads = _kg_with_next(spark, sf_dir)
+    return sparql_select(quads, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT DISTINCT ?b ?role WHERE {
+          <http://kg.example/conv/conv-1/turn/0> kg:next+ ?b .
+          ?b kg:role ?role .
+        }
+    """)
+
+
 def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL inverse + alternation + sequence path: conversations to
     every tool IRI or role literal of their turns via
@@ -992,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_construct": q_sparql_kg_construct,
         "sparql_kg_bind": q_sparql_kg_bind,
         "sparql_kg_path": q_sparql_kg_path,
+        "sparql_kg_path_anchored": q_sparql_kg_path_anchored,
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
@@ -1462,6 +1484,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN tr c ON c.conv_id = b.conv_id
                      AND c.turn_idx = b.turn_idx + 1
                      AND c.tool IS NOT NULL
+        """,
+        # anchored-path replay: next+ from conv-1's turn 0 is exactly
+        # conv-1's turns with turn_idx > 0 (the chain is consecutive)
+        "sparql_kg_path_anchored": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+              'http://kg.example/conv/conv-1/turn/'
+                || CAST(turn_idx AS VARCHAR) AS b,
+              role
+            FROM tr WHERE conv_id = 'conv-1' AND turn_idx > 0
         """,
         # inverse+alternation replay: conv → every tool IRI or role
         # lexical value over its member turns

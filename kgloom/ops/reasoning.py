@@ -71,37 +71,22 @@ _SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
 
 def _transitive_pairs(pairs: DataFrame, max_rounds: int = 16,
                       drop_self: bool = True) -> DataFrame:
-    """Distinct transitive closure of a small (a, b) relation by path
-    doubling: R_{i+1} = R_i ∪ R_i∘R_i, so a depth-L hierarchy closes in
-    ⌈log2 L⌉ rounds.  Intended for SCHEMA relations (ontology edges —
-    thousands of rows, not billions); each round's relation is persisted
-    and the superseded one released, and the self-join is
-    broadcastable by size.
+    """Distinct transitive closure of a small (a, b) relation —
+    broadcast-hinted path doubling from the engine-wide closure module
+    (:func:`kgloom.ops.closure.doubling_closure`).  STRICTLY for
+    SCHEMA relations (ontology edges — thousands of rows, not
+    billions): the broadcast hint ships the whole relation to every
+    executor each round, which is the fast path for tiny relations and
+    an OOM for instance data.  Instance-scale closures go through the
+    size-gated :func:`kgloom.ops.closure.transitive_closure` instead
+    (see :func:`owl_property_closure`).
 
-    ``drop_self`` — suppress (x, x) pairs (the irreflexive convention
-    for class/property hierarchies).  ``owl:TransitiveProperty``
-    closure passes False: a cycle x→y→x legitimately derives (x, x).
+    A ``RuntimeWarning`` is raised if ``max_rounds`` (2^16-length
+    hierarchies) is exhausted before the fixpoint."""
+    from .closure import doubling_closure
 
-    ``localCheckpoint`` (eager) truncates lineage every round — a
-    plain persist() keeps the full logical plan, which TRIPLES per
-    round (self-join + union) and sends optimizer time superlinear
-    long before data size matters; same pattern as the SPARQL ``p+``
-    doubling (kgloom/sparql.py) and the ER components loop."""
-    keep = (F.col("a") != F.col("b")) if drop_self else F.lit(True)
-    rel = pairs.select("a", "b").where(keep).distinct().localCheckpoint()
-    n = rel.count()
-    for _ in range(max_rounds):
-        hop = (rel.alias("l")
-               .join(F.broadcast(rel.alias("r")),
-                     F.col("l.b") == F.col("r.a"))
-               .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
-               .where(keep))
-        grown = rel.unionByName(hop).distinct().localCheckpoint()
-        m = grown.count()
-        if m == n:
-            return grown
-        rel, n = grown, m
-    return rel
+    return doubling_closure(pairs.select("a", "b"), drop_self=drop_self,
+                            broadcast_hint=True, max_rounds=max_rounds)
 
 
 def schema_closure(schema: DataFrame) -> DataFrame:
@@ -217,69 +202,158 @@ OWL_SYMMETRIC = "<http://www.w3.org/2002/07/owl#SymmetricProperty>"
 OWL_TRANSITIVE = "<http://www.w3.org/2002/07/owl#TransitiveProperty>"
 
 
+def _owl_propagation_map(axiom_rows: list) -> list:
+    """Driver-side closure of the {rdfp3, rdfp8} rule system at the
+    SCHEMA level.  An edge ``(a, p, b)`` derives, via any chain of
+    symmetric expansions and inverse exchanges, edges on other
+    properties with an orientation; each single rule application is one
+    transition of the automaton over states ``(property, flipped)``:
+
+    * ``p owl:inverseOf q`` (either direction):
+      ``(p, f) → (q, not f)``
+    * ``p a owl:SymmetricProperty``: ``(p, f) → (p, not f)``
+
+    BFS from ``(p, False)`` for every property mentioned in an axiom
+    yields the COMPLETE sym/inv rule closure as a static map
+    ``(p, r, flipped)`` — including the compositions a single ordered
+    pass misses (an inverse-fed symmetric property, a chain
+    inv∘sym∘inv landing back on ``p`` reversed).  Axioms are
+    ontology-sized, so this runs on the driver over the collected
+    axiom rows (bounded, like the transitive-property list).
+
+    Returns the map WITHOUT the trivial identity rows (p, p, False).
+    """
+    sym = {s for s, p, o in axiom_rows
+           if p == RDF_TYPE and o == OWL_SYMMETRIC}
+    inv: dict = {}
+    for s, p, o in axiom_rows:
+        if p == OWL_INVERSE_OF:
+            inv.setdefault(s, set()).add(o)
+            inv.setdefault(o, set()).add(s)
+    props = sym | set(inv)
+    out = []
+    for p in sorted(props):
+        seen = {(p, False)}
+        frontier = [(p, False)]
+        while frontier:
+            nxt = []
+            for (r, f) in frontier:
+                steps = [(q, not f) for q in inv.get(r, ())]
+                if r in sym:
+                    steps.append((r, not f))
+                for st in steps:
+                    if st not in seen:
+                        seen.add(st)
+                        nxt.append(st)
+            frontier = nxt
+        out.extend((p, r, f) for (r, f) in sorted(seen) if (r, f) != (p, False))
+    return out
+
+
+#: separator for the (property, node) composite closure keys below —
+#: cannot appear in a rendered RDF term
+_PRED_SEP = "\x00"
+
+
 def owl_property_closure(triples: DataFrame, schema: DataFrame,
                          max_rounds: int = 16) -> DataFrame:
     """Materialize the OWL-Horst (pD*) PROPERTY rules over ``triples``:
     rdfp8 (``owl:inverseOf``, both directions), rdfp3
     (``owl:SymmetricProperty``) and rdfp4 (``owl:TransitiveProperty``).
     ``schema`` holds the axiom triples; returns the closed instance
-    triples (distinct), axioms not included.
+    triples (distinct), axioms not included.  Matches the naive
+    fixpoint of the three rules (property-tested,
+    ``tests/test_reasoning.py``).
 
-    Rule order is one pass, no fixpoint: symmetric expansion, then the
-    inverse exchange, then per-property transitive closure.  This is
-    complete for the three-rule fragment because (a) symmetric /
-    inverse derivations only *feed* transitivity, and (b) transitive
-    closure commutes with edge inversion — if ``p owl:inverseOf q``
-    then each property's input edge set is the other's inversion, so
-    closing them separately leaves the pair consistent
-    (closure(R⁻¹) = closure(R)⁻¹); a symmetric relation's closure is
-    likewise symmetric.  Interplay with RDFS subsumption is out of
-    scope here — compose with :func:`rdfs_closure` when both are
-    needed (pD* applies the same stratification).
+    Execution is one pass, no instance fixpoint:
 
-    100-TB design: axioms are ontology-sized — the symmetric/inverse
-    rules are broadcast joins, and only the LIST of transitive
-    property IRIs (not their edges) reaches the driver to drive the
-    per-property path-doubling loop; each closure is the same
-    log-round distributed doubling the SPARQL ``p+`` path uses."""
+    1. the {rdfp3, rdfp8} rule system is closed at the SCHEMA level
+       into a static propagation map (:func:`_owl_propagation_map`) —
+       one broadcast join then copies every instance edge to every
+       property/orientation the rules can carry it to;
+    2. each ``owl:TransitiveProperty``'s edges are closed with the
+       size-gated distributed closure
+       (:func:`kgloom.ops.closure.transitive_closure`) — ALL
+       transitive properties in ONE call, components keyed by
+       ``(property, node)`` so chains of different properties never
+       merge; NEVER broadcast (instance edge sets can be billions of
+       rows at target scale);
+    3. the propagation map is re-applied once to the closure-derived
+       edges.
+
+    Why one pass reaches the fixpoint: after step 1 every transitive
+    property ``t`` holds the full sym/inv image of its component's
+    edges, so step 2 computes closure(image).  Step 3's new edges are
+    ``map(closure(image))``; mapping them back into any transitive
+    ``t'`` gives ``flipⁿ(closure(image(t)))`` = ``closure(image(t'))``
+    (transitive closure commutes with edge inversion, and when both
+    orientations are reachable — a symmetric member or an odd inverse
+    cycle — the step-1 image is already symmetric, whose closure is
+    symmetric), i.e. nothing a further transitive round could add; and
+    {rdfp3, rdfp8} were closed exhaustively by the map itself.
+
+    100-TB design: only the AXIOM rows (ontology-sized) reach the
+    driver; the propagation map is a broadcast join; the instance
+    closure is component-gated local BFS with a distributed-doubling
+    fallback — no broadcast of instance data anywhere."""
     inst = tracked_persist(triples.select("subj", "pred", "obj"))
 
-    sym = (schema.where((F.col("pred") == RDF_TYPE)
-                        & (F.col("obj") == OWL_SYMMETRIC))
-           .select(F.col("subj").alias("p")).distinct())
-    derived_sym = (inst.join(F.broadcast(sym), inst["pred"] == sym["p"])
-                   .select(F.col("obj").alias("subj"), F.col("pred"),
-                           F.col("subj").alias("obj")))
+    axiom_rows = [(r.subj, r.pred, r.obj) for r in
+                  schema.where(
+                      ((F.col("pred") == RDF_TYPE)
+                       & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE))
+                      | (F.col("pred") == OWL_INVERSE_OF))
+                  .select("subj", "pred", "obj").distinct().collect()]
+    prop_map = _owl_propagation_map(axiom_rows)
+    trans_props = sorted({s for s, p, o in axiom_rows
+                          if p == RDF_TYPE and o == OWL_TRANSITIVE})
 
-    invs = schema.where(F.col("pred") == OWL_INVERSE_OF)
-    inv_pairs = (invs.select(F.col("subj").alias("p"),
-                             F.col("obj").alias("q"))
-                 .unionByName(invs.select(F.col("obj").alias("p"),
-                                          F.col("subj").alias("q")))
-                 .distinct())
-    base = inst.unionByName(derived_sym)
-    derived_inv = (base.join(F.broadcast(inv_pairs),
-                             base["pred"] == inv_pairs["p"])
-                   .select(F.col("obj").alias("subj"),
-                           F.col("q").alias("pred"),
-                           F.col("subj").alias("obj")))
-    all_edges = tracked_persist(
-        base.unionByName(derived_inv).distinct())
+    spark = triples.sparkSession
+    if prop_map:
+        pmap = spark.createDataFrame(
+            prop_map, "p string, r string, flip boolean")
+        mapped = (inst.join(F.broadcast(pmap), inst["pred"] == pmap["p"])
+                  .select(F.when(F.col("flip"), F.col("obj"))
+                          .otherwise(F.col("subj")).alias("subj"),
+                          F.col("r").alias("pred"),
+                          F.when(F.col("flip"), F.col("subj"))
+                          .otherwise(F.col("obj")).alias("obj")))
+        all_edges = inst.unionByName(mapped).distinct()
+    else:
+        all_edges = inst
+    all_edges = tracked_persist(all_edges)
 
-    trans_props = sorted(
-        r.subj for r in schema.where(
-            (F.col("pred") == RDF_TYPE)
-            & (F.col("obj") == OWL_TRANSITIVE))
-        .select("subj").distinct().collect())
     out = all_edges
-    for p in trans_props:
-        closed = _transitive_pairs(
-            all_edges.where(F.col("pred") == p)
-            .select(F.col("subj").alias("a"), F.col("obj").alias("b")),
-            max_rounds=max_rounds, drop_self=False)
-        out = out.unionByName(closed.select(
-            F.col("a").alias("subj"), F.lit(p).alias("pred"),
-            F.col("b").alias("obj")))
+    if trans_props:
+        from .closure import transitive_closure
+
+        # ALL transitive properties in one size-gated closure call:
+        # key nodes by (property, node) so per-property chains stay in
+        # separate components; \x00 cannot occur in a rendered term
+        keyed = (all_edges.where(F.col("pred").isin(trans_props))
+                 .select(F.concat("pred", F.lit(_PRED_SEP), "subj")
+                         .alias("a"),
+                         F.concat("pred", F.lit(_PRED_SEP), "obj")
+                         .alias("b")))
+        closed = transitive_closure(keyed)
+        split_a = F.split(F.col("a"), _PRED_SEP, 2)
+        split_b = F.split(F.col("b"), _PRED_SEP, 2)
+        derived = closed.select(
+            split_a.getItem(1).alias("subj"),
+            split_a.getItem(0).alias("pred"),
+            split_b.getItem(1).alias("obj"))
+        out = out.unionByName(derived)
+        if prop_map:
+            pmap = spark.createDataFrame(
+                prop_map, "p string, r string, flip boolean")
+            re_mapped = (derived.join(F.broadcast(pmap),
+                                      derived["pred"] == pmap["p"])
+                         .select(F.when(F.col("flip"), F.col("obj"))
+                                 .otherwise(F.col("subj")).alias("subj"),
+                                 F.col("r").alias("pred"),
+                                 F.when(F.col("flip"), F.col("subj"))
+                                 .otherwise(F.col("obj")).alias("obj")))
+            out = out.unionByName(re_mapped)
     return out.distinct()
 
 

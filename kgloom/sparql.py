@@ -1112,102 +1112,27 @@ CLOSURE_LOCAL_MAX_EDGES = 1_000
 
 
 def _closure_doubling(edges: DataFrame) -> DataFrame:
-    """Distinct transitive closure of an ``(__ps, __po)`` relation by
-    path doubling: each round unions in R∘R, so a diameter-``L``
-    component converges in ⌈log2 L⌉ rounds of one shuffle join each.
-    ``localCheckpoint`` (eager) truncates lineage every round — without
-    it the logical plan *triples* per round (join of acc with itself
-    plus the union), which is exponential plan growth even though the
-    data is cached; the checkpointed blocks of superseded rounds are
-    released when their RDDs are garbage-collected, same pattern as the
-    ER connected-components loop (kgloom/transcripts/er.py).
+    """Giant-component fallback: distributed log-round path doubling of
+    an ``(__ps, __po)`` relation (shared machinery,
+    :func:`kgloom.ops.closure.doubling_closure` — never
+    broadcast-hinted, eager ``localCheckpoint`` per round)."""
+    from kgloom.ops.closure import doubling_closure
 
-    This is the giant-component fallback: doubling re-derives each
-    closure pair once per split point of its shortest path (O(Σ n³)
-    tuples before the distinct for chain-shaped components), which is
-    the price of log-round convergence when a single component is too
-    big for one task."""
-    acc = edges.localCheckpoint()
-    n = acc.count()
-    if n == 0:
-        return acc
-    for _ in range(_CLOSURE_MAX_ROUNDS):
-        grown = (acc.alias("l")
-                 .join(acc.alias("r"), F.col("l.__po") == F.col("r.__ps"))
-                 .select(F.col("l.__ps").alias("__ps"),
-                         F.col("r.__po").alias("__po"))
-                 .unionByName(acc)
-                 .distinct()
-                 .localCheckpoint())
-        m = grown.count()
-        if m == n:  # fixpoint
-            return acc
-        acc, n = grown, m
-    raise SparqlError(  # pragma: no cover — unreachable for finite graphs
-        f"property-path closure did not converge in "
-        f"{_CLOSURE_MAX_ROUNDS} doubling rounds")
-
-
-def _local_closure_fn(pdf):
-    """Per-component transitive closure inside one task: BFS from every
-    source node of the (small, gated) component — O(V·E) work, each
-    output pair emitted exactly once (no cross-split duplicate
-    generation, unlike doubling)."""
-    import pandas as pd
-
-    adj: dict = {}
-    for s, o in zip(pdf["__ps"], pdf["__po"]):
-        adj.setdefault(s, set()).add(o)
-    out_s: list = []
-    out_o: list = []
-    for x, direct in adj.items():
-        seen = set(direct)
-        frontier = list(direct)
-        while frontier:
-            nxt = []
-            for m in frontier:
-                for y in adj.get(m, ()):
-                    if y not in seen:
-                        seen.add(y)
-                        nxt.append(y)
-            frontier = nxt
-        out_s.extend([x] * len(seen))
-        out_o.extend(seen)
-    return pd.DataFrame({"__ps": out_s, "__po": out_o})
+    return doubling_closure(edges.select("__ps", "__po"),
+                            max_rounds=_CLOSURE_MAX_ROUNDS)
 
 
 def _transitive_closure(edges: DataFrame) -> DataFrame:
     """Distinct transitive closure of an ``(__ps, __po)`` relation,
-    sized per connected component (the ER-pass architecture,
-    kgloom/transcripts/er.py): label components with the size-gated CC
-    operator, then close each component ≤
-    :data:`CLOSURE_LOCAL_MAX_EDGES` edges *inside one task* via
-    ``applyInPandas`` BFS — embarrassingly parallel across components,
-    one shuffle, each closure pair produced exactly once.  Components
-    above the gate (a giant strongly-connected region that can't sit in
-    one task) fall back to distributed log-round path doubling.
+    sized per connected component — delegates to the engine-wide
+    dispatcher :func:`kgloom.ops.closure.transitive_closure` (local
+    in-task BFS for components ≤ :data:`CLOSURE_LOCAL_MAX_EDGES`
+    edges, distributed doubling for giants).  The gate is read at call
+    time so tests (and callers) can tune this module's knob."""
+    from kgloom.ops.closure import transitive_closure
 
-    Real KG chain relations (conversation turn orders, version
-    successors, org hierarchies) are exactly the many-small-components
-    shape, so the local path is the hot one; the doubling fallback
-    keeps a single web-scale component correct rather than fast."""
-    from kgloom.transcripts.er import connected_components
-
-    edges = edges.distinct().localCheckpoint()
-    comp = connected_components(
-        edges.select(F.col("__ps").alias("src"), F.col("__po").alias("dst")))
-    labeled = edges.join(
-        comp.withColumnRenamed("node", "__ps"), "__ps")
-    sizes = labeled.groupBy("component").agg(
-        F.count(F.lit(1)).alias("__n_edges"))
-    labeled = labeled.join(sizes, "component")
-    small = (labeled
-             .where(F.col("__n_edges") <= CLOSURE_LOCAL_MAX_EDGES)
-             .groupBy("component")
-             .applyInPandas(_local_closure_fn, "__ps string, __po string"))
-    big = (labeled.where(F.col("__n_edges") > CLOSURE_LOCAL_MAX_EDGES)
-           .select("__ps", "__po"))
-    return small.unionByName(_closure_doubling(big))
+    return transitive_closure(edges.select("__ps", "__po"),
+                              local_max_edges=CLOSURE_LOCAL_MAX_EDGES)
 
 
 def _path_pairs(quads: DataFrame, path) -> DataFrame:
@@ -1272,15 +1197,40 @@ def _exec_path_pattern(quads: DataFrame, s: Term, path, o: Term
     """One ``?s <path> ?o`` pattern as a solution DataFrame, mirroring
     the plain-pattern binding rules (constant ends filter, repeated
     variables force equality, fully-ground patterns are a one-row
-    existence probe)."""
-    df = _path_pairs(quads, path)
+    existence probe).
+
+    Closure paths with a ground end take the SEEDED route
+    (:func:`kgloom.ops.closure.anchored_closure`): the edge relation is
+    restricted to the anchor's connected component before closing, so
+    work scales with the reachable region, not the whole graph's
+    closure."""
+    anchored = (isinstance(path, PathClosure) and path.mod in "+*"
+                and not (isinstance(s, Var) and isinstance(o, Var)))
+    if anchored:
+        from kgloom.ops.closure import anchored_closure
+
+        inner = _path_pairs(quads, path.inner)
+        if not isinstance(s, Var):
+            df = anchored_closure(inner, [s], forward=True)
+            ground = s
+        else:
+            df = anchored_closure(inner, [o], forward=False)
+            ground = o
+        if path.mod == "*":
+            # SPARQL §18.4 ZeroLengthPath: a ground term connects to
+            # itself even when absent from the graph
+            one = quads.sparkSession.createDataFrame(
+                [(ground, ground)], "__ps string, __po string")
+            df = df.unionByName(one).distinct()
+    else:
+        df = _path_pairs(quads, path)
     cols = []
     if isinstance(s, Var):
         cols.append(F.col("__ps").alias(s.name))
     else:
-        # SPARQL §18.4: a zero-length path connects a constant term to
-        # itself even when absent from the graph — inject before filter
-        if isinstance(path, PathClosure) and path.mod in "*?":
+        # zero-length self-connection for the non-anchored fallback
+        if (not anchored and isinstance(path, PathClosure)
+                and path.mod in "*?"):
             one = quads.sparkSession.createDataFrame(
                 [(s, s)], "__ps string, __po string")
             df = df.unionByName(one).distinct()

@@ -188,9 +188,17 @@ def stream_closed_triples(spark: SparkSession, input_path: str,
         turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     ).select("subj", "pred", "obj")
 
-    def _close_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _close_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent under micro-batch retries: each batch overwrites
+        # its own deterministic batch=<id> partition dir, so a
+        # replayed batch (failure after a partial write) replaces its
+        # output instead of appending duplicates — the standard
+        # foreachBatch exactly-once pattern.  Readers see the batch id
+        # as a discovered partition column (per-batch lineage); select
+        # subj/pred/obj + distinct for the closure itself.
         (rdfs_closure(batch_df, schema=ontology, include_schema=False)
-         .write.mode("append").parquet(output_path))
+         .write.mode("overwrite")
+         .parquet(f"{output_path}/batch={batch_id}"))
 
     writer = (triples.writeStream
               .foreachBatch(_close_batch)

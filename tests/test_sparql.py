@@ -708,6 +708,69 @@ def test_path_closure_doubling_fallback_matches(chain, monkeypatch):
     assert local == doubled and len(local) == 8
 
 
+def test_path_anchored_ground_subject(chain, monkeypatch):
+    """A ground subject on a closure path takes the seeded route
+    (anchored_closure) and only closes the anchor's component."""
+    import kgloom.ops.closure as cl
+    E = "http://ex.com/"
+    seen = []
+    real = cl.transitive_closure
+
+    def recording(edges, **kw):
+        seen.append(edges.count())
+        return real(edges, **kw)
+
+    monkeypatch.setattr(cl, "transitive_closure", recording)
+    got = {r.o for r in sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:b ex:next+ ?o . }}
+    """).collect()}
+    assert got == {E + "c", E + "d"}
+    # only the a→b→c→d component's 3 edges entered the closure —
+    # the detached x→y edge and the self-loop were pruned beforehand
+    assert seen == [3]
+
+
+def test_path_anchored_ground_object(chain):
+    E = "http://ex.com/"
+    got = {r.s for r in sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s WHERE {{ ?s ex:next+ ex:c . }}
+    """).collect()}
+    assert got == {E + "a", E + "b"}
+
+
+def test_path_anchored_star_absent_constant(chain):
+    """SPARQL §18.4 ZeroLengthPath: a ground term on a `*` path
+    connects to itself even when absent from the graph — both subject
+    and OBJECT side (the object side previously had no injection)."""
+    E = "http://ex.com/"
+    got = {r.o for r in sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?o WHERE {{ ex:ghost ex:next* ?o . }}
+    """).collect()}
+    assert got == {E + "ghost"}
+    got2 = {r.s for r in sparql_select(chain, f"""
+        PREFIX ex: <{E}>
+        SELECT ?s WHERE {{ ?s ex:next* ex:ghost . }}
+    """).collect()}
+    assert got2 == {E + "ghost"}
+
+
+def test_path_anchored_ground_both_ends(chain):
+    from kgloom.sparql import sparql_ask
+    E = "http://ex.com/"
+    ask = sparql_ask(chain, f"""
+        PREFIX ex: <{E}>
+        ASK {{ ex:a ex:next+ ex:d . }}
+    """)
+    assert ask is True
+    assert sparql_ask(chain, f"""
+        PREFIX ex: <{E}>
+        ASK {{ ex:a ex:next+ ex:y . }}
+    """) is False
+
+
 # --- GRAPH / MINUS / EXISTS / ASK ------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -86,7 +86,11 @@ def test_stream_closed_triples_equals_batch_closure(spark, tmp_path,
     out = str(tmp_path / "closed")
     q = stream_closed_triples(spark, inp, out, str(tmp_path / "ckpt2"), ont)
     q.awaitTermination(120)
-    got = set(map(tuple, spark.read.parquet(out).distinct().collect()))
+    # the sink lays out one batch=<id> partition dir per micro-batch
+    # (retry-idempotent overwrite + lineage); project it away for the
+    # set compare
+    got = set(map(tuple, spark.read.parquet(out)
+                  .select("subj", "pred", "obj").distinct().collect()))
     batch = _turn_triple_columns(turns).select("subj", "pred", "obj")
     want = set(map(tuple, rdfs_closure(
         batch, schema=ont, include_schema=False).collect()))
