@@ -446,6 +446,26 @@ def q_sparql_kg_path_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``{ SELECT … }`` subquery (round-4): the top-5
+    conversations by tool-invocation count — expression ORDER BY
+    (``DESC(COUNT(?t))``), a tie-breaking key, OFFSET-free LIMIT —
+    evaluated bottom-up, then natural-joined back to every tool turn
+    of those conversations in the enclosing group."""
+    from kgloom.sparql import sparql_select
+    quads = _kg_with_next(spark, sf_dir)
+    return sparql_select(quads, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?conv ?turn ?tool WHERE {
+          { SELECT ?conv (COUNT(?t) AS ?ntool) WHERE {
+              ?t kg:partOf ?conv . ?t kg:usedTool ?any .
+            } GROUP BY ?conv ORDER BY DESC(COUNT(?t)) ?conv LIMIT 5 }
+          ?turn kg:partOf ?conv .
+          ?turn kg:usedTool ?tool .
+        }
+    """)
+
+
 def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL inverse + alternation + sequence path: conversations to
     every tool IRI or role literal of their turns via
@@ -1015,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_path": q_sparql_kg_path,
         "sparql_kg_path_anchored": q_sparql_kg_path_anchored,
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
+        "sparql_kg_subquery": q_sparql_kg_subquery,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
@@ -1494,6 +1515,26 @@ def oracle_sql() -> dict[str, str]:
                 || CAST(turn_idx AS VARCHAR) AS b,
               role
             FROM tr WHERE conv_id = 'conv-1' AND turn_idx > 0
+        """,
+        # subquery replay: top-5 conversations by tool-turn count
+        # (count DESC, conv IRI lexical tie-break), then all their
+        # tool turns — the IRI prefix is shared so bracketed/plain
+        # lexical order coincide
+        "sparql_kg_subquery": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            top5 AS (
+              SELECT conv_id, COUNT(*) AS ntool
+              FROM tr WHERE tool IS NOT NULL
+              GROUP BY conv_id
+              ORDER BY ntool DESC,
+                       'http://kg.example/conv/' || conv_id
+              LIMIT 5)
+            SELECT 'http://kg.example/conv/' || t.conv_id AS conv,
+                   'http://kg.example/conv/' || t.conv_id || '/turn/'
+                     || CAST(t.turn_idx AS VARCHAR) AS turn,
+                   'http://kg.example/tool/' || t.tool AS tool
+            FROM tr t JOIN top5 ON t.conv_id = top5.conv_id
+            WHERE t.tool IS NOT NULL
         """,
         # inverse+alternation replay: conv → every tool IRI or role
         # lexical value over its member turns

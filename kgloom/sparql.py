@@ -28,7 +28,13 @@ inline data (no UNDEF), ``FILTER`` boolean expressions (comparisons on
 variables, ``&&``/``||``/``!``, ``REGEX``, ``CONTAINS`` / ``STRSTARTS``
 / ``STRENDS``, ``BOUND``, ``isIRI``/``isLITERAL``/``isBLANK``,
 ``LANG(?v) = "tag"`` — all compiled to codegen'd Column predicates),
-``ORDER BY``/``DESC``, ``LIMIT``, ``ASK`` via
+``ORDER BY`` with ``ASC``/``DESC`` on variables, aggregate calls
+(``ORDER BY DESC(COUNT(?x))`` — computed as hidden grouping outputs)
+and scalar expressions (the BIND expression language), ``LIMIT`` /
+``OFFSET`` (the §18.5 slice, applied after the sort), nested
+``{ SELECT … }`` subqueries (§18.2.2.14 — evaluated bottom-up with
+their own grouping and slice, then natural-joined into the enclosing
+group; the outer prologue's prefixes stay in scope), ``ASK`` via
 :func:`sparql_ask` (a limit-1 probe) — plus
 ``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
 which returns a quad DataFrame (so a query result is itself a KG the
@@ -43,12 +49,14 @@ described resource).  Unsupported syntax raises ``SparqlError``
 
 Path execution is Spark-first: an atom is a constant-pred scan of the
 quad DataFrame, ``/`` is a join on the intermediate node, ``|`` a
-union, ``^`` an end swap — all lazy Catalyst plans.  ``p+`` is the
-standard distributed transitive closure by *path doubling*
-(R ∪ R∘R per round, so a length-``L`` chain converges in ⌈log2 L⌉
-shuffle rounds, not ``L``) with each round's relation persisted and
-the superseded one released; per SPARQL §18.4 ArbitraryLengthPath the
-closure's pair set is distinct.  Non-closure paths keep multiset
+union, ``^`` an end swap — all lazy Catalyst plans.  ``p+``/``p*``
+closures run through the engine-wide size-gated dispatcher
+(:mod:`kgloom.ops.closure`): per-component in-task BFS for small
+components, distributed log-round path doubling for giants; a GROUND
+end routes through the seeded :func:`~kgloom.ops.closure.
+anchored_closure` (edges restricted to the anchor's component before
+closing, so work tracks the reachable region).  Per SPARQL §18.4
+ArbitraryLengthPath the closure's pair set is distinct.  Non-closure paths keep multiset
 semantics, matching the spec's translation to triple patterns.
 
 Within a group, execution order is BGP → sub-groups/UNION → OPTIONAL →
@@ -160,10 +168,14 @@ class GroupPattern:
     minuses: list["GroupPattern"] = field(default_factory=list)
     exists: list[tuple[bool, "GroupPattern"]] = \
         field(default_factory=list)   # (negated?, group)
+    subqueries: list["SelectQuery"] = field(default_factory=list)
+    # nested { SELECT ... } groups, evaluated bottom-up (§18.2.2.14)
+    # and natural-joined into the enclosing group on shared variables
 
     def is_empty(self) -> bool:
         return not (self.patterns or self.optionals or self.unions
-                    or self.values or self.binds or self.graphs)
+                    or self.values or self.binds or self.graphs
+                    or self.subqueries)
 
 
 @dataclass(frozen=True)
@@ -181,8 +193,12 @@ class SelectQuery:
     variables: list[str]            # output order: vars + agg aliases; [] = *
     distinct: bool
     group: GroupPattern             # the WHERE group
-    order_by: list[tuple[str, bool]]     # (var, descending)
+    #: (key, descending) — key is a variable name (str), an
+    #: :class:`AggExpr` (``ORDER BY DESC(COUNT(?x))``), or a scalar
+    #: expression tree (the BIND expression language)
+    order_by: list[tuple[object, bool]]
     limit: Optional[int] = None
+    offset: Optional[int] = None
     prefixes: dict[str, str] = field(default_factory=dict)
     aggregates: list[AggExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -772,6 +788,16 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
         if ch == "{":
             chunks.append(text[chunk_start:i])
             inner, j = _take_braced(text, i)
+            if re.match(r"\s*SELECT\b", inner, re.IGNORECASE):
+                # nested { SELECT ... } subquery (§18.2.2.14): parsed
+                # as a full query with the enclosing prologue's
+                # prefixes in scope, evaluated bottom-up at exec time
+                if re.match(r"\s*UNION\b", text[j:], re.IGNORECASE):
+                    raise SparqlError(
+                        "a subquery cannot be a UNION branch")
+                g.subqueries.append(parse_sparql(inner, prefixes))
+                chunk_start = i = j
+                continue
             branches = [_parse_group(inner, prefixes)]
             while True:
                 m = re.match(r"\s*UNION\s*", text[j:], re.IGNORECASE)
@@ -781,6 +807,9 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
                 if k >= n or text[k] != "{":
                     raise SparqlError("UNION must be followed by a group")
                 inner2, j = _take_braced(text, k)
+                if re.match(r"\s*SELECT\b", inner2, re.IGNORECASE):
+                    raise SparqlError(
+                        "a subquery cannot be a UNION branch")
                 branches.append(_parse_group(inner2, prefixes))
             g.unions.append(branches)
             chunk_start = i = j
@@ -994,13 +1023,86 @@ def _strip_comments(text: str) -> str:
     return "".join(out)
 
 
-def parse_sparql(text: str) -> SelectQuery:
+_ORD_AGG = re.compile(
+    r"(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(", re.IGNORECASE)
+
+
+def _parse_order_keys(src: str, prefixes: dict[str, str]
+                      ) -> list[tuple[object, bool]]:
+    """ORDER BY condition list: ``?var``, ``ASC(key)`` / ``DESC(key)``,
+    aggregate calls (``DESC(COUNT(?x))``) and scalar expressions —
+    parenthesized or function-call shaped — via the BIND expression
+    parser."""
+    keys: list[tuple[object, bool]] = []
+    i, n = 0, len(src)
+    while i < n:
+        if src[i].isspace():
+            i += 1
+            continue
+        m = re.match(r"(ASC|DESC)\s*\(", src[i:], re.IGNORECASE)
+        if m:
+            inner, j = _take_parens(src, i + m.end() - 1)
+            sub = _parse_order_keys(inner, prefixes)
+            if len(sub) != 1 or sub[0][1]:
+                raise SparqlError(f"bad ORDER BY key {inner!r}")
+            keys.append((sub[0][0], m.group(1).upper() == "DESC"))
+            i = j
+            continue
+        if src[i] == "?":
+            vm = re.match(r"\?([A-Za-z_][A-Za-z0-9_]*)", src[i:])
+            if vm is None:
+                raise SparqlError(f"bad ORDER BY variable at {src[i:i+20]!r}")
+            keys.append((vm.group(1), False))
+            i += vm.end()
+            continue
+        am = _ORD_AGG.match(src, i)
+        if am:
+            inner, j = _take_parens(src, am.end() - 1)
+            inner = inner.strip()
+            func = am.group(1).lower()
+            distinct = False
+            dm = re.match(r"DISTINCT\s+", inner, re.IGNORECASE)
+            if dm:
+                distinct, inner = True, inner[dm.end():].strip()
+            if inner == "*":
+                if func != "count" or distinct:
+                    raise SparqlError(
+                        f"{func.upper()}(*) only valid as COUNT(*)")
+                var = None
+            else:
+                vm = re.fullmatch(r"\?([A-Za-z_][A-Za-z0-9_]*)", inner)
+                if vm is None:
+                    raise SparqlError(
+                        f"unsupported aggregate ORDER BY arg {inner!r}")
+                var = vm.group(1)
+            keys.append((AggExpr(func, var, distinct, alias="__ord"),
+                         False))
+            i = j
+            continue
+        if src[i] == "(":
+            inner, j = _take_parens(src, i)
+            keys.append((_parse_expr(inner, prefixes), False))
+            i = j
+            continue
+        fm = re.match(r"[A-Za-z_][A-Za-z0-9_]*\s*\(", src[i:])
+        if fm:
+            _, j = _take_parens(src, i + fm.end() - 1)
+            keys.append((_parse_expr(src[i:j], prefixes), False))
+            i = j
+            continue
+        raise SparqlError(f"unsupported ORDER BY key at {src[i:i+30]!r}")
+    return keys
+
+
+def parse_sparql(text: str,
+                 outer_prefixes: Optional[dict[str, str]] = None
+                 ) -> SelectQuery:
     text = _strip_comments(text)
     if _UNSUPPORTED.search(text):
         raise SparqlError(
             f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
 
-    prefixes: dict[str, str] = {}
+    prefixes: dict[str, str] = dict(outer_prefixes or {})
     for m in re.finditer(r"PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^>]*)>", text,
                          re.IGNORECASE):
         prefixes[m.group(1) or ""] = m.group(2)
@@ -1046,20 +1148,21 @@ def parse_sparql(text: str) -> SelectQuery:
         raise SparqlError("HAVING requires GROUP BY or an aggregate")
 
     order_by = []
-    om = re.search(r"ORDER\s+BY\s+(.*?)(?:LIMIT|$)", tail,
+    om = re.search(r"ORDER\s+BY\s+(.*?)(?:\b(?:LIMIT|OFFSET)\b|$)", tail,
                    re.IGNORECASE | re.DOTALL)
     if om:
-        for dm in re.finditer(r"(DESC\s*\(\s*)?\?([A-Za-z_][A-Za-z0-9_]*)\)?",
-                              om.group(1), re.IGNORECASE):
-            order_by.append((dm.group(2), bool(dm.group(1))))
+        order_by = _parse_order_keys(om.group(1), prefixes)
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     limit = int(lm.group(1)) if lm else None
+    ofm = re.search(r"OFFSET\s+(\d+)", tail, re.IGNORECASE)
+    offset = int(ofm.group(1)) if ofm else None
 
     if group.is_empty():
         raise SparqlError("empty basic graph pattern")
     return SelectQuery(variables=variables, distinct=distinct,
                        group=group, order_by=order_by, limit=limit,
-                       prefixes=prefixes, aggregates=aggregates,
+                       offset=offset, prefixes=prefixes,
+                       aggregates=aggregates,
                        group_by=group_by, having=having)
 
 
@@ -1432,6 +1535,14 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
             # variables are null-filled (SPARQL unbound semantics)
             u = u.unionByName(d, allowMissingColumns=True)
         result = u if result is None else _join_shared(result, u)
+    for sq in g.subqueries:
+        # bottom-up (§18.2.2.14): the subquery runs to completion —
+        # its own grouping, ORDER/LIMIT/OFFSET slice — then its
+        # projected bindings natural-join the enclosing group.  Terms
+        # stay rendered so they join outer pattern bindings.
+        sdf = _exec_select(quads, sq, raw_terms=True,
+                           graph_term=graph_term)
+        result = sdf if result is None else _join_shared(result, sdf)
     for gterm, sub in g.graphs:
         gdf = _exec_group(quads, sub, prefixes, gterm)
         result = gdf if result is None else _join_shared(result, gdf)
@@ -1559,24 +1670,51 @@ def _agg_expr(a: AggExpr) -> F.Column:
     return e.alias(a.alias)
 
 
-def sparql_select(quads: DataFrame, query: str,
-                  raw_terms: bool = False) -> DataFrame:
-    """Execute a SPARQL SELECT subset over a ``(subj, pred, obj[, graph])``
-    DataFrame of rendered terms.  Returns one column per projected
-    variable — plain lexical values by default (endpoint-binding
-    style), rendered terms with ``raw_terms=True``."""
-    q = parse_sparql(query)
-    result = _exec_group(quads, q.group, q.prefixes)
+def _exec_select(quads: DataFrame, q: SelectQuery,
+                 raw_terms: bool = False,
+                 graph_term: Optional[Term] = None) -> DataFrame:
+    """Run a parsed SELECT to a solution DataFrame (also the subquery
+    evaluator — ``raw_terms=True`` keeps rendered terms so the result
+    joins enclosing patterns; ``graph_term`` propagates an active
+    GRAPH scope into the subquery's group, §13.3)."""
+    from dataclasses import replace as _dc_replace
+
+    result = _exec_group(quads, q.group, q.prefixes, graph_term)
+
+    # normalize ORDER BY keys: variables sort in place; aggregate keys
+    # become hidden aggregate outputs; scalar expressions become
+    # hidden computed columns — hidden columns ride along until after
+    # the sort, then drop (a project below a sort preserves ordering)
+    norm_order: list[tuple[str, bool, object]] = []
+    agg_order: list[AggExpr] = []
+    hidden: list[str] = []
+    for idx, (key, desc) in enumerate(q.order_by):
+        if isinstance(key, str):
+            norm_order.append((key, desc, None))
+        elif isinstance(key, AggExpr):
+            h = _dc_replace(key, alias=f"__ord{idx}")
+            agg_order.append(h)
+            hidden.append(h.alias)
+            norm_order.append((h.alias, desc, None))
+        else:
+            name = f"__ord{idx}"
+            hidden.append(name)
+            norm_order.append((name, desc, key))
+    if agg_order and not (q.aggregates or q.group_by):
+        raise SparqlError(
+            "aggregate ORDER BY keys require GROUP BY or an "
+            "aggregated projection")
 
     agg_outputs: set[str] = set()
     if q.aggregates or q.group_by:
+        all_aggs = [*q.aggregates, *agg_order]
         missing = [v for v in q.group_by if v not in result.columns] + \
-            [a.var for a in q.aggregates
+            [a.var for a in all_aggs
              if a.var is not None and a.var not in result.columns]
         if missing:
             raise SparqlError(
                 f"aggregation references unbound variables {missing}")
-        exprs = [_agg_expr(a) for a in q.aggregates]
+        exprs = [_agg_expr(a) for a in all_aggs]
         # grouping keys are the *rendered* terms (SPARQL groups by RDF
         # term identity); the keys are lexical-stripped on output below
         result = (result.groupBy(*q.group_by).agg(*exprs)
@@ -1585,33 +1723,65 @@ def sparql_select(quads: DataFrame, query: str,
         for var, op, raw in q.having:
             result = _apply_filter(result, var, op, raw, q.prefixes)
 
-    out_vars = q.variables or [c for c in result.columns if c != "__one"]
-    missing = [v for v in out_vars if v not in result.columns]
+    for name, _, expr in norm_order:
+        if expr is None:
+            continue
+        missing = [v for v in sorted(_expr_vars(expr))
+                   if v not in result.columns]
+        if missing:
+            raise SparqlError(
+                f"ORDER BY references unbound variables {missing}")
+        result = result.withColumn(name, _expr_term(expr))
+
+    out_vars = q.variables or [c for c in result.columns
+                               if c != "__one" and c not in hidden]
+    missing = [v for v in out_vars if v not in result.columns] + \
+        [name for name, _, expr in norm_order
+         if expr is None and name not in result.columns
+         and name not in hidden]
     if missing:
         raise SparqlError(f"projection references unbound variables {missing}")
-    result = result.select(*out_vars)
+    result = result.select(*out_vars, *hidden)
     if not raw_terms:
         # aggregate outputs are already plain values (counts, sums,
         # min/max lexical forms) — strip only rendered-term columns
         result = result.select(
             *[F.col(v).alias(v) if v in agg_outputs
-              else _lexical(F.col(v)).alias(v) for v in out_vars])
+              else _lexical(F.col(v)).alias(v) for v in out_vars],
+            *hidden)
     if q.distinct:
-        result = result.distinct()
-    if q.order_by:
+        # hidden keys are functions of the solution (per-group
+        # aggregates / deterministic expressions), so dedup on the
+        # projection alone is value-safe
+        result = (result.dropDuplicates(out_vars) if hidden
+                  else result.distinct())
+    if norm_order:
         # numeric-aware ordering: each key sorts by (numeric cast,
         # lexical form) so numeric bindings order numerically ('2' <
         # '10') while non-numeric bindings (null numeric key) keep a
         # deterministic lexical order among themselves
         keys = []
-        for v, d in q.order_by:
-            num = _numeric(F.col(v))
+        for name, d, _ in norm_order:
+            num = _numeric(F.col(name))
             keys.append(num.desc() if d else num.asc())
-            keys.append(F.col(v).desc() if d else F.col(v).asc())
+            keys.append(F.col(name).desc() if d else F.col(name).asc())
         result = result.orderBy(*keys)
+    if q.offset:
+        result = result.offset(q.offset)
     if q.limit is not None:
         result = result.limit(q.limit)
+    if hidden:
+        result = result.drop(*hidden)
     return result
+
+
+def sparql_select(quads: DataFrame, query: str,
+                  raw_terms: bool = False) -> DataFrame:
+    """Execute a SPARQL SELECT subset over a ``(subj, pred, obj[, graph])``
+    DataFrame of rendered terms.  Returns one column per projected
+    variable — plain lexical values by default (endpoint-binding
+    style), rendered terms with ``raw_terms=True``."""
+    return _exec_select(quads, parse_sparql(query), raw_terms=raw_terms)
 
 
 # ---------------------------------------------------------------------------

@@ -771,6 +771,118 @@ def test_path_anchored_ground_both_ends(chain):
     """) is False
 
 
+# --- subqueries / OFFSET / expression ORDER BY (round 4) -------------------
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    """5 conversations with 2..6 turns; even turns invoke a tool."""
+    E = "http://e/"
+    rows = []
+    for c in range(5):
+        for t in range(c + 2):
+            rows.append((f"<{E}c{c}t{t}>", f"<{E}partOf>", f"<{E}c{c}>",
+                         None))
+            if t % 2 == 0:
+                rows.append((f"<{E}c{c}t{t}>", f"<{E}tool>",
+                             f"<{E}tool{t % 3}>", None))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_subquery_limit_then_join(convs):
+    """{ SELECT ... LIMIT } runs bottom-up (slice applies INSIDE), then
+    joins the enclosing group on the shared variable."""
+    E = "http://e/"
+    out = sparql_select(convs, f"""
+        PREFIX e: <{E}>
+        SELECT ?conv ?tool WHERE {{
+          {{ SELECT ?conv (COUNT(?t) AS ?n) WHERE {{
+               ?t e:partOf ?conv . }}
+             GROUP BY ?conv ORDER BY DESC(?n) ?conv LIMIT 2 }}
+          ?turn e:partOf ?conv .
+          ?turn e:tool ?tool .
+        }}
+    """).collect()
+    convs_seen = {r.conv for r in out}
+    assert convs_seen == {E + "c4", E + "c3"}   # 6- and 5-turn convs
+    assert {r.tool for r in out} <= {E + "tool0", E + "tool1", E + "tool2"}
+
+
+def test_subquery_inherits_outer_prefixes(convs):
+    """A subquery with no prologue of its own resolves pnames from the
+    enclosing query's PREFIX declarations."""
+    E = "http://e/"
+    out = sparql_select(convs, f"""
+        PREFIX e: <{E}>
+        SELECT ?conv WHERE {{
+          {{ SELECT DISTINCT ?conv WHERE {{ ?t e:partOf ?conv . }} }}
+        }}
+    """).collect()
+    assert len(out) == 5
+
+
+def test_subquery_rejected_as_union_branch(convs):
+    with pytest.raises(SparqlError, match="UNION branch"):
+        parse_sparql("""
+            SELECT ?x WHERE {
+              { SELECT ?x WHERE { ?x <p> ?y . } } UNION { ?x <q> ?z . }
+            }
+        """)
+
+
+def test_offset_slices_after_sort(convs):
+    E = "http://e/"
+    q = f"""
+        PREFIX e: <{E}>
+        SELECT ?conv (COUNT(?t) AS ?n) WHERE {{ ?t e:partOf ?conv . }}
+        GROUP BY ?conv ORDER BY DESC(?n) ?conv OFFSET %d LIMIT 2
+    """
+    first = [(r.conv, r.n) for r in sparql_select(convs, q % 0).collect()]
+    assert first == [(E + "c4", 6), (E + "c3", 5)]
+    shifted = [(r.conv, r.n) for r in sparql_select(convs, q % 2).collect()]
+    assert shifted == [(E + "c2", 4), (E + "c1", 3)]
+
+
+def test_order_by_aggregate_expression(convs):
+    """ORDER BY DESC(COUNT(?t)) — the aggregate is computed as a hidden
+    grouping output, used for the sort, then dropped."""
+    E = "http://e/"
+    out = sparql_select(convs, f"""
+        PREFIX e: <{E}>
+        SELECT ?conv WHERE {{ ?t e:partOf ?conv . }}
+        GROUP BY ?conv ORDER BY DESC(COUNT(?t)) ?conv LIMIT 3
+    """)
+    assert out.columns == ["conv"]
+    assert [r.conv for r in out.collect()] == [E + "c4", E + "c3", E + "c2"]
+
+
+def test_order_by_aggregate_requires_group_context(convs):
+    with pytest.raises(SparqlError, match="aggregate ORDER BY"):
+        sparql_select(convs, """
+            SELECT ?x WHERE { ?x <p> ?y . } ORDER BY DESC(COUNT(?y))
+        """)
+
+
+def test_order_by_scalar_expression(convs):
+    """ORDER BY on a scalar function of a projected variable."""
+    E = "http://e/"
+    out = sparql_select(convs, f"""
+        PREFIX e: <{E}>
+        SELECT DISTINCT ?tool WHERE {{ ?s e:tool ?tool . }}
+        ORDER BY DESC(STRLEN(?tool)) DESC(?tool)
+    """)
+    assert out.columns == ["tool"]
+    assert [r.tool for r in out.collect()] == \
+        [E + "tool2", E + "tool1", E + "tool0"]
+
+
+def test_order_by_unbound_variable_raises(convs):
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(convs, """
+            SELECT ?s WHERE { ?s <http://e/partOf> ?c . } ORDER BY ?nope
+        """).collect()
+
+
 # --- GRAPH / MINUS / EXISTS / ASK ------------------------------------------
 
 @pytest.fixture(scope="module")
