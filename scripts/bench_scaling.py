@@ -60,6 +60,52 @@ spark.stop()
 """
 
 
+RUN_ONE_CLUSTER = r"""
+import glob, json, os, sys, time, zipfile
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from kgloom.transcripts.pipeline import TranscriptPipeline
+
+n_exec = int(sys.argv[1]); input_path = sys.argv[2]; store = sys.argv[3]
+mem_mb = int(sys.argv[4])
+# one executor JVM per "node", one core each: the closest one-box
+# analogue of adding cluster nodes — separate heaps, separate GC,
+# separate shuffle fetch paths; only the physical disk and memory bus
+# stay shared (at 1-4 active cores of 32, neither is contended)
+spark = (SparkSession.builder
+         .master(f"local-cluster[{{n_exec}},1,{{mem_mb}}]")
+         .appName(f"kgloom-scale-cluster-{{n_exec}}")
+         .config("spark.sql.shuffle.partitions", str(max(n_exec * 2, 8)))
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# ship the package to the executors the spark-submit --py-files way:
+# a zip added via addPyFile lands on every python worker's sys.path
+# (the driver env is NOT inherited by the workers' python processes)
+zip_path = store + "_kgloom.zip"
+with zipfile.ZipFile(zip_path, "w") as zf:
+    for f in glob.glob(os.path.join({repo!r}, "kgloom", "**", "*.py"),
+                       recursive=True):
+        zf.write(f, os.path.relpath(f, {repo!r}))
+spark.sparkContext.addPyFile(zip_path)
+warm_in = store + "_warm_in"
+spark.read.parquet(input_path).limit(200_000) \
+    .repartition(max(n_exec, 2)) \
+    .write.mode("overwrite").parquet(warm_in)
+TranscriptPipeline(spark, store + "_warm").run(transcripts=warm_in)
+pipe = TranscriptPipeline(spark, store)
+t0 = time.time()
+res = pipe.run(transcripts=input_path)
+wall = time.time() - t0
+print(json.dumps({{"cores": n_exec, "wall": round(wall, 2),
+                   "turns": res.metrics["turns"],
+                   "triples": res.metrics["triples"],
+                   "turns_per_sec": round(res.metrics["turns"] / wall, 1)}}))
+spark.stop()
+"""
+
+
 RUN_ONE_COMPUTE = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -109,13 +155,26 @@ spark.stop()
 
 
 def run_level(cores: int, input_path: str, store: str,
-              compute_only: bool = False) -> dict:
-    script = RUN_ONE_COMPUTE if compute_only else RUN_ONE
+              compute_only: bool = False, isolated: bool = False,
+              exec_mem_mb: int = 8192) -> dict:
+    if isolated:
+        script = RUN_ONE_CLUSTER
+    elif compute_only:
+        script = RUN_ONE_COMPUTE
+    else:
+        script = RUN_ONE
     argv = [sys.executable, "-c", script.format(repo=REPO), str(cores),
             input_path]
     if not compute_only:
         argv.append(store)
-    out = subprocess.run(argv, check=True, capture_output=True, text=True)
+    if isolated:
+        argv.append(str(exec_mem_mb))
+    # the worker JVMs of local-cluster inherit this process's env;
+    # keep PYTHONPATH out of it so the addPyFile zip is what the
+    # python workers actually import from (the --py-files pathway)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(argv, check=True, capture_output=True, text=True,
+                         env=env)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -133,6 +192,13 @@ def main() -> None:
     ap.add_argument("--input", default=None,
                     help="reuse an existing transcripts parquet dir "
                          "instead of regenerating (must match --turns)")
+    ap.add_argument("--isolated", action="store_true",
+                    help="run each level as local-cluster[N,1,mem] — one "
+                         "single-core executor JVM per 'node' (separate "
+                         "heaps/GC, package shipped to python workers via "
+                         "addPyFile, the spark-submit --py-files pathway); "
+                         "--low/--high are EXECUTOR counts here")
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--compute-only", action="store_true",
                     help="time the triple-construction dataflow with a "
                          "noop sink instead of the checkpointing pipeline: "
@@ -154,10 +220,14 @@ def main() -> None:
         for r in range(args.repeats):
             lo_runs.append(run_level(args.low, input_path,
                                      os.path.join(work, f"s_lo_{r}"),
-                                     compute_only=args.compute_only))
+                                     compute_only=args.compute_only,
+                                     isolated=args.isolated,
+                                     exec_mem_mb=args.exec_mem_mb))
             hi_runs.append(run_level(args.high, input_path,
                                      os.path.join(work, f"s_hi_{r}"),
-                                     compute_only=args.compute_only))
+                                     compute_only=args.compute_only,
+                                     isolated=args.isolated,
+                                     exec_mem_mb=args.exec_mem_mb))
             print(json.dumps({"repeat": r, "low": lo_runs[-1],
                               "high": hi_runs[-1]}), file=sys.stderr)
         lo = min(lo_runs, key=lambda d: d["wall"])
@@ -185,18 +255,26 @@ def main() -> None:
         if args.update_md:
             stamp = subprocess.run(["date", "-u", "+%Y-%m-%dT%H:%M:%SZ"],
                                    capture_output=True, text=True).stdout.strip()
-            mode = (" (compute-only: noop sink, no snapshot writes — "
-                    "single shared disk excluded)" if args.compute_only
-                    else "")
+            label = "local-cluster" if args.isolated else "local"
+            suffix = f",1,{args.exec_mem_mb}" if args.isolated else ""
+            if args.isolated:
+                mode = (f" (isolated: local-cluster[N,1,"
+                        f"{args.exec_mem_mb}] — one single-core executor "
+                        f"JVM per node, package shipped via addPyFile)")
+            elif args.compute_only:
+                mode = (" (compute-only: noop sink, no snapshot writes — "
+                        "single shared disk excluded)")
+            else:
+                mode = ""
             with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
                 f.write(
                     f"\n## Scaling run {stamp}{mode}\n\n"
                     f"- input: {result['turns']:,} synthetic transcript turns "
                     f"(same parquet input for both levels; synthesis excluded "
                     f"from timing)\n"
-                    f"- local[{args.low}]: {lo['wall']}s → "
+                    f"- {label}[{args.low}{suffix}]: {lo['wall']}s → "
                     f"{lo['turns_per_sec']:,} turns/s\n"
-                    f"- local[{args.high}]: {hi['wall']}s → "
+                    f"- {label}[{args.high}{suffix}]: {hi['wall']}s → "
                     f"{hi['turns_per_sec']:,} turns/s\n"
                     f"- speedup {result['speedup']}× over {ratio:.0f}× cores → "
                     f"scaling efficiency **{result['scaling_efficiency']}**\n")
