@@ -13,6 +13,7 @@ BENCH/BASELINE.md.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -93,15 +94,34 @@ warm_in = store + "_warm_in"
 spark.read.parquet(input_path).limit(200_000) \
     .repartition(max(n_exec, 2)) \
     .write.mode("overwrite").parquet(warm_in)
-TranscriptPipeline(spark, store + "_warm").run(transcripts=warm_in)
-pipe = TranscriptPipeline(spark, store)
-t0 = time.time()
-res = pipe.run(transcripts=input_path)
-wall = time.time() - t0
-print(json.dumps({{"cores": n_exec, "wall": round(wall, 2),
-                   "turns": res.metrics["turns"],
-                   "triples": res.metrics["triples"],
-                   "turns_per_sec": round(res.metrics["turns"] / wall, 1)}}))
+compute_only = bool(int(sys.argv[5]))
+if compute_only:
+    # noop sink: excludes the box's single shared disk from the timed
+    # window (a real N->4N scale-out brings per-node disks)
+    from kgloom.transcripts.pipeline import construct_triples
+    warm = spark.read.parquet(warm_in)
+    construct_triples(spark, warm).write.format("noop") \
+        .mode("overwrite").save()
+    turns = spark.read.parquet(input_path)
+    n_turns = turns.count()
+    t0 = time.time()
+    construct_triples(spark, turns).write.format("noop") \
+        .mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({{"cores": n_exec, "wall": round(wall, 2),
+                       "turns": n_turns,
+                       "turns_per_sec": round(n_turns / wall, 1)}}))
+else:
+    TranscriptPipeline(spark, store + "_warm").run(transcripts=warm_in)
+    pipe = TranscriptPipeline(spark, store)
+    t0 = time.time()
+    res = pipe.run(transcripts=input_path)
+    wall = time.time() - t0
+    print(json.dumps({{"cores": n_exec, "wall": round(wall, 2),
+                       "turns": res.metrics["turns"],
+                       "triples": res.metrics["triples"],
+                       "turns_per_sec":
+                           round(res.metrics["turns"] / wall, 1)}}))
 spark.stop()
 """
 
@@ -165,10 +185,10 @@ def run_level(cores: int, input_path: str, store: str,
         script = RUN_ONE
     argv = [sys.executable, "-c", script.format(repo=REPO), str(cores),
             input_path]
-    if not compute_only:
-        argv.append(store)
     if isolated:
-        argv.append(str(exec_mem_mb))
+        argv += [store, str(exec_mem_mb), str(int(compute_only))]
+    elif not compute_only:
+        argv.append(store)
     # the worker JVMs of local-cluster inherit this process's env;
     # keep PYTHONPATH out of it so the addPyFile zip is what the
     # python workers actually import from (the --py-files pathway)
@@ -176,6 +196,14 @@ def run_level(cores: int, input_path: str, store: str,
     out = subprocess.run(argv, check=True, capture_output=True, text=True,
                          env=env)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    # drop this repeat's snapshot stores immediately: accumulating
+    # multi-GB stores across repeats shrinks the page cache and slows
+    # later repeats (observed: monotonically rising walls)
+    for leftover in glob.glob(store + "*"):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+        else:
+            os.remove(leftover)
     return json.loads(line)
 
 
@@ -258,9 +286,12 @@ def main() -> None:
             label = "local-cluster" if args.isolated else "local"
             suffix = f",1,{args.exec_mem_mb}" if args.isolated else ""
             if args.isolated:
+                extra = (", compute-only noop sink"
+                         if args.compute_only else "")
                 mode = (f" (isolated: local-cluster[N,1,"
                         f"{args.exec_mem_mb}] — one single-core executor "
-                        f"JVM per node, package shipped via addPyFile)")
+                        f"JVM per node, package shipped via "
+                        f"addPyFile{extra})")
             elif args.compute_only:
                 mode = (" (compute-only: noop sink, no snapshot writes — "
                         "single shared disk excluded)")
