@@ -30,9 +30,18 @@ from pyspark.sql import SparkSession
 from kgloom.transcripts.pipeline import TranscriptPipeline
 
 cores = int(sys.argv[1]); input_path = sys.argv[2]; store = sys.argv[3]
+# Task granularity: event-log task accounting (2026-08-18, 24M turns)
+# showed the 4-way level at only 80% core-utilization with ZERO
+# per-task slowdown (sum task CPU within 6% of the 1-way run) — the
+# 600MB input packs into just 7 splits at the 128MB default, i.e. two
+# uneven task waves on 4 cores.  32MB splits and 8 shuffle partitions
+# per core keep >=4 waves in flight per core — the same tasks-per-core
+# ratio a 100TB/1000-core deployment gets for free from its ~800k
+# splits.  Identical config at every parallelism level.
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .appName(f"kgloom-scale-{{cores}}")
-         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+         .config("spark.sql.shuffle.partitions", str(max(cores * 8, 16)))
+         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "20g")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -76,7 +85,12 @@ mem_mb = int(sys.argv[4])
 spark = (SparkSession.builder
          .master(f"local-cluster[{{n_exec}},1,{{mem_mb}}]")
          .appName(f"kgloom-scale-cluster-{{n_exec}}")
-         .config("spark.sql.shuffle.partitions", str(max(n_exec * 2, 8)))
+         # 32MB splits + 8 shuffle partitions/core: >=4 task waves per
+         # core (see the granularity note in the local[] runner — the
+         # 128MB default gave 7 splits for the 600MB input, one
+         # straggler-exposed 3-task second wave on 4 executors)
+         .config("spark.sql.shuffle.partitions", str(max(n_exec * 8, 16)))
+         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "8g")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -135,7 +149,9 @@ from kgloom.transcripts.pipeline import construct_triples
 cores = int(sys.argv[1]); input_path = sys.argv[2]
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .appName(f"kgloom-scale-compute-{{cores}}")
-         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+         # >=4 task waves per core; see granularity note in RUN_ONE
+         .config("spark.sql.shuffle.partitions", str(max(cores * 8, 16)))
+         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "20g")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false").getOrCreate())
