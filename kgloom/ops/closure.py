@@ -169,12 +169,17 @@ def transitive_closure(edges: DataFrame, *,
     sizes = labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("__n_edges"))
     labeled = labeled.join(sizes, "component")
+    # output schema mirrors the input edge types (term IRIs are
+    # strings in the SPARQL/reasoning callers, but ER-style int node
+    # ids close just as well)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in edges.schema.fields)
     small = (labeled
              .where(F.col("__n_edges") <= local_max_edges)
              .select("component", s, d)
              .groupBy("component")
-             .applyInPandas(_make_local_closure_fn(s, d),
-                            f"{s} string, {d} string"))
+             .applyInPandas(_make_local_closure_fn(s, d), out_schema))
     big = (labeled.where(F.col("__n_edges") > local_max_edges)
            .select(s, d))
     return small.unionByName(doubling_closure(big))

@@ -204,3 +204,14 @@ def test_owl_closure_random_axioms_match_fixpoint(spark, trial):
         spark.createDataFrame(sorted(inst), T),
         spark.createDataFrame(sorted(axioms), T)))
     assert got == _naive_owl_fixpoint(inst, axioms)
+
+
+def test_transitive_closure_int_typed_edges(spark):
+    """The applyInPandas output schema mirrors the INPUT edge types —
+    ER-style bigint node ids must close without a schema mismatch."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint")
+    got = _got(cl.transitive_closure(df, local_max_edges=10))
+    assert got == {(1, 2), (2, 3), (1, 3), (10, 11)}
+    assert [f.dataType.simpleString() for f in
+            cl.transitive_closure(df).schema.fields] == ["bigint", "bigint"]
