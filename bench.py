@@ -93,10 +93,19 @@ def main() -> None:
         turns = spark.read.parquet(f"{root}/input")
         warm = generate_transcripts(spark, 20_000, n_convs=100)
         TranscriptPipeline(spark, f"{root}/store_warm").run(transcripts=warm)
-        pipe = TranscriptPipeline(spark, f"{root}/store")
-        t0 = time.time()
-        res = pipe.run(transcripts=turns)
-        pipeline_sec = time.time() - t0
+        # min-of-N, same policy (and reasoning) as the per-query loop:
+        # a single host stall would otherwise double this headline
+        # number; each repeat gets a fresh store so no snapshot reuse
+        pipeline_sec = None
+        for r in range(repeats):
+            pipe = TranscriptPipeline(spark, f"{root}/store_{r}")
+            t0 = time.time()
+            res = pipe.run(transcripts=turns)
+            dt = time.time() - t0
+            pipeline_sec = dt if pipeline_sec is None else \
+                min(pipeline_sec, dt)
+            import shutil
+            shutil.rmtree(f"{root}/store_{r}", ignore_errors=True)
     times["transcripts_pipeline"] = round(pipeline_sec, 3)
 
     total = round(sum(times.values()), 3)

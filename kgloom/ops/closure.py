@@ -145,7 +145,8 @@ def _components(edges: DataFrame, s: str, d: str) -> DataFrame:
 
 
 def transitive_closure(edges: DataFrame, *,
-                       local_max_edges: int | None = None) -> DataFrame:
+                       local_max_edges: int | None = None,
+                       components: DataFrame | None = None) -> DataFrame:
     """Distinct transitive closure of a two-column relation, sized per
     connected component (the ER-pass architecture,
     kgloom/transcripts/er.py): label components with the size-gated CC
@@ -159,12 +160,18 @@ def transitive_closure(edges: DataFrame, *,
     Real KG chain relations (conversation turn orders, version
     successors, org hierarchies) are exactly the many-small-components
     shape, so the local path is the hot one; the doubling fallback
-    keeps a single web-scale component correct rather than fast."""
+    keeps a single web-scale component correct rather than fast.
+
+    ``components`` — optional precomputed ``(node, component)`` labels
+    covering every source node of ``edges``; passing them skips the CC
+    pass (:func:`anchored_closure` computes them anyway to find the
+    seeds' components — re-deriving them here would double the
+    log-round CC cost)."""
     if local_max_edges is None:
         local_max_edges = CLOSURE_LOCAL_MAX_EDGES
     s, d = edges.columns
     edges = edges.distinct().localCheckpoint()
-    comp = _components(edges, s, d)
+    comp = components if components is not None else _components(edges, s, d)
     labeled = edges.join(comp.withColumnRenamed("node", s), s)
     sizes = labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("__n_edges"))
@@ -222,8 +229,9 @@ def anchored_closure(edges: DataFrame, seeds: Sequence[str], *,
                   .select("component").distinct().collect()]
     if not seed_comps:  # anchors absent from the graph: no 1+ paths
         return edges.where(F.lit(False)).select(s, d)
-    member = (comp.where(F.col("component").isin(seed_comps))
-              .select(F.col("node").alias(s)))
+    seed_comp = comp.where(F.col("component").isin(seed_comps))
+    member = seed_comp.select(F.col("node").alias(s))
     sub = edges.join(member, s, "left_semi")
-    return (transitive_closure(sub, local_max_edges=local_max_edges)
+    return (transitive_closure(sub, local_max_edges=local_max_edges,
+                               components=seed_comp)
             .where(F.col(s).isin(seeds)))
