@@ -121,6 +121,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     distributed path repartitions its iteration state size-aware
     (~500k edges per partition, min 1): small graphs run single-task
     rounds, huge graphs scale out with hash joins on the node key.
+
+    Each distributed round does BOTH a 1-hop neighbor-min propagation
+    AND a pointer jump (``label ← min(label, label(label))``, the
+    Shiloach–Vishkin / hash-to-min device), so convergence is
+    O(log diameter) rounds — plain min-label propagation alone is
+    O(diameter), which silently mislabels any component deeper than
+    ``max_iter`` (a 101-node chain previously split into 81
+    components on this path).  The pointer-jump join keys on the
+    label, which skews toward component minima as big components
+    coalesce — AQE skew-join handling (on in every session builder
+    here) splits those hot partitions.  If ``max_iter`` rounds still
+    don't converge, a ``RuntimeWarning`` is raised rather than
+    returning wrong labels silently.
     """
     spark = edges.sparkSession
     bidirected = (edges.select("src", "dst")
@@ -145,17 +158,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     labels = nodes.withColumn("label", F.col("node")) \
         .repartition(parts, "node")
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (bidirected
                         .join(labels.withColumnRenamed("node", "dst"), "dst")
                         .groupBy("src")
                         .agg(F.min("label").alias("nlabel"))
                         .withColumnRenamed("src", "node"))
-        new_labels = (labels.join(neighbor_min, "node", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nlabel"),
-                                                 F.col("label")))
+        stepped = (labels.join(neighbor_min, "node", "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nlabel"),
+                                              F.col("label")))
+                           .alias("label")))
+        # pointer jump: label ← label(label) — halves every pointer
+        # chain, turning O(diameter) propagation into O(log diameter)
+        ptr = stepped.select(F.col("node").alias("__pnode"),
+                             F.col("label").alias("__plabel"))
+        new_labels = (stepped
+                      .join(ptr, stepped["label"] == ptr["__pnode"], "left")
+                      .select(stepped["node"],
+                              F.least(stepped["label"],
+                                      F.coalesce(F.col("__plabel"),
+                                                 stepped["label"]))
                               .alias("label"))
                       .repartition(parts, "node")
                       .localCheckpoint())
@@ -165,7 +190,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds — labels may merge further; raise max_iter "
+            f"(pointer-jumped rounds cover diameter ~2^{max_iter})",
+            RuntimeWarning, stacklevel=2)
     return labels.withColumnRenamed("label", "component")
 
 

@@ -76,6 +76,20 @@ def test_connected_components_basic(spark, driver_max_edges):
     assert comp["p"] == comp["p2"] == "p"
 
 
+def test_connected_components_deep_chain_distributed(spark):
+    """Regression: the distributed CC path must label a component whose
+    DIAMETER exceeds the round budget — plain min-label propagation is
+    O(diameter) and silently split a 101-node chain into 81 components
+    at max_iter=20; the pointer-jump rounds (label ← label(label)) are
+    O(log diameter) and converge in ~7."""
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(100)],
+        ["src", "dst"])
+    out = connected_components(edges, driver_max_edges=0).collect()
+    assert {r.component for r in out} == {"n000"}
+    assert len(out) == 101
+
+
 def test_canonical_map_driver_and_distributed_agree(spark, turns):
     """The size-gated driver ER path and the distributed blocking +
     iterative-CC path must produce identical surface→canonical maps."""
