@@ -142,14 +142,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                   .distinct())
     n_edges = bidirected.count()
     if n_edges <= driver_max_edges:
-        # collect(), not toLocalIterator(): the latter fetches partitions
-        # as sequential mini-jobs (64 × job latency); bounded by the gate
-        mapping = _driver_union_find(
-            (r.src, r.dst) for r in bidirected.collect())
+        # Arrow both ways: toPandas() fetches columnar batches (a
+        # pickled Row list measured ~3-5s slower at the 100k-edge
+        # scale of one sf0.1 closure query), and handing
+        # createDataFrame a pandas frame keeps the return trip on the
+        # Arrow path too; bounded by the gate either way
+        import pandas as pd
+
+        pdf = bidirected.toPandas()
+        mapping = _driver_union_find(zip(pdf["src"], pdf["dst"]))
         if not mapping:
             return spark.createDataFrame([], "node string, component string")
-        return spark.createDataFrame(
-            list(mapping.items()), "node string, component string")
+        out = pd.DataFrame(list(mapping.items()),
+                           columns=["node", "component"])
+        return spark.createDataFrame(out)
 
     parts = max(1, min(int(spark.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 500_000 + 1))
