@@ -280,13 +280,21 @@ def canonical_map(mentions: DataFrame, score_threshold: float = 0.5,
     surfaces = mentions.select("surface", "norm_key").distinct() \
         .localCheckpoint()
     if driver_max_surfaces > 0:
-        head = surfaces.limit(driver_max_surfaces + 1).collect()
+        # Arrow transfer both ways (same reasoning as the driver CC
+        # path): at the 2M-surface gate a pickled Row list costs tens
+        # of seconds that columnar batches don't
+        import pandas as pd
+
+        head = surfaces.limit(driver_max_surfaces + 1).toPandas()
         if len(head) <= driver_max_surfaces:
             spark = mentions.sparkSession
             pairs = _driver_canonical(
-                [(r.surface, r.norm_key) for r in head], score_threshold)
-            return spark.createDataFrame(pairs,
-                                         "surface string, canonical string")
+                list(zip(head["surface"], head["norm_key"])),
+                score_threshold)
+            out = pd.DataFrame(pairs, columns=["surface", "canonical"])
+            return spark.createDataFrame(out) if pairs else \
+                spark.createDataFrame([],
+                                      "surface string, canonical string")
     edges = build_edges(mentions, score_threshold, surfaces=surfaces)
     components = connected_components(edges)
     return (surfaces.select("surface")
