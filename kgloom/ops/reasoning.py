@@ -371,24 +371,18 @@ def same_as_components(triples: DataFrame,
     return comp.select(F.col("node"), F.col("component").alias("canonical"))
 
 
-def same_as_fusion(triples: DataFrame,
-                   same_as_pred: str = OWL_SAMEAS) -> DataFrame:
-    """Fuse owl:sameAs-equal nodes: drop the sameAs triples, rewrite
-    every subject and object to its component canonical, and
-    re-distinct (rewrites collapse formerly distinct triples).
-
-    Extra columns (e.g. ``graph`` on quad input) pass through the
-    rewrite untouched and participate in the final distinct.
+def rewrite_canonical(data: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite every subject and object through a ``(node, canonical)``
+    alias map (left joins; unmapped terms pass through) and re-distinct
+    (rewrites collapse formerly distinct triples).  Extra columns (e.g.
+    ``graph`` on quad input) pass through untouched and participate in
+    the final distinct.
 
     100-TB design: the mapping is one row per aliased node — orders of
     magnitude smaller than the triple stream — so both rewrite joins
     broadcast (AQE decides; no hint forced for the rare huge-alias
     case, where a hash join on subj/obj is the right fallback)."""
-    mapping = tracked_persist(
-        same_as_components(triples, same_as_pred)
-        .where(F.col("node") != F.col("canonical")))
-    data = triples.where(F.col("pred") != same_as_pred)
-    rest = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+    rest = [c for c in data.columns if c not in ("subj", "pred", "obj")]
     m_s = mapping.select(F.col("node").alias("__sn"),
                          F.col("canonical").alias("__sc"))
     m_o = mapping.select(F.col("node").alias("__on"),
@@ -400,6 +394,18 @@ def same_as_fusion(triples: DataFrame,
                     F.col("pred"),
                     F.coalesce("__oc", "obj").alias("obj"), *rest)
             .distinct())
+
+
+def same_as_fusion(triples: DataFrame,
+                   same_as_pred: str = OWL_SAMEAS) -> DataFrame:
+    """Fuse owl:sameAs-equal nodes: drop the sameAs triples, rewrite
+    every subject and object to its component canonical via
+    ``rewrite_canonical``."""
+    mapping = tracked_persist(
+        same_as_components(triples, same_as_pred)
+        .where(F.col("node") != F.col("canonical")))
+    data = triples.where(F.col("pred") != same_as_pred)
+    return rewrite_canonical(data, mapping)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,15 @@ only — operator/src/lib.rs:362-370).  Streams of transcript turns run
 through the same term-construction expressions as the batch pipeline.
 """
 
+from .fusion import (  # noqa: F401
+    compact_fused,
+    fuse_batch,
+    read_alias_map,
+    read_fused,
+    read_fusion_metrics,
+    read_triple_stream,
+    stream_fused_triples,
+)
 from .pipeline import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     read_transcript_stream,
