@@ -941,17 +941,12 @@ def q_reason_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, schema=schema, include_schema=True)
 
 
-def q_reason_sameas_fusion(spark, sf_dir):
-    """owl:sameAs fusion over an entity KG with three IRI namespaces
-    per entity (kgloom/ops/reasoning.py): mention triples reference
-    <ent/…>, label triples live on <legacy/…>, and a sameAs CHAIN
-    ent→alias→legacy declares them equal.  Fusion runs real connected
-    components over the sameAs edges (size-gated driver/distributed CC)
-    and rewrites both subject and object positions to the component
-    minimum — which the SQL oracle replays because the chain structure
-    makes each component's canonical a closed form of the entity key."""
+def _sameas_kg(spark, sf_dir):
+    """The three-namespace entity KG shared by the sameAs-fusion
+    queries: mention triples on <ent/…>, labels on <legacy/…>, and a
+    sameAs CHAIN ent→alias→legacy declaring them equal."""
     from kgloom.ops.cache import tracked_persist
-    from kgloom.ops.reasoning import OWL_SAMEAS, same_as_fusion
+    from kgloom.ops.reasoning import OWL_SAMEAS
     from kgloom.transcripts.derive import transcripts_from_events
     turns = transcripts_from_events(spark, sf_dir)
     # the mention stream feeds four branches (two sameAs directions,
@@ -980,8 +975,42 @@ def q_reason_sameas_fusion(spark, sf_dir):
                         F.lit(f"<{_KGO}mentions>").alias("pred"),
                         F.concat(F.lit("<http://kg.example/ent/Entity_"),
                                  F.col("norm_key"), F.lit(">")).alias("obj")))
-    kg = mentions.unionByName(labels).unionByName(sameas)
-    return same_as_fusion(kg)
+    return mentions.unionByName(labels).unionByName(sameas)
+
+
+def q_reason_sameas_fusion(spark, sf_dir):
+    """owl:sameAs fusion over an entity KG with three IRI namespaces
+    per entity (kgloom/ops/reasoning.py).  Fusion runs real connected
+    components over the sameAs edges (size-gated driver/distributed CC)
+    and rewrites both subject and object positions to the component
+    minimum — which the SQL oracle replays because the chain structure
+    makes each component's canonical a closed form of the entity key."""
+    from kgloom.ops.reasoning import same_as_fusion
+    return same_as_fusion(_sameas_kg(spark, sf_dir))
+
+
+def q_reason_sameas_incremental(spark, sf_dir):
+    """The streaming fusion module's incremental alias-map recurrence
+    (kgloom/streaming/fusion.py fold_alias_map: map_k = CC(map_{k-1} ∪
+    edges_k)), folded over three deterministic hash-buckets of the
+    same KG — each entity's two-edge sameAs chain lands in different
+    buckets for ~5/9 of entities, so cross-batch component merges are
+    exercised at scale.  Must equal one-shot fusion: same oracle SQL
+    as reason_sameas_fusion."""
+    from kgloom.ops.reasoning import OWL_SAMEAS, rewrite_canonical
+    from kgloom.streaming.fusion import fold_alias_map
+    kg = _sameas_kg(spark, sf_dir).withColumn(
+        "__b", F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(3)))
+    mapping = None
+    for i in range(3):
+        edges = (kg.where((F.col("__b") == i) &
+                          (F.col("pred") == OWL_SAMEAS))
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst"))
+                 .where(F.col("src") != F.col("dst")))
+        mapping = fold_alias_map(mapping, edges).localCheckpoint()
+    data = kg.where(F.col("pred") != OWL_SAMEAS).drop("__b")
+    return rewrite_canonical(data, mapping)
 
 
 def q_reason_shacl(spark, sf_dir):
@@ -1044,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_describe": q_sparql_kg_describe,
         "reason_rdfs_closure": q_reason_rdfs_closure,
         "reason_sameas_fusion": q_reason_sameas_fusion,
+        "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
         "reason_owl_properties": q_reason_owl_properties,
         "dedup_exact": q_dedup_exact,
@@ -1118,7 +1148,7 @@ sh AS (
 
 def oracle_sql() -> dict[str, str]:
     ex = EX
-    return {
+    oracles = {
         "kg_extend_template": f"""
             SELECT DISTINCT * FROM (
               SELECT '<{ex}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
@@ -2056,3 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 63) AS t(i)
         """,
     }
+    # the incremental recurrence must land exactly on the one-shot
+    # fusion — same truth, same oracle
+    oracles["reason_sameas_incremental"] = oracles["reason_sameas_fusion"]
+    return oracles

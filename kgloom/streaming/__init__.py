@@ -6,6 +6,7 @@ through the same term-construction expressions as the batch pipeline.
 
 from .fusion import (  # noqa: F401
     compact_fused,
+    fold_alias_map,
     fuse_batch,
     read_alias_map,
     read_fused,

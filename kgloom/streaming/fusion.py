@@ -93,14 +93,32 @@ def read_alias_map(spark: SparkSession, state_path: str,
         os.path.join(state_path, "map", f"v={versions[-1]}"))
 
 
+def fold_alias_map(prev_map: Optional[DataFrame],
+                   edges: DataFrame) -> DataFrame:
+    """One step of the incremental recurrence:
+    ``map_k = CC(map_{k-1} as star-forest edges  UNION  edges_k)``.
+    ``prev_map`` is (node, canonical) or None for the first step;
+    ``edges`` is (src, dst).  Returns the new (node, canonical) map
+    (non-identity rows only).  Exact because the previous map spans
+    the same node partition with the same lexicographically-minimal
+    canonicals as all edges folded so far."""
+    from ..transcripts.er import connected_components
+
+    if prev_map is not None:
+        edges = edges.unionByName(
+            prev_map.select(F.col("node").alias("src"),
+                            F.col("canonical").alias("dst")))
+    return (connected_components(edges)
+            .where(F.col("node") != F.col("component"))
+            .select("node", F.col("component").alias("canonical")))
+
+
 def fuse_batch(spark: SparkSession, state_path: str,
                batch_df: DataFrame, batch_id: int,
                same_as_pred: str = OWL_SAMEAS) -> None:
     """Fold one micro-batch into the incremental-fusion state.
     Deterministic in (state up to batch_id-1, batch contents) — safe
     under micro-batch replay."""
-    from ..transcripts.er import connected_components
-
     data = batch_df.where(F.col("pred") != same_as_pred)
     data.write.mode("overwrite").parquet(
         os.path.join(state_path, "raw", f"batch={batch_id}"))
@@ -110,12 +128,7 @@ def fuse_batch(spark: SparkSession, state_path: str,
                            F.col("obj").alias("dst"))
                    .where(F.col("src") != F.col("dst")))
     prev = read_alias_map(spark, state_path, before=batch_id)
-    edges = batch_edges if prev is None else batch_edges.unionByName(
-        prev.select(F.col("node").alias("src"),
-                    F.col("canonical").alias("dst")))
-    new_map = (connected_components(edges)
-               .where(F.col("node") != F.col("component"))
-               .select("node", F.col("component").alias("canonical")))
+    new_map = fold_alias_map(prev, batch_edges)
     new_map.write.mode("overwrite").parquet(
         os.path.join(state_path, "map", f"v={batch_id}"))
 
