@@ -271,6 +271,22 @@ def q_transcripts_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "pred", "obj")
 
 
+def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer → parser round trip: the turn KG rendered to N-Quads
+    text lines (kgloom/exec/binder.to_nquads_lines) and re-parsed by
+    the distributed N-Quads source (kgloom/exec/rdfsource.py — two
+    codegen regexp_extract passes over spark.read.text-shaped lines,
+    no Python).  Must hash-match the original triples' oracle —
+    oracle-gates both directions of the RDF text round trip, including
+    literal escaping of the turn text."""
+    from kgloom.exec.binder import to_nquads_lines
+    from kgloom.exec.rdfsource import parse_nquads_lines
+    triples = q_transcripts_turn_triples(spark, sf_dir).withColumn(
+        "graph", F.lit(None).cast("string"))
+    return (parse_nquads_lines(to_nquads_lines(triples))
+            .select("subj", "pred", "obj"))
+
+
 def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention degree per CANONICAL entity — runs the full ER
     canonicalization (two-stage blocking + components) and aggregates
@@ -1053,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scalar_functions": q_kg_scalar_functions,
         "kg_fragment_multi": q_kg_fragment_multi,
         "transcripts_turn_triples": q_transcripts_turn_triples,
+        "rdf_roundtrip": q_rdf_roundtrip,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "sparql_kg_select": q_sparql_kg_select,
@@ -2089,4 +2106,7 @@ def oracle_sql() -> dict[str, str]:
     # the incremental recurrence must land exactly on the one-shot
     # fusion — same truth, same oracle
     oracles["reason_sameas_incremental"] = oracles["reason_sameas_fusion"]
+    # the N-Quads write→parse round trip must land exactly on the
+    # original triples
+    oracles["rdf_roundtrip"] = oracles["transcripts_turn_triples"]
     return oracles
