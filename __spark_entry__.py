@@ -287,6 +287,24 @@ def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("subj", "pred", "obj"))
 
 
+def q_kg_vertical_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertically partitioned quad store (kgloom/ops/store.py, the
+    SW-Store predicate layout): the turn KG written partitionBy(pred)
+    — IRI directory values escaped/restored by Spark natively — read
+    back and sliced to the kg:usedTool relation.  The slice prunes to
+    one partition directory from driver metadata before any file
+    opens (PartitionFilters plan-gated in tests/test_store.py); must
+    hash-match the filtered turn-triples oracle."""
+    import tempfile
+    from kgloom.ops.store import read_quads_store, write_quads_store
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kgloom_store_") + "/quads"
+    write_quads_store(triples, path)
+    return (read_quads_store(spark, path)
+            .where(F.col("pred") == f"<{_KGO}usedTool>")
+            .select("subj", "pred", "obj"))
+
+
 def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention degree per CANONICAL entity — runs the full ER
     canonicalization (two-stage blocking + components) and aggregates
@@ -1070,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fragment_multi": q_kg_fragment_multi,
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "rdf_roundtrip": q_rdf_roundtrip,
+        "kg_vertical_store": q_kg_vertical_store,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "sparql_kg_select": q_sparql_kg_select,
@@ -2109,4 +2128,9 @@ def oracle_sql() -> dict[str, str]:
     # the N-Quads write→parse round trip must land exactly on the
     # original triples
     oracles["rdf_roundtrip"] = oracles["transcripts_turn_triples"]
+    # the vertical store slice = the turn triples restricted to one
+    # predicate relation
+    oracles["kg_vertical_store"] = (
+        f"SELECT * FROM ({oracles['transcripts_turn_triples']}) "
+        f"WHERE pred = '<{_KGO}usedTool>'")
     return oracles

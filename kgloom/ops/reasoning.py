@@ -421,7 +421,14 @@ class PropertyShape:
     of "IRI" / "Literal" / "BlankNode" (rendered-form prefix test);
     ``pattern`` is a regex over the value's rendered lexical form;
     ``in_values`` is a set of allowed rendered terms; ``datatype`` is
-    a datatype IRI the literal must carry (``^^<dt>`` suffix)."""
+    a datatype IRI the literal must carry (``^^<dt>`` suffix);
+    ``class_iri`` requires every value to be a direct ``rdf:type``
+    instance of the class (validate the RDFS-closed graph for
+    subclass semantics — composition, not reimplementation);
+    ``has_value`` requires the term among the focus's values;
+    ``min_inclusive`` / ``max_inclusive`` bound the numeric lexical
+    form (non-numeric values violate, per SHACL's value-node
+    comparability rule)."""
     path: str
     min_count: Optional[int] = None
     max_count: Optional[int] = None
@@ -429,6 +436,10 @@ class PropertyShape:
     pattern: Optional[str] = None
     in_values: Optional[tuple[str, ...]] = None
     datatype: Optional[str] = None
+    class_iri: Optional[str] = None
+    has_value: Optional[str] = None
+    min_inclusive: Optional[float] = None
+    max_inclusive: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -529,6 +540,39 @@ def shacl_validate(triples: DataFrame,
                       & F.col("value").endswith(suffix))
                 reports.append(_report(v.where(~ok), "datatype",
                                        F.col("value")))
+            if ps.class_iri is not None:
+                # one class's instance set is small relative to the
+                # triple stream — AQE broadcasts the anti-join side
+                instances = (triples
+                             .where((F.col("pred") == RDF_TYPE)
+                                    & (F.col("obj") == ps.class_iri))
+                             .select(F.col("subj").alias("value"))
+                             .distinct())
+                reports.append(_report(
+                    v.join(instances, "value", "left_anti"), "class",
+                    F.col("value")))
+            if ps.has_value is not None:
+                present = (v.where(F.col("value") == ps.has_value)
+                           .select("focus").distinct())
+                reports.append(_report(
+                    focus.join(present, "focus", "left_anti"), "hasValue",
+                    F.lit(ps.has_value)))
+            # try_cast: non-numeric lexical forms become NULL (then
+            # violate) instead of failing the job under ANSI mode
+            num = F.regexp_extract(F.col("value"), r'^"([^"]*)"', 1) \
+                .try_cast("double")
+            if ps.min_inclusive is not None:
+                # non-numeric values violate each range component
+                # independently (SHACL comparability rule)
+                reports.append(_report(
+                    v.where(~(num.isNotNull()
+                              & (num >= ps.min_inclusive))),
+                    "minInclusive", F.col("value")))
+            if ps.max_inclusive is not None:
+                reports.append(_report(
+                    v.where(~(num.isNotNull()
+                              & (num <= ps.max_inclusive))),
+                    "maxInclusive", F.col("value")))
 
     if not reports:
         return spark.createDataFrame(

@@ -317,3 +317,43 @@ def test_rdfs_closure_random_graphs_match_fixpoint(spark):
             spark.createDataFrame(sorted(schema | inst), T)).collect()}
         want = _naive_rdfs_fixpoint(schema | inst)
         assert got == want, f"trial {trial}: diff={got ^ want}"
+
+
+def test_shacl_class_hasvalue_range_constraints(spark):
+    """Round-4 constraint additions: sh:class (rdf:type membership via
+    anti-join), sh:hasValue (required term per focus), numeric
+    sh:minInclusive/maxInclusive over the lexical form (non-numeric →
+    violation, per the comparability rule)."""
+    rows = [
+        ("<t:1>", RDF_TYPE, "<c:Turn>"),
+        ("<t:1>", "<p:conv>", "<conv:a>"),
+        ("<conv:a>", RDF_TYPE, "<c:Conv>"),
+        ("<t:1>", "<p:score>", '"0.5"'),
+        ("<t:1>", "<p:role>", '"user"'),
+        ("<t:2>", RDF_TYPE, "<c:Turn>"),
+        ("<t:2>", "<p:conv>", "<conv:b>"),            # class: b untyped
+        ("<t:2>", "<p:score>", '"1.5"'),              # maxInclusive
+        ("<t:2>", "<p:role>", '"admin"'),             # hasValue absent
+        ("<t:3>", RDF_TYPE, "<c:Turn>"),
+        ("<t:3>", "<p:conv>", "<conv:a>"),
+        ("<t:3>", "<p:score>", '"abc"'),              # non-numeric
+        ("<t:3>", "<p:role>", '"user"'),
+    ]
+    shape = NodeShape(
+        name="TurnShape", target_class="<c:Turn>",
+        properties=(
+            PropertyShape(path="<p:conv>", class_iri="<c:Conv>"),
+            PropertyShape(path="<p:score>", min_inclusive=0.0,
+                          max_inclusive=1.0),
+            PropertyShape(path="<p:role>", has_value='"user"'),
+        ))
+    rep = {(r.focus, r.constraint, r.value)
+           for r in shacl_validate(
+               spark.createDataFrame(rows, T), (shape,)).collect()}
+    assert rep == {
+        ("<t:2>", "class", "<conv:b>"),
+        ("<t:2>", "maxInclusive", '"1.5"'),
+        ("<t:2>", "hasValue", '"user"'),
+        ("<t:3>", "minInclusive", '"abc"'),
+        ("<t:3>", "maxInclusive", '"abc"'),
+    }

@@ -1,0 +1,71 @@
+"""Vertically partitioned quad store: IRI-predicate round trip,
+partition pruning reaching the scan (the 100-TB point of the layout),
+and skew-spreading bucket writes."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from kgloom.ops.store import read_quads_store, write_quads_store
+
+QUADS = [
+    ("<http://ex.com/a>", "<http://ex.com/p?x=1&y=2>", '"v 1"', None),
+    ("<http://ex.com/b>", "<http://ex.com/p?x=1&y=2>", "<http://ex.com/c>",
+     "<http://ex.com/g>"),
+    ("_:b0", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+     "<http://ex.com/T>", None),
+]
+DDL = "subj string, pred string, obj string, graph string"
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_store_roundtrip_iri_partitions(spark, tmp_path):
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(QUADS, DDL)
+    write_quads_store(df, path)
+    back = read_quads_store(spark, path)
+    assert back.columns == ["subj", "pred", "obj", "graph"]
+    assert sorted(map(tuple, back.collect())) == sorted(QUADS)
+    # one directory per predicate, values escaped by Spark
+    assert len(glob.glob(f"{path}/pred=*")) == 2
+
+
+def test_constant_predicate_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "store")
+    write_quads_store(spark.createDataFrame(QUADS, DDL), path)
+    q = read_quads_store(spark, path).where(
+        F.col("pred") ==
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+    plan = explain_str(q)
+    # the predicate filter lands in PartitionFilters (metadata-level
+    # pruning), not in the post-scan data filters
+    part = plan.split("Partition Filters")[1].split("\n")[0] \
+        if "Partition Filters" in plan else \
+        plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pred" in part
+    assert q.count() == 1
+    # SPARQL over the store inherits the pruning: constant-predicate
+    # BGPs compile to the same where()
+    from kgloom.sparql import sparql_select
+    res = sparql_select(
+        read_quads_store(spark, path).select("subj", "pred", "obj"),
+        "SELECT ?s WHERE { ?s <http://ex.com/p?x=1&y=2> ?o }")
+    assert res.count() == 2
+
+
+def test_bucketed_write_spreads_skewed_predicate(spark, tmp_path):
+    path = str(tmp_path / "store")
+    big = spark.range(2000).select(
+        F.concat(F.lit("<http://ex.com/s/"), F.col("id"), F.lit(">"))
+        .alias("subj"),
+        F.lit("<http://ex.com/hot>").alias("pred"),
+        F.lit("<http://ex.com/o>").alias("obj"),
+        F.lit(None).cast("string").alias("graph"))
+    write_quads_store(big, path, n_buckets=4)
+    files = [f for f in glob.glob(f"{path}/pred=*/part-*") ]
+    assert len(files) >= 4  # the hot predicate wrote in parallel
+    assert read_quads_store(spark, path).count() == 2000
