@@ -102,3 +102,57 @@ def test_roundtrip_preserves_turn_text_escapes(spark):
     back = parse_nquads_lines(lines)
     assert sorted(r.obj for r in back.collect()) == \
         sorted(r.obj for r in quads.collect())
+
+
+def test_roundtrip_fuzz_random_quads(spark):
+    """Seeded-random fuzz: 200 quads per trial with adversarial literal
+    payloads (quotes, backslashes, newlines, tabs, unicode, ' . '
+    sequences), random lang/datatype suffixes, bnode/IRI graphs —
+    serialize → parse must be the identity."""
+    import random
+    from kgloom.exec.functions import escape_literal
+
+    rng = random.Random(20260818)
+    nasty = ['"', "\\", "\n", "\r", "\t", " . ", "café", "∑", "<", ">",
+             "a b", "#", "@en", "^^", "_:x", "%20"]
+
+    def iri():
+        return "<http://ex.com/" + "".join(
+            rng.choices("abcdefghij%20C3A9-._~", k=rng.randint(1, 12))) + ">"
+
+    for trial in range(3):
+        rows = []
+        for i in range(200):
+            subj = iri() if rng.random() < 0.8 else f"_:b{i}"
+            pred = iri()
+            kind = rng.random()
+            if kind < 0.4:
+                payload = "".join(rng.choices(nasty, k=rng.randint(0, 6)))
+                suffix = rng.choice(["", "@en", "@zh-Hans",
+                                     "^^<http://www.w3.org/2001/"
+                                     "XMLSchema#string>"])
+                rows.append((subj, pred, payload, suffix, None,
+                             rng.choice([None, iri(), f"_:g{i}"])))
+            else:
+                rows.append((subj, pred, None, None,
+                             iri() if kind < 0.8 else f"_:o{i}",
+                             rng.choice([None, iri()])))
+        raw = spark.createDataFrame(
+            rows, "subj string, pred string, payload string, "
+                  "suffix string, obj_term string, graph string")
+        quads = raw.select(
+            "subj", "pred",
+            F.when(F.col("obj_term").isNotNull(), F.col("obj_term"))
+            .otherwise(F.concat(F.lit('"'),
+                                escape_literal(F.col("payload")),
+                                F.lit('"'), F.coalesce("suffix", F.lit(""))))
+            .alias("obj"),
+            "graph")
+        from kgloom.exec.rdfsource import parse_nquads_lines
+        lines = to_nquads_lines(quads)
+        assert lines.count() == 200, f"trial {trial}: escaping leaked a newline"
+        back = parse_nquads_lines(lines)
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, quads.collect()))
+        assert got == want, f"trial {trial}: first diff " + str(
+            next(p for p in zip(got, want) if p[0] != p[1]))
