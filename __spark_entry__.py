@@ -439,7 +439,12 @@ def _kg_with_next(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(turn_iri(F.col("turn_idx")).alias("subj"),
                    F.lit("<http://kg.example/ontology/next>").alias("pred"),
                    turn_iri(F.col("next_idx")).alias("obj")))
-    return triples.unionByName(nxt)
+    # the SPARQL engine scans the input several times (edge extraction
+    # for the closure, the non-path BGPs, the CC pass) — persist the
+    # constructed KG once instead of re-running the construction
+    # pipeline per scan
+    from kgloom.ops.cache import tracked_persist
+    return tracked_persist(triples.unionByName(nxt))
 
 
 def q_sparql_kg_path(spark: SparkSession, sf_dir: str) -> DataFrame:

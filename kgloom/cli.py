@@ -103,7 +103,9 @@ def main(argv=None) -> int:
         spark = (SparkSession.builder.master(args.master)
                  .appName("kgloom-cli")
                  .config("spark.sql.shuffle.partitions", "8")
-                 .config("spark.ui.enabled", "false").getOrCreate())
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                 .getOrCreate())
         spark.sparkContext.setLogLevel("ERROR")
 
     ok = True

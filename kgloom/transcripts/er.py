@@ -146,9 +146,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         # pickled Row list measured ~3-5s slower at the 100k-edge
         # scale of one sf0.1 closure query), and handing
         # createDataFrame a pandas frame keeps the return trip on the
-        # Arrow path too; bounded by the gate either way
+        # Arrow path too; bounded by the gate either way.
+        # ensure_arrow: the conf defaults to FALSE, which silently
+        # reverts both transfers to row pickling (measured 7x slower)
         import pandas as pd
 
+        from ..ops.cache import ensure_arrow
+        ensure_arrow(spark)
         pdf = bidirected.toPandas()
         mapping = _driver_union_find(zip(pdf["src"], pdf["dst"]))
         if not mapping:
@@ -285,6 +289,8 @@ def canonical_map(mentions: DataFrame, score_threshold: float = 0.5,
         # of seconds that columnar batches don't
         import pandas as pd
 
+        from ..ops.cache import ensure_arrow
+        ensure_arrow(mentions.sparkSession)
         head = surfaces.limit(driver_max_surfaces + 1).toPandas()
         if len(head) <= driver_max_surfaces:
             spark = mentions.sparkSession

@@ -321,6 +321,7 @@ def main() -> None:
                      str(args.shuffle_partitions))
              .config("spark.driver.memory", args.driver_memory)
              .config("spark.ui.enabled", "false")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     pipe = TranscriptPipeline(spark, args.root,

@@ -41,6 +41,7 @@ def build_session(cpus: int = 32):
             .config("spark.driver.memory",
                     os.environ.get("KGLOOM_DRIVER_MEM", "48g"))
             .config("spark.ui.enabled", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .getOrCreate())
 
 

@@ -44,7 +44,9 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "20g")
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.ui.enabled", "false").getOrCreate())
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 # JVM warm-up before the timed window: run the ENTIRE pipeline once on
 # a small slice of the input so every codegen'd expression tree (the
@@ -93,7 +95,9 @@ spark = (SparkSession.builder
          .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "8g")
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.ui.enabled", "false").getOrCreate())
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 # ship the package to the executors the spark-submit --py-files way:
 # a zip added via addPyFile lands on every python worker's sys.path
@@ -154,7 +158,9 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.driver.memory", "20g")
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.ui.enabled", "false").getOrCreate())
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 # identical warm-up policy to the full-pipeline runner: the whole
 # dataflow once over a 200k-turn slice so codegen/shuffle are hot
@@ -181,7 +187,9 @@ from kgloom.transcripts.generate import write_transcripts
 spark = (SparkSession.builder.master("local[32]")
          .config("spark.driver.memory", "20g")
          .config("spark.sql.shuffle.partitions", "64")
-         .config("spark.ui.enabled", "false").getOrCreate())
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 write_transcripts(spark, {path!r}, {n_turns},
                   n_convs=max(1000, {n_turns} // 200))

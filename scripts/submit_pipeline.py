@@ -38,6 +38,7 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions",
                      str(args.shuffle_partitions))
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
