@@ -67,6 +67,10 @@ def read_triple_stream(spark: SparkSession, input_path: str,
 
 
 def _map_versions(state_path: str, before: Optional[int] = None) -> list:
+    """Complete map versions (ascending).  Listing uses the local
+    filesystem (the sandbox's state store); for DFS-resident state the
+    one change needed is swapping this listing to the Hadoop
+    FileSystem API — the layout itself is filesystem-agnostic."""
     versions = []
     for d in glob.glob(os.path.join(state_path, "map", "v=*")):
         try:
