@@ -95,3 +95,13 @@ def test_read_fused_no_sameas_yet(spark, tmp_path):
     only_data = [("<e:x>", "<p:label>", '"x"')]
     fuse_batch(spark, state, _df(spark, only_data), 0)
     assert _rows(read_fused(spark, state)) == sorted(map(tuple, only_data))
+
+
+def test_compact_fused_snapshot(spark, tmp_path):
+    state = str(tmp_path / "state")
+    for i, rows in enumerate(BATCHES):
+        fuse_batch(spark, state, _df(spark, rows), i)
+    out = str(tmp_path / "snapshot")
+    from kgloom.streaming import compact_fused
+    compact_fused(spark, state, out)
+    assert _rows(spark.read.parquet(out)) == _rows(read_fused(spark, state))
