@@ -148,6 +148,16 @@ class Function:
     - BlankNode{inner}                    lib.rs:317-319
     - Upper{inner} / Lower{inner}         lib.rs:320-325
     - FnO{fno_identifier, param_func_pairs} lib.rs:326-330
+
+    Beyond-reference variant:
+
+    - AutoIncrement{start, end, step, prefix, suffix} — executable
+      ShExML AUTOINCREMENT (the reference parses it into its ShExML IR,
+      shexml-interpreter/src/parser/type.rs:285-292, but its translator
+      never emits a plan operator for it).  Evaluates to
+      ``prefix + (start + step·row_idx) + suffix`` over the consecutive
+      0-based source row index in document order; values past ``end``
+      (when set) are null, suppressing the term.
     """
 
     kind: str
@@ -221,10 +231,40 @@ class Function:
         return Function(kind="FnO", value=fno_identifier,
                         pairs=tuple(sorted(params.items())))
 
+    @staticmethod
+    def auto_increment(start: int = 0, end: Optional[int] = None,
+                       step: int = 1, prefix: str = "",
+                       suffix: str = "") -> "Function":
+        """Executable ShExML AUTOINCREMENT (see class docstring).
+
+        Parameters ride in ``pairs`` as Constant nodes so the plan-JSON
+        round trip needs no new serializer cases."""
+        params = {"start": Function.constant(str(int(start))),
+                  "step": Function.constant(str(int(step))),
+                  "prefix": Function.constant(prefix),
+                  "suffix": Function.constant(suffix)}
+        if end is not None:
+            params["end"] = Function.constant(str(int(end)))
+        return Function(kind="AutoIncrement",
+                        pairs=tuple(sorted(params.items())))
+
     # -- analysis ----------------------------------------------------------
+    def contains_kind(self, kind: str) -> bool:
+        """True when this tree holds a node of ``kind`` anywhere (used by
+        the binder to detect AutoIncrement extends needing a row index)."""
+        if self.kind == kind:
+            return True
+        for child in (self.inner, self.left, self.right,
+                      self.dtype, self.langtype):
+            if child is not None and child.contains_kind(kind):
+                return True
+        return any(f.contains_kind(kind) for _, f in self.pairs)
+
     def references(self) -> set[str]:
         """All attribute names this expression reads (for projection pushdown)."""
         out: set[str] = set()
+        if self.kind == "AutoIncrement":
+            return out  # reads the synthetic row index only, no source attrs
         if self.kind == "Reference":
             out.add(self.value)
         elif self.kind == "TemplateString":

@@ -47,9 +47,26 @@ from ..algebra import (
     TargetOp,
 )
 from ..plan import PlanGraph
-from .functions import compile_function
+from .functions import AUTOINC_IDX, compile_function
 
 OUTPUT_COLUMNS = ("subj", "pred", "obj", "graph")
+
+
+def _with_autoinc_index(df: DataFrame) -> DataFrame:
+    """Attach the 0-based document-order row index AUTOINCREMENT reads.
+
+    ``monotonically_increasing_id`` is (partition_id << 33) + local row
+    number and partition ids follow file-split byte order, so ordering by
+    it IS document order; ``row_number`` over that makes it consecutive.
+    The unpartitioned window serializes the source through one task —
+    inherent to "consecutive ids in document order" (a global sequence),
+    and fine for the document-sized ShExML sources that use it.  Sources
+    that already carry an ``__autoinc_idx__`` column skip this."""
+    from pyspark.sql import Window
+    return df.withColumn(
+        AUTOINC_IDX,
+        (F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+         - 1).cast("long"))
 
 
 class BindError(Exception):
@@ -76,6 +93,14 @@ class SparkBinder:
         bound: dict[str, DataFrame] = {}
         results: list[SinkResult] = []
         source_cache: dict = {}
+        # document sources carry the per-RECORD index when the plan uses
+        # AUTOINCREMENT, so numbering counts iterator entities rather
+        # than their exploded multi-valued rows (docsource.py)
+        self._wants_autoinc = any(
+            isinstance(n.operator, ExtendOp) and any(
+                fn.contains_kind("AutoIncrement")
+                for _, fn in n.operator.extend_pairs)
+            for n in graph.nodes.values())
         for node_id in graph.topological_order():
             node = graph.nodes[node_id]
             op = node.operator
@@ -92,9 +117,12 @@ class SparkBinder:
                     raise BindError(
                         f"{node_id}: projection references missing columns "
                         f"{missing} (available: {df.columns})")
+                keep = sorted(op.projection_attributes)
+                if AUTOINC_IDX in df.columns:
+                    keep.append(AUTOINC_IDX)  # synthetic, rides along
                 bound[node_id] = df.select(
                     *[F.col("`" + c.replace("`", "``") + "`")
-                      for c in sorted(op.projection_attributes)])
+                      for c in keep])
             elif isinstance(op, RenameOp):
                 df = bound[preds[0].src]
                 bound[node_id] = df.withColumnsRenamed(dict(op.rename_pairs))
@@ -108,6 +136,10 @@ class SparkBinder:
                         raise BindError(
                             f"{node_id}: extend {name!r} references missing "
                             f"columns {missing}")
+                if AUTOINC_IDX not in df.columns and any(
+                        fn.contains_kind("AutoIncrement")
+                        for _, fn in op.extend_pairs):
+                    df = _with_autoinc_index(df)
                 cols = {name: compile_function(fn) for name, fn in op.extend_pairs}
                 bound[node_id] = df.withColumns(cols)
             elif isinstance(op, JoinOp):
@@ -171,7 +203,9 @@ class SparkBinder:
             return df
         if rf in ("JSONPath", "XMLPath", "XMLQuery") and op.root_iterator.fields:
             from .docsource import load_document_source
-            return load_document_source(self.spark, path, op.root_iterator)
+            return load_document_source(
+                self.spark, path, op.root_iterator,
+                with_index=getattr(self, "_wants_autoinc", False))
         if rf == "JSONPath":
             return self._bind_json(path, op.root_iterator.reference)
         if rf == "Table":
@@ -267,7 +301,11 @@ class SparkBinder:
         alias = op.join_alias or "join"
         # Parent side: alias-prefix every column (mirrors
         # TermMapInfo::prefix_attributes, term_map.rs:67-90), dedup to
-        # shrink the shuffle (safe: sink is distinct).
+        # shrink the shuffle (safe: sink is distinct).  The synthetic
+        # autoincrement index never joins: it would defeat the dedup and
+        # pollute natural-join common columns.
+        if AUTOINC_IDX in right.columns:
+            right = right.drop(AUTOINC_IDX)
         renamed = right.select(
             *[F.col("`" + c + "`").alias(f"{alias}_{c}") for c in right.columns])
         if op.join_type == JoinType.CROSS:

@@ -181,26 +181,35 @@ def _check_document_size(path: str) -> None:
 
 
 def load_document_source(spark: SparkSession, path: str,
-                         iterator: SourceIterator) -> DataFrame:
+                         iterator: SourceIterator,
+                         with_index: bool = False) -> DataFrame:
+    """``with_index=True`` adds the synthetic ``AUTOINC_IDX`` column:
+    the 0-based *record* index in document order, shared by every
+    exploded row of a record — so ShExML AUTOINCREMENT numbers iterator
+    entities, not the cartesian expansion of their multi-valued fields
+    (a two-director film gets ONE internal id)."""
+    from .functions import AUTOINC_IDX
+
     rf = iterator.reference_formulation.value
     _check_document_size(path)
     if rf == "JSONPath":
         with open(path, "r", encoding="utf-8") as f:
             doc = json.load(f)
         records = _json_root(doc, iterator.reference)
-        rows = []
-        for rec in records:
-            rows.extend(_flatten(rec, iterator.fields,
-                                 _json_field, _json_subrecords))
+        get_field, get_sub = _json_field, _json_subrecords
     elif rf in ("XMLPath", "XMLQuery"):
         tree = ET.parse(path)
         records = _xml_root(tree, iterator.reference)
-        rows = []
-        for rec in records:
-            rows.extend(_flatten(rec, iterator.fields,
-                                 _xml_field, _xml_subrecords))
+        get_field, get_sub = _xml_field, _xml_subrecords
     else:
         raise ValueError(f"not a document formulation: {rf}")
+    rows = []
+    for idx, rec in enumerate(records):
+        flat = _flatten(rec, iterator.fields, get_field, get_sub)
+        if with_index:
+            for r in flat:
+                r[AUTOINC_IDX] = idx
+        rows.extend(flat)
 
     cols: list[str] = []
 
@@ -212,5 +221,8 @@ def load_document_source(spark: SparkSession, path: str,
                 cols.append(f"{prefix}{f.alias}")
     walk(iterator.fields)
     schema = ", ".join(f"`{c}` string" for c in cols)
+    if with_index:
+        cols.append(AUTOINC_IDX)
+        schema += f", `{AUTOINC_IDX}` long"
     data = [tuple(r.get(c) for c in cols) for r in rows]
     return spark.createDataFrame(data, schema)

@@ -36,6 +36,11 @@ from ..algebra import Function, template_split
 _ABS_IRI_PATTERN = "^[A-Za-z][A-Za-z0-9+.-]*:"
 _INVALID_IRI_CHARS = "[\\x00-\\x20<>\"{}|^`\\\\]"
 
+#: Synthetic 0-based document-order row index the binder materializes on
+#: a source whenever an ExtendOp function tree contains an AutoIncrement
+#: node (ShExML AUTOINCREMENT — algebra.Function docstring).
+AUTOINC_IDX = "__autoinc_idx__"
+
 
 # --- RFC-3986 percent-encoding ------------------------------------------
 #
@@ -284,6 +289,21 @@ def compile_function(fn: Function, encode_values: bool = False) -> Column:
 
     if k == "Lower":
         return F.lower(compile_function(fn.inner, encode_values))
+
+    if k == "AutoIncrement":
+        # prefix + (start + step·row_idx) + suffix; past `end` ⇒ null
+        # (suppressing the term).  Pure Catalyst arithmetic over the
+        # binder-provided AUTOINC_IDX column.
+        params = {name: (c.value or "") for name, c in fn.pairs}
+        start = int(params.get("start", "0") or 0)
+        step = int(params.get("step", "1") or 1)
+        val = F.lit(start) + F.lit(step) * F.col(AUTOINC_IDX).cast("long")
+        if "end" in params:
+            val = F.when(val <= int(params["end"]), val)
+        out = F.concat(F.lit(params.get("prefix", "")),
+                       val.cast("string"),
+                       F.lit(params.get("suffix", "")))
+        return uri_encode(out) if encode_values else out
 
     if k == "FnO":
         impl = FNO_REGISTRY.get(fn.value)

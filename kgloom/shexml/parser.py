@@ -7,9 +7,10 @@ jsonpath / xpath, nested ITERATORs, FIELD incl. @attributes and
 push/pop fields), EXPRESSION (basic / UNION / string concat),
 MATCHER (value lists AS key), shapes with prefixed/blank subjects,
 static objects, language tags, datatypes, MATCHING matchers,
-@shape links, and blank-node objects.  AUTOINCREMENT, FUNCTIONS,
-QUERY and conditionals are recognized and skipped (reference parity:
-best-effort skip, README "Test cases").
+@shape links, blank-node objects, and AUTOINCREMENT (parsed into
+the document and executable — beyond the reference, whose translator
+never emits it).  FUNCTIONS, QUERY and conditionals are recognized
+and skipped (reference parity: best-effort skip, README "Test cases").
 """
 
 from __future__ import annotations
@@ -71,6 +72,20 @@ class SxMatcher:
 
 
 @dataclass
+class SxAutoIncrement:
+    """AUTOINCREMENT name <["prefix" +] start [to end] [by step] [+ "suffix"]>
+    (shexml-interpreter/src/parser/type.rs:285-292; syntax per the
+    reference's parser tests, parser/tests.rs:1621)."""
+
+    name: str
+    start: int = 0
+    end: Optional[int] = None
+    step: int = 1
+    prefix: str = ""
+    suffix: str = ""
+
+
+@dataclass
 class SxObject:
     kind: str                      # expr | constant | link | literal
     prefix: Optional[str] = None   # prefix name for IRI objects
@@ -107,6 +122,7 @@ class ShExMLDocument:
     iterators: dict[str, SxIterator] = field(default_factory=dict)
     expressions: dict[str, SxExpression] = field(default_factory=dict)
     matchers: dict[str, SxMatcher] = field(default_factory=dict)
+    autoincrements: dict[str, SxAutoIncrement] = field(default_factory=dict)
     shapes: dict[str, SxShape] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
 
@@ -284,8 +300,33 @@ class _P:
             rename[m.group(2).strip()] = values
         self.doc.matchers[name] = SxMatcher(name=name, rename_map=rename)
 
+    _AUTOINC_RE = re.compile(
+        r'^\s*(?:"(?P<prefix>[^"]*)"\s*\+\s*)?'
+        r"(?P<start>\d+)"
+        r"(?:\s+to\s+(?P<end>\d+))?"
+        r"(?:\s+by\s+(?P<step>\d+))?"
+        r'(?:\s*\+\s*"(?P<suffix>[^"]*)")?\s*$')
+
+    def _kw_autoincrement(self):
+        """AUTOINCREMENT name <["p" +] start [to end] [by step] [+ "s"]>
+        — executable (beyond the reference, whose translator never emits
+        a plan operator for it; grammar per parser/tests.rs:1621)."""
+        self.next()  # AUTOINCREMENT
+        name = self.next()[1]
+        body = self._angle()
+        m = self._AUTOINC_RE.match(body)
+        if not m:
+            raise ShExMLParseError(f"bad AUTOINCREMENT spec <{body}>")
+        self.doc.autoincrements[name] = SxAutoIncrement(
+            name=name,
+            start=int(m.group("start")),
+            end=int(m.group("end")) if m.group("end") else None,
+            step=int(m.group("step")) if m.group("step") else 1,
+            prefix=m.group("prefix") or "",
+            suffix=m.group("suffix") or "")
+
     def _kw_skip(self):
-        """AUTOINCREMENT / FUNCTIONS / QUERY — recognized, skipped
+        """FUNCTIONS / QUERY — recognized, skipped
         (reference README: unsupported features are skipped)."""
         kw = self.next()[1]
         parts = [kw]

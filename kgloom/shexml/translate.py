@@ -11,7 +11,9 @@ a RenameOp mapping ``iterator.field`` → expression names
 matchers become Replace functions; ``@shape`` links reuse the target
 shape's subject function.  ``sql:`` iterators over JDBC sources
 compile to SQLQuery source ops (beyond the reference, which skips
-them).  Cross-source joins, autoincrements, functions and
+them).  AUTOINCREMENT compiles to an executable Function
+(``Function.auto_increment``) numbering each source branch's rows in
+document order (also beyond the reference).  Functions and
 conditionals are skipped, matching the reference's own coverage
 (README "Test cases").
 """
@@ -113,6 +115,14 @@ class _ShapeResolver:
         ``venues_union``) → Function over this branch's columns, or
         None when the branch can't answer it."""
         head, _, subpath = expr_text.partition(".")
+        ai = self.doc.autoincrements.get(head)
+        if ai is not None:
+            # executable AUTOINCREMENT — numbering restarts per source
+            # branch (deterministic and shuffle-free; a UNION expression
+            # numbers each branch independently)
+            return Function.auto_increment(start=ai.start, end=ai.end,
+                                           step=ai.step, prefix=ai.prefix,
+                                           suffix=ai.suffix)
         expr = self.doc.expressions.get(head)
         if expr is None:
             return None

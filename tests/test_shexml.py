@@ -51,9 +51,93 @@ def test_parser_matcher_union_link():
 
 def test_parser_skips_unsupported():
     doc = parse_shexml(open(
+        f"{BASE}/unorganized/ExternalFunctionsTest.shexml").read())
+    assert any(s.startswith("FUNCTIONS") for s in doc.skipped)
+
+
+def test_parser_autoincrement():
+    """AUTOINCREMENT parses into the document model (grammar per the
+    reference's parser tests, shexml-interpreter/src/parser/tests.rs:1621)."""
+    doc = parse_shexml(open(
         f"{BASE}/unorganized/"
         "GraphMultipleElementIteratorExpressionTest.shexml").read())
-    assert any(s.startswith("AUTOINCREMENT") for s in doc.skipped)
+    ai = doc.autoincrements["my_code"]
+    assert (ai.start, ai.end, ai.step, ai.prefix, ai.suffix) == \
+        (1, 20, 2, "", "")
+    assert not any(s.startswith("AUTOINCREMENT") for s in doc.skipped)
+
+    full = parse_shexml(
+        'PREFIX : <http://example.com/>\n'
+        'AUTOINCREMENT myId <"my" + 0 to 10 by 2 + "Id">\n')
+    ai = full.autoincrements["myId"]
+    assert (ai.start, ai.end, ai.step, ai.prefix, ai.suffix) == \
+        (0, 10, 2, "my", "Id")
+
+    bare = parse_shexml('PREFIX : <http://example.com/>\n'
+                        'AUTOINCREMENT myId <2>\n')
+    ai = bare.autoincrements["myId"]
+    assert (ai.start, ai.end, ai.step, ai.prefix, ai.suffix) == \
+        (2, None, 1, "", "")
+
+
+def test_execute_autoincrement(spark):
+    """AUTOINCREMENT executes end-to-end (beyond the reference: its
+    translator never emits a plan operator for it — translator/src/
+    shexml/mod.rs skips it per README "Test cases").  Semantics: each
+    source branch of a UNION expression numbers its records
+    independently in document order; multi-valued fields (directors)
+    share their record's value; values past `end` are suppressed."""
+    text = open(
+        f"{BASE}/unorganized/"
+        "MultipleElementIteratorExpressionWithAutoIncrementWithStringsTest"
+        ".shexml").read()
+    df = run_shexml(spark, text, source_overrides={
+        "films_xml_file": f"{DATA}/films.xml",
+        "films_json_file": f"{DATA}/films.json"})
+    lines = nquads(df)
+    # my_code1 <"something: " + 1 to 10 by 2>: record 0 → 1, record 1 → 3
+    # per branch (xml films 1,2; json films 3,4)
+    for sid, val in [(1, 1), (2, 3), (3, 1), (4, 3)]:
+        assert (f'<http://example.com/{sid}> <http://example.com/'
+                f'internalId1> "something: {val}" .' in lines), (sid, val)
+    # my_code2 <"something: " + 1 by 2 + " ending">: prefix AND suffix
+    assert ('<http://example.com/2> <http://example.com/internalId2> '
+            '"something: 3 ending" .' in lines)
+    # my_code3 <1 to 10 + " :closing">: default step 1
+    assert ('<http://example.com/2> <http://example.com/internalId3> '
+            '"2 :closing" .' in lines)
+    # entity-level numbering: a film's multi-valued directors share one
+    # record index → exactly one internalId1 triple per film
+    for sid in (1, 2, 3, 4):
+        got = [ln for ln in lines if f"/{sid}>" in ln.split()[0]
+               and "internalId1" in ln]
+        assert len(got) == 1, (sid, got)
+
+
+def test_execute_autoincrement_end_suppresses(spark):
+    """Values past `end` are null → their triples are suppressed."""
+    text = """
+PREFIX : <http://example.com/>
+SOURCE films_csv_file <%s/films.csv>
+ITERATOR film_csv <csvperrow> {
+    FIELD id <id>
+    FIELD name <name>
+}
+AUTOINCREMENT code <100 to 100>
+EXPRESSION films <films_csv_file.film_csv>
+:Films :[films.id] {
+    :name [films.name] ;
+    :code [code] ;
+}
+""" % DATA
+    lines = nquads(run_shexml(spark, text))
+    codes = [ln for ln in lines if "/code>" in ln.split()[1]]
+    # films.csv has 2 rows; only record 0 falls within 100..100
+    assert len(codes) == 1, codes
+    assert '"100"' in codes[0]
+    # the name triples for the later record survive (only code suppressed)
+    names = [ln for ln in lines if "/name>" in ln.split()[1]]
+    assert len(names) == 2
 
 
 def test_execute_csv(spark):
