@@ -151,6 +151,11 @@ class Function:
 
     Beyond-reference variant:
 
+    - Conditional{inner, if} — term generated only when the boolean
+      condition Function (an FnO call, e.g. a ShExML
+      ``expr IF helper.fn(args)``) holds; null otherwise, which
+      suppresses the triple.  Beyond the reference, whose ShExML
+      translator skips conditionals (README "Test cases").
     - AutoIncrement{start, end, step, prefix, suffix} — executable
       ShExML AUTOINCREMENT (the reference parses it into its ShExML IR,
       shexml-interpreter/src/parser/type.rs:285-292, but its translator
@@ -230,6 +235,15 @@ class Function:
     def fno(fno_identifier: str, params: dict[str, "Function"]) -> "Function":
         return Function(kind="FnO", value=fno_identifier,
                         pairs=tuple(sorted(params.items())))
+
+    @staticmethod
+    def conditional(inner: "Function", condition: "Function") -> "Function":
+        """Term generated only when ``condition`` (boolean-valued, e.g.
+        an FnO call) holds; null — i.e. triple suppressed — otherwise.
+        The condition rides in ``pairs`` so plan-JSON round-trips with
+        no new serializer cases (see class docstring)."""
+        return Function(kind="Conditional", inner=inner,
+                        pairs=(("if", condition),))
 
     @staticmethod
     def auto_increment(start: int = 0, end: Optional[int] = None,

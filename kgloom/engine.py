@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from functools import reduce
-from typing import Optional, Union
+from typing import Callable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,15 +48,42 @@ def run_rml(spark: SparkSession, mapping_text: str,
 def run_shexml(spark: SparkSession, shexml_text: str,
                base_dir: Optional[str] = None,
                source_overrides: Optional[dict[str, str]] = None,
-               dataframes: Optional[dict[str, DataFrame]] = None) -> DataFrame:
+               dataframes: Optional[dict[str, DataFrame]] = None,
+               functions: Optional[dict[str, Callable]] = None) -> DataFrame:
     """Compile + execute a ShExML document (frontend IR #2); returns one
-    distinct (subj, pred, obj, graph) DataFrame over all sinks."""
+    distinct (subj, pred, obj, graph) DataFrame over all sinks.
+
+    ``functions`` supplies implementations for FUNCTIONS helpers used in
+    ``IF`` conditionals: ``{"helper.isBefore2010": lambda year_col: ...}``
+    — each callable takes the argument expressions as pyspark Columns
+    (positionally) and returns a boolean Column.  Conditionals whose
+    helper has no implementation are skipped, like the reference (its
+    ShExML translator skips conditionals entirely)."""
+    from .exec.functions import FNO_REGISTRY
     from .shexml import parse_shexml, shexml_to_plan
-    doc = parse_shexml(shexml_text)
-    graph = shexml_to_plan(doc, source_overrides=source_overrides)
-    binder = SparkBinder(spark=spark, dataframes=dataframes or {},
-                         base_dir=base_dir)
-    sinks = write_sinks(binder.execute(graph))
+    # scoped registration: binding builds all Column expressions eagerly,
+    # so the registry can be restored afterwards — helper implementations
+    # never leak between documents
+    added, saved = [], {}
+    for name, fn in (functions or {}).items():
+        iri = f"shexml:{name}"
+        if iri in FNO_REGISTRY:
+            saved[iri] = FNO_REGISTRY[iri]
+        else:
+            added.append(iri)
+        FNO_REGISTRY[iri] = (
+            lambda f: lambda params: f(*[params[k]
+                                         for k in sorted(params)]))(fn)
+    try:
+        doc = parse_shexml(shexml_text)
+        graph = shexml_to_plan(doc, source_overrides=source_overrides)
+        binder = SparkBinder(spark=spark, dataframes=dataframes or {},
+                             base_dir=base_dir)
+        sinks = write_sinks(binder.execute(graph))
+    finally:
+        for iri in added:
+            FNO_REGISTRY.pop(iri, None)
+        FNO_REGISTRY.update(saved)
     dfs = list(sinks.values())
     if not dfs:
         raise ValueError("ShExML document produced no output branches")

@@ -290,6 +290,11 @@ def compile_function(fn: Function, encode_values: bool = False) -> Column:
     if k == "Lower":
         return F.lower(compile_function(fn.inner, encode_values))
 
+    if k == "Conditional":
+        # inner when the condition holds, else null (triple suppressed)
+        cond = compile_function(dict(fn.pairs)["if"]).cast("boolean")
+        return F.when(cond, compile_function(fn.inner, encode_values))
+
     if k == "AutoIncrement":
         # prefix + (start + step·row_idx) + suffix; past `end` ⇒ null
         # (suppressing the term).  Pure Catalyst arithmetic over the

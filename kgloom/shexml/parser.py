@@ -9,8 +9,15 @@ MATCHER (value lists AS key), shapes with prefixed/blank subjects,
 static objects, language tags, datatypes, MATCHING matchers,
 @shape links, blank-node objects, and AUTOINCREMENT (parsed into
 the document and executable — beyond the reference, whose translator
-never emits it).  FUNCTIONS, QUERY and conditionals are recognized
-and skipped (reference parity: best-effort skip, README "Test cases").
+never emits it).  QUERY statements (named iterator query bodies)
+resolve into the iterators that reference them; remote query-file
+URLs are recorded and skipped (no network).  FUNCTIONS declarations
+record the helper name; ``expr IF helper.fn(args)`` conditionals
+parse into the document and execute when an implementation for the
+helper is registered (``kgloom.engine.run_shexml(functions=...)``),
+otherwise the conditioned term is skipped — reference parity: its
+translator skips FUNCTIONS/QUERY/conditionals entirely (README
+"Test cases").
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ class SxIterator:
     iterator_type: str  # csvperrow | jsonpath | xpath | sql | sparql
     query: str
     fields: list[SxField] = field(default_factory=list)
+    raw_spec: str = ""  # original <...> body, for QUERY-name resolution
 
 
 @dataclass
@@ -85,6 +93,10 @@ class SxAutoIncrement:
     suffix: str = ""
 
 
+#: A parsed ``helper.fn(arg, ...)`` condition: (function ref, arg exprs).
+SxCondition = tuple[str, tuple[str, ...]]
+
+
 @dataclass
 class SxObject:
     kind: str                      # expr | constant | link | literal
@@ -96,6 +108,7 @@ class SxObject:
     language: Optional[str] = None
     datatype: Optional[str] = None     # prefixed, e.g. "xsd:gYear"
     is_blank: bool = False
+    condition: Optional[SxCondition] = None  # `expr IF helper.fn(args)`
 
 
 @dataclass
@@ -113,6 +126,7 @@ class SxShape:
     subject_constant: Optional[str] = None
     graph: Optional[str] = None        # enclosing graph shape name
     predicate_objects: list[SxPredicateObject] = field(default_factory=list)
+    subject_condition: Optional[SxCondition] = None  # gates the whole entity
 
 
 @dataclass
@@ -123,6 +137,8 @@ class ShExMLDocument:
     expressions: dict[str, SxExpression] = field(default_factory=dict)
     matchers: dict[str, SxMatcher] = field(default_factory=dict)
     autoincrements: dict[str, SxAutoIncrement] = field(default_factory=dict)
+    queries: dict[str, str] = field(default_factory=dict)  # QUERY name → body
+    function_sources: dict[str, str] = field(default_factory=dict)
     shapes: dict[str, SxShape] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
 
@@ -186,7 +202,26 @@ class _P:
                 getattr(self, f"_kw_{val.lower()}", self._kw_skip)()
             else:
                 self._shape()
+        self._resolve_query_refs()
         return self.doc
+
+    def _resolve_query_refs(self) -> None:
+        """Iterators whose ``<...>`` body names a QUERY statement take
+        that query's body (post-parse so declaration order is free).
+        Remote query-file URLs can't be fetched (no network): the
+        iterator is recorded as skipped and left unresolvable, so the
+        translator drops its branches — reference parity (the reference
+        skips QUERY statements entirely, README "Test cases")."""
+        for it in self.doc.iterators.values():
+            body = self.doc.queries.get(it.raw_spec.strip())
+            if body is None:
+                continue
+            if re.match(r"^\s*https?://", body):
+                self.doc.skipped.append(
+                    f"ITERATOR {it.name} <{it.raw_spec}> (remote query "
+                    f"file not fetched: no network)")
+                continue
+            it.iterator_type, it.query = self._iterator_spec(body)
 
     def _angle(self) -> str:
         k, v = self.next()
@@ -215,7 +250,31 @@ class _P:
         it_type, query = self._iterator_spec(spec)
         fields = self._field_block()
         self.doc.iterators[name] = SxIterator(name=name, iterator_type=it_type,
-                                              query=query, fields=fields)
+                                              query=query, fields=fields,
+                                              raw_spec=spec)
+
+    def _kw_query(self):
+        """QUERY name <body> — a named iterator query body
+        (shexml-interpreter parses these as source-adjacent declarations;
+        the reference's translator skips them — this executes local
+        jsonpath/xpath/sql bodies, beyond the reference)."""
+        self.next()  # QUERY
+        name = self.next()[1]
+        self.doc.queries[name] = self._angle()
+
+    def _kw_functions(self):
+        """FUNCTIONS name <url> — records the helper namespace.  The
+        external code (scala/java at a URL) is never loaded; conditionals
+        referencing the helper execute only when implementations are
+        registered (engine.run_shexml(functions=...)), else their terms
+        are skipped."""
+        self.next()  # FUNCTIONS
+        name = self.next()[1]
+        url = self._angle()
+        self.doc.function_sources[name] = url
+        self.doc.skipped.append(
+            f"FUNCTIONS {name} <{url}> (external code not loaded; pass "
+            f"functions= to supply implementations)")
 
     @staticmethod
     def _iterator_spec(spec: str) -> tuple[str, str]:
@@ -371,10 +430,10 @@ class _P:
                 self._shape(graph=shape_name)
             self.next(), self.next()
             return
-        s_prefix, s_expr, s_const = self._subject()
+        s_prefix, s_expr, s_const, s_cond = self._subject()
         shape = SxShape(name=shape_name, subject_prefix=s_prefix,
                         subject_expression=s_expr, subject_constant=s_const,
-                        graph=graph)
+                        graph=graph, subject_condition=s_cond)
         self.expect("{")
         while self.peek()[1] != "}":
             shape.predicate_objects.append(self._predicate_object())
@@ -383,7 +442,24 @@ class _P:
         self.expect("}")
         self.doc.shapes[shape_name] = shape
 
-    def _subject(self) -> tuple[str, Optional[str], Optional[str]]:
+    _COND_RE = re.compile(r"^\s*([\w.]+)\s*\(\s*(.*?)\s*\)\s*$")
+
+    @classmethod
+    def _split_condition(cls, body: str) -> tuple[str, Optional[SxCondition]]:
+        """``expr IF helper.fn(a, b)`` → (expr, ("helper.fn", ("a","b")));
+        no IF → (body, None)."""
+        bits = re.split(r"\bIF\b", body, maxsplit=1)
+        if len(bits) == 1:
+            return body, None
+        expr, cond_text = bits[0].strip(), bits[1].strip()
+        m = cls._COND_RE.match(cond_text)
+        if not m:
+            raise ShExMLParseError(f"bad IF condition {cond_text!r}")
+        args = tuple(a.strip() for a in m.group(2).split(",") if a.strip())
+        return expr, (m.group(1), args)
+
+    def _subject(self) -> tuple[str, Optional[str], Optional[str],
+                                Optional[SxCondition]]:
         k, v = self.peek()
         prefix = ""
         if k == "NAME":
@@ -391,10 +467,10 @@ class _P:
         self.expect(":")
         if self.peek()[1] == "[":
             self.next()
-            expr = self._expr_until("]")
-            return prefix, expr, None
+            expr, cond = self._split_condition(self._expr_until("]"))
+            return prefix, expr, None, cond
         if self.peek()[0] == "NAME":  # constant subject (FilmsAlt)
-            return prefix, None, self.next()[1]
+            return prefix, None, self.next()[1], None
         raise ShExMLParseError("shape subject must be prefix:[expression]")
 
     def _expr_until(self, closer: str) -> str:
@@ -426,9 +502,9 @@ class _P:
             return SxObject(kind="link", link_shape=f"{prefix}:{local}")
         if v == "[":  # plain literal expression
             self.next()
-            expr, matcher = self._expr_and_matcher()
+            expr, matcher, cond = self._expr_and_matcher()
             obj = SxObject(kind="expr", prefix=None, expression=expr,
-                           matcher=matcher)
+                           matcher=matcher, condition=cond)
             self._suffixes(obj)
             return obj
         if k == "STRING":
@@ -445,18 +521,19 @@ class _P:
         self.next()  # ':'
         if self.peek()[1] == "[":
             self.next()
-            expr, matcher = self._expr_and_matcher()
+            expr, matcher, cond = self._expr_and_matcher()
             return SxObject(kind="expr", prefix=prefix, expression=expr,
-                            matcher=matcher)
+                            matcher=matcher, condition=cond)
         local = self.next()[1]
         return SxObject(kind="constant", prefix=prefix, constant=local)
 
-    def _expr_and_matcher(self) -> tuple[str, Optional[str]]:
-        body = self._expr_until("]")
+    def _expr_and_matcher(self) -> tuple[str, Optional[str],
+                                         Optional[SxCondition]]:
+        body, cond = self._split_condition(self._expr_until("]"))
         m = re.match(r"^(.*)\bMATCHING\b\s+([^\s]+)\s*$", body)
         if m:
-            return m.group(1).strip(), m.group(2).strip()
-        return body.strip(), None
+            return m.group(1).strip(), m.group(2).strip(), cond
+        return body.strip(), None, cond
 
     def _suffixes(self, obj: SxObject) -> None:
         k, v = self.peek()

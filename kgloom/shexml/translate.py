@@ -13,13 +13,18 @@ shape's subject function.  ``sql:`` iterators over JDBC sources
 compile to SQLQuery source ops (beyond the reference, which skips
 them).  AUTOINCREMENT compiles to an executable Function
 (``Function.auto_increment``) numbering each source branch's rows in
-document order (also beyond the reference).  Functions and
-conditionals are skipped, matching the reference's own coverage
-(README "Test cases").
+document order (also beyond the reference).  ``expr IF
+helper.fn(args)`` conditionals compile to ``Function.conditional``
+wrapping the term when an implementation for ``shexml:helper.fn`` is
+registered (``engine.run_shexml(functions=...)``); unregistered
+helpers drop the conditioned term — never emit unconditioned
+(reference parity baseline: it skips conditionals entirely, README
+"Test cases").
 """
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from ..algebra import (
@@ -110,10 +115,18 @@ class _ShapeResolver:
         #: TODO, translator/src/shexml/mod.rs:84)
         self.joins: dict[str, tuple[str, str, str, str]] = {}
 
+    _CALL_RE = re.compile(r"^\s*([\w.]+)\s*\(\s*(.*?)\s*\)\s*$")
+
     def resolve_expr(self, expr_text: str) -> Optional[Function]:
-        """Shape expression text (e.g. ``films.goodReviews.review`` or
-        ``venues_union``) → Function over this branch's columns, or
-        None when the branch can't answer it."""
+        """Shape expression text (e.g. ``films.goodReviews.review``,
+        ``venues_union``, or a FUNCTIONS call ``helper.fn(films.name)``)
+        → Function over this branch's columns, or None when the branch
+        can't answer it."""
+        call = self._CALL_RE.match(expr_text)
+        if call:
+            args = tuple(a.strip() for a in call.group(2).split(",")
+                         if a.strip())
+            return self._call_function(call.group(1), args)
         head, _, subpath = expr_text.partition(".")
         ai = self.doc.autoincrements.get(head)
         if ai is not None:
@@ -191,16 +204,51 @@ class _ShapeResolver:
         return Function.replace(
             {k: set(v) for k, v in matcher.rename_map.items()}, fn)
 
+    def _call_function(self, name: str,
+                       args: tuple[str, ...]) -> Optional[Function]:
+        """FUNCTIONS helper call → FnO Function, or None when the helper
+        implementation isn't registered (term skipped — the reference
+        skips FUNCTIONS/conditionals entirely) or an arg doesn't resolve
+        on this branch.  Used by both direct call expressions
+        (``[helper.fn(expr)]``) and ``IF`` conditions."""
+        iri = f"shexml:{name}"
+        from ..exec.functions import FNO_REGISTRY
+        if iri not in FNO_REGISTRY:
+            return None
+        params: dict[str, Function] = {}
+        for i, arg in enumerate(args):
+            fn = self.resolve_expr(arg)
+            if fn is None:
+                return None
+            params[f"arg{i}"] = fn
+        return Function.fno(iri, params)
+
+    def condition_function(self, cond) -> Optional[Function]:
+        if cond is None:
+            return None
+        return self._call_function(cond[0], cond[1])
+
+    def _apply_condition(self, fn: Optional[Function],
+                         cond) -> Optional[Function]:
+        """Wrap ``fn`` in the condition; a present-but-unresolvable
+        condition drops the term (never emit unconditioned)."""
+        if fn is None or cond is None:
+            return fn
+        cond_fn = self.condition_function(cond)
+        return Function.conditional(fn, cond_fn) if cond_fn else None
+
     def subject_function(self, shape: SxShape) -> Optional[Function]:
         prefix_iri = self.doc.resolve_prefix(shape.subject_prefix)
         if shape.subject_constant is not None:
-            return Function.iri(
+            fn = Function.iri(
                 Function.constant(prefix_iri + shape.subject_constant))
-        inner = self.resolve_expr(shape.subject_expression)
-        if inner is None:
-            return None
-        return Function.iri(Function.concatenate(
-            Function.constant(prefix_iri), "", Function.uri_encode(inner)))
+        else:
+            inner = self.resolve_expr(shape.subject_expression)
+            if inner is None:
+                return None
+            fn = Function.iri(Function.concatenate(
+                Function.constant(prefix_iri), "", Function.uri_encode(inner)))
+        return self._apply_condition(fn, shape.subject_condition)
 
     def object_function(self, obj: SxObject) -> Optional[Function]:
         if obj.kind == "constant":
@@ -222,11 +270,13 @@ class _ShapeResolver:
             inner = self.apply_matcher(inner, obj.matcher)
             if obj.prefix is not None:
                 prefix_iri = self.doc.resolve_prefix(obj.prefix)
-                return Function.iri(Function.concatenate(
+                fn = Function.iri(Function.concatenate(
                     Function.constant(prefix_iri), "",
                     Function.uri_encode(inner)))
-            return Function.literal(inner, dtype=self._dtype(obj),
-                                    langtype=self._lang(obj))
+            else:
+                fn = Function.literal(inner, dtype=self._dtype(obj),
+                                      langtype=self._lang(obj))
+            return self._apply_condition(fn, obj.condition)
         raise ShExMLParseError(f"unknown object kind {obj.kind}")
 
     def _dtype(self, obj: SxObject) -> Optional[Function]:

@@ -80,6 +80,114 @@ def test_parser_autoincrement():
         (2, None, 1, "", "")
 
 
+def test_parser_query_and_functions():
+    """QUERY statements resolve into referencing iterators; FUNCTIONS
+    record the helper name; IF conditions parse into subject/object."""
+    doc = parse_shexml(open(
+        f"{BASE}/unorganized/"
+        "JsonAndXmlEventsMappingWithExternalQuery.shexml").read())
+    assert doc.queries["performances_query"] == "jsonpath: $.Performances[*]"
+    it = doc.iterators["performances_iterator"]
+    assert (it.iterator_type, it.query) == ("jsonpath", "$.Performances[*]")
+    assert doc.iterators["events_iterator"].query == "/Events/Exhibition"
+
+    cond_doc = parse_shexml(open(
+        f"{BASE}/unorganized/ConditionalGenerationTest.shexml").read())
+    assert "helper" in cond_doc.function_sources
+    shape = list(cond_doc.shapes.values())[0]
+    assert shape.subject_condition == ("helper.isBefore2010", ("films.year",))
+    conds = {po.predicate_local: po.obj.condition
+             for po in shape.predicate_objects}
+    assert conds["countryOfOrigin"] == ("helper.outsideUSA",
+                                        ("films.country",))
+    assert conds["name"] is None
+
+    # remote query files are recorded and skipped (no network)
+    remote = parse_shexml(open(
+        f"{BASE}/unorganized/FilmsExternalQueryMySQLTest.shexml").read())
+    assert any("remote query" in s for s in remote.skipped)
+
+
+def test_execute_query_statements(spark):
+    """Iterators referencing QUERY statements execute end-to-end (the
+    reference's translator skips QUERY — README "Test cases")."""
+    text = open(f"{BASE}/unorganized/"
+                "JsonAndXmlEventsMappingWithExternalQuery.shexml").read()
+    df = run_shexml(spark, text, source_overrides={
+        "performances_json": f"{DATA}/events.json",
+        "events_xml": f"{DATA}/events.xml"})
+    lines = nquads(df)
+    # json branch (via performances_query) and xml branch (via
+    # events_query) both contribute
+    assert "<http://ex.com/398> <http://ex.com/venue> <http://ex.com/STAM> ." \
+        in lines
+    assert any(ln.startswith("<http://ex.com/567>") for ln in lines)
+    assert any("location" in ln for ln in lines)
+
+
+def test_execute_conditionals(spark):
+    """`expr IF helper.fn(args)` executes with registered helper
+    implementations (beyond the reference, which skips conditionals):
+    the subject condition gates the whole entity, object conditions
+    gate single terms, and suppressed terms yield no triples."""
+    from pyspark.sql import functions as F
+    text = open(f"{BASE}/unorganized/"
+                "ConditionalGenerationTest.shexml").read()
+    df = run_shexml(spark, text, source_overrides={
+        "films_xml_file": f"{DATA}/films.xml",
+        "films_json_file": f"{DATA}/films.json"},
+        functions={
+            "helper.isBefore2010": lambda y: y.cast("int") < 2010,
+            "helper.outsideUSA": lambda c: c != F.lit("USA")})
+    lines = sorted(nquads(df))
+    # only film 4 (The Prestige, 2006) is before 2010
+    assert lines == [
+        '<http://example.com/4> <http://example.com/name> "The Prestige" .',
+        '<http://example.com/4> <http://example.com/year> "2006" .',
+    ]
+
+
+def test_execute_conditionals_unregistered_helper_skips(spark):
+    """Conditioned terms with no registered implementation are DROPPED,
+    never emitted unconditioned (reference parity: it skips
+    conditionals entirely).  Here every term is conditioned or depends
+    on unavailable crew fields, so no output branch remains.  Helper
+    registration is scoped to the run_shexml call — the implementations
+    registered by the previous test must not leak here."""
+    import pytest
+    text = open(f"{BASE}/unorganized/"
+                "ConditionalGenerationTest.shexml").read()
+    with pytest.raises(ValueError, match="no output branches"):
+        run_shexml(spark, text, source_overrides={
+            "films_xml_file": f"{DATA}/films.xml",
+            "films_json_file": f"{DATA}/films.json"})
+
+
+def test_execute_functions_calls(spark):
+    """Direct FUNCTIONS application `[helper.fn(expr)]` executes with
+    registered Column implementations, including multi-arg calls."""
+    from pyspark.sql import functions as F
+    text = open(f"{BASE}/unorganized/ExternalFunctionsTest.shexml").read()
+    df = run_shexml(spark, text, source_overrides={
+        "films_xml_file": f"{DATA}/films.xml",
+        "films_json_file": f"{DATA}/films.json"},
+        functions={
+            "helper.allCapitals": lambda s: F.upper(s),
+            "helper.addOne": lambda y: (y.cast("int") + 1).cast("string"),
+            "helper.nameAndYear":
+                lambda n, y: F.concat(n, F.lit(" ("), y, F.lit(")")),
+        })
+    lines = nquads(df)
+    assert '<http://example.com/1> <http://example.com/name> "DUNKIRK" .' \
+        in lines
+    assert '<http://example.com/1> <http://example.com/year> "2018" .' \
+        in lines
+    assert ('<http://example.com/1> <http://example.com/titleYear> '
+            '"Dunkirk (2017)" .' in lines)
+    # unregistered helpers (getName/getSurname/getNameParts) are skipped
+    assert not any("surname" in ln for ln in lines)
+
+
 def test_execute_autoincrement(spark):
     """AUTOINCREMENT executes end-to-end (beyond the reference: its
     translator never emits a plan operator for it — translator/src/
