@@ -34,6 +34,7 @@ from kgloom.algebra import (
 )
 from kgloom.exec.binder import SparkBinder, write_sinks
 from kgloom.plan import Plan, join as plan_join
+from kgloom.ops.curate import _hex_threshold
 from kgloom.ops import dedup as D
 from kgloom.ops import similarity as S
 from kgloom.ops import textstats as T
@@ -746,6 +747,28 @@ def q_curation_pipeline(spark, sf_dir):
                   min_tokens=3, langs=("en",))
 
 
+def q_curate_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (training-data mixing,
+    kgloom/ops/curate.py): membership = md5(key||salt) hex-prefix under
+    the stratum's rate threshold — a narrow shuffle-free filter whose
+    decisions are identical across engines, reruns, and cluster sizes."""
+    from kgloom.ops.curate import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), key="doc_id", strata="lang",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.1,
+        salt="mix1").select("doc_id", "lang", "source")
+
+
+def q_curate_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5-rank ranges —
+    same engine-portable hex-threshold rule as stratified_sample."""
+    from kgloom.ops.curate import hash_split
+    return hash_split(
+        _docs(spark, sf_dir), key="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split1").select("doc_id", "split")
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-decode plumbing with deterministic fake kernel.  The
     # synthetic asset table is a pure function of range(64), so the
@@ -1125,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": q_dedup_contamination,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_hash_split": q_curate_hash_split,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1851,6 +1876,25 @@ def oracle_sql() -> dict[str, str]:
               AND greatest(v_de, v_en, v_es, v_fr) > 0
               AND v_de != greatest(v_de, v_en, v_es, v_fr)
               AND v_en = greatest(v_de, v_en, v_es, v_fr)
+        """,
+        # same md5 hex-prefix rule, replayed verbatim: DuckDB's md5()
+        # emits the identical lowercase digest, and equal-width
+        # lowercase hex compares lexicographically = numerically
+        "curate_stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || 'mix1'), 1, 8) <
+              CASE lang WHEN 'en' THEN '{_hex_threshold(0.5)}'
+                        WHEN 'de' THEN '{_hex_threshold(0.25)}'
+                        ELSE '{_hex_threshold(0.1)}' END
+        """,
+        "curate_hash_split": f"""
+            SELECT doc_id,
+              CASE WHEN substr(md5(doc_id::VARCHAR || 'split1'), 1, 8)
+                        < '{_hex_threshold(0.8)}' THEN 'train'
+                   WHEN substr(md5(doc_id::VARCHAR || 'split1'), 1, 8)
+                        < '{_hex_threshold(0.9)}' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -62,3 +62,77 @@ def curate(docs: DataFrame, jaccard_threshold: float = 0.4, n: int = 3,
             .join(lang, "doc_id")
             .where(F.col("pred_lang").isin(list(langs)))
             .select("doc_id", "n_tokens", "pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (training-data mixing)
+# ---------------------------------------------------------------------------
+#
+# Both operators key every decision on the first 8 hex digits of
+# md5(key || salt): a uniform, engine-portable, reproducible rank in
+# [0, 16^8).  A rate r keeps rows whose rank-prefix sorts below the
+# 8-digit hex threshold floor(r·16^8) (lowercase hex of equal width
+# compares lexicographically = numerically, so the predicate is a plain
+# string comparison any engine evaluates identically).  The plan is a
+# narrow per-row filter — no shuffle, no sort, no sampling state — which
+# is the only shape that survives 100 TB: rerunning any subset of
+# partitions reproduces the same decisions, and adding executors never
+# changes the sample.
+
+def _hex_threshold(rate: float) -> str:
+    """rate ∈ [0,1] → 8-hex-digit cutoff; ≥1 keeps all (see above)."""
+    if rate >= 1.0:
+        return "g"  # sorts after every hex digit → always true
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def _hash_rank(key_col, salt: str):
+    return F.substring(F.md5(F.concat(key_col.cast("string"),
+                                      F.lit(salt))), 1, 8)
+
+
+def stratified_sample(df: DataFrame, key: str, strata: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Deterministic per-stratum downsampling (training-data mixing).
+
+    Keeps each row iff its md5 rank falls under its stratum's rate:
+    ``rates`` maps stratum values (e.g. languages or sources) to keep
+    fractions, ``default_rate`` covers unlisted strata, and ``salt``
+    decorrelates independent sampling passes over the same keys.
+    Expected kept fraction per stratum is exact up to md5 uniformity
+    (±2^-32); membership is a pure function of (key, salt), so resumed
+    or partially re-run jobs agree row for row.
+    """
+    pairs = []
+    for value, rate in sorted(rates.items()):
+        pairs += [F.lit(value), F.lit(_hex_threshold(rate))]
+    thr = F.coalesce(
+        F.create_map(*pairs)[F.col(strata)] if pairs else F.lit(None),
+        F.lit(_hex_threshold(default_rate)))
+    return df.where(_hash_rank(F.col(key), salt) < thr)
+
+
+def hash_split(df: DataFrame, key: str,
+               fractions: dict[str, float] | None = None,
+               salt: str = "") -> DataFrame:
+    """Deterministic dataset split: adds a ``split`` column assigning
+    each row to one named range of the md5 rank space (default
+    train/val/test = 0.98/0.01/0.01).  Ranges are half-open and
+    consecutive in the listed order; fractions must sum to ≤ 1 and any
+    remainder falls in the last split.  Same scale properties as
+    ``stratified_sample`` — a narrow, shuffle-free, rerun-stable map.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    rank = _hash_rank(F.col(key), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        clause = rank < F.lit(_hex_threshold(cum))
+        expr = F.when(clause, name) if expr is None else \
+            expr.when(clause, name)
+    last = F.lit(names[-1])
+    return df.withColumn("split",
+                         last if expr is None else expr.otherwise(last))

@@ -95,3 +95,55 @@ def test_multimodal_real_decoder_with_pil(spark):
                               batch_fake=False).collect()[0]
     with Image.open(io.BytesIO(bytes(resized.payload))) as im:
         assert im.size == (4, 4)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Membership is a pure function of (key, salt); per-stratum kept
+    fractions track the requested rates; plan is a narrow filter (no
+    shuffle, no Python)."""
+    from kgloom.ops.curate import stratified_sample
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    s = stratified_sample(df, key="doc_id", strata="lang",
+                          rates={"en": 0.5}, default_rate=0.1, salt="s")
+    rows = {r["doc_id"] for r in s.collect()}
+    assert rows == {r["doc_id"] for r in s.collect()}  # rerun-stable
+    n_en = sum(1 for r in rows if r % 2 == 0)
+    n_de = len(rows) - n_en
+    assert abs(n_en / 2000 - 0.5) < 0.05
+    assert abs(n_de / 2000 - 0.1) < 0.05
+    # a different salt decorrelates membership
+    s2 = {r["doc_id"] for r in stratified_sample(
+        df, key="doc_id", strata="lang", rates={"en": 0.5},
+        default_rate=0.1, salt="t").collect()}
+    assert s2 != rows
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    # rate >= 1 keeps everything; rate 0 keeps nothing
+    assert stratified_sample(df, "doc_id", "lang", {"en": 1.0, "de": 1.0},
+                             salt="s").count() == 4000
+    assert stratified_sample(df, "doc_id", "lang", {}, default_rate=0.0,
+                             salt="s").count() == 0
+
+
+def test_hash_split_exhaustive_exclusive(spark):
+    """Every row lands in exactly one split; fractions are respected;
+    assignment is independent of partitioning (pure key function)."""
+    from kgloom.ops.curate import hash_split
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, key="doc_id",
+                     fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="x")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # repartitioning must not change any assignment
+    again = dict(hash_split(df.repartition(13), "doc_id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1},
+                            salt="x").select("doc_id", "split").collect())
+    first = dict(out.select("doc_id", "split").collect())
+    assert first == again
