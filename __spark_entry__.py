@@ -506,6 +506,31 @@ def q_sparql_kg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 built-in function surface (round-4): chained BINDs
+    over the constructed KG exercising STRAFTER/STRBEFORE (IRI
+    dissection), SUBSTR arithmetic via STRLEN+ROUND, IF over a BOUND
+    condition with an OPTIONAL variable, and SHA256 fingerprinting —
+    all compiled to pure Catalyst Columns (when/instr/substring/
+    floor/sha2), no Python row path."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?cid ?halflen ?kind ?fp WHERE {
+          ?turn kg:partOf ?conv .
+          ?turn kg:role ?role .
+          OPTIONAL { ?turn kg:usedTool ?tool }
+          BIND(STRAFTER(STR(?turn), "conv/") AS ?loc)
+          BIND(STRBEFORE(?loc, "/") AS ?cid)
+          BIND(ROUND(STRLEN(?loc) / 2) AS ?halflen)
+          BIND(IF(BOUND(?tool), STRAFTER(STR(?tool), "tool/"),
+                  STR(?role)) AS ?kind)
+          BIND(SHA256(CONCAT(?cid, ":", ?kind)) AS ?fp)
+        }
+    """)
+
+
 def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL inverse + alternation + sequence path: conversations to
     every tool IRI or role literal of their turns via
@@ -1129,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_path_anchored": q_sparql_kg_path_anchored,
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "sparql_kg_subquery": q_sparql_kg_subquery,
+        "sparql_kg_functions": q_sparql_kg_functions,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
@@ -1631,6 +1657,28 @@ def oracle_sql() -> dict[str, str]:
                    'http://kg.example/tool/' || t.tool AS tool
             FROM tr t JOIN top5 ON t.conv_id = top5.conv_id
             WHERE t.tool IS NOT NULL
+        """,
+        # builtin-function replay: STRAFTER/STRBEFORE dissect the turn
+        # IRI (conv/<cid>/turn/<idx> after the first "conv/"), ROUND is
+        # XPath floor(x+0.5), IF(BOUND(?tool),…) is the tool/role CASE,
+        # SHA256 over DuckDB's sha256()
+        "sparql_kg_functions": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            b AS (
+              SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) AS turn,
+                     conv_id || '/turn/' || CAST(turn_idx AS VARCHAR)
+                       AS loc,
+                     conv_id AS cid,
+                     CASE WHEN tool IS NOT NULL THEN tool
+                          ELSE role END AS kind
+              FROM tr)
+            SELECT turn, cid,
+                   CAST(CAST(FLOOR(LENGTH(loc) / 2.0 + 0.5) AS DOUBLE)
+                        AS VARCHAR) AS halflen,
+                   kind,
+                   sha256(cid || ':' || kind) AS fp
+            FROM b
         """,
         # inverse+alternation replay: conv → every tool IRI or role
         # lexical value over its member turns

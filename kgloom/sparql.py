@@ -542,20 +542,22 @@ def _parse_filter_expr(text: str, prefixes: dict[str, str]):
             raise SparqlError(f"trailing text in FILTER: {rest!r}")
         args = [a.strip() for a in _split_args(inner)]
         if fn == "regex":
-            if len(args) not in (2, 3) or \
-                    not re.match(r"^\?[A-Za-z_]\w*$", args[0]):
-                raise SparqlError(f"REGEX takes (?v, \"pat\"[, flags])")
+            if len(args) not in (2, 3):
+                raise SparqlError(f"REGEX takes (expr, \"pat\"[, flags])")
             flags = _unrender(_resolve_term(
                 *_tokenize(args[2])[0], prefixes)) if len(args) == 3 else ""
-            return ("regex", args[0][1:],
-                    _unrender(_resolve_term(*_tokenize(args[1])[0],
-                                            prefixes)), flags)
+            pat = _unrender(_resolve_term(*_tokenize(args[1])[0], prefixes))
+            if re.match(r"^\?[A-Za-z_]\w*$", args[0]):
+                return ("regex", args[0][1:], pat, flags)
+            # general first argument: any BIND expression
+            return ("regex_expr", _parse_expr(args[0], prefixes), pat, flags)
         if fn in _STR_FNS:
-            if len(args) != 2 or not re.match(r"^\?[A-Za-z_]\w*$", args[0]):
-                raise SparqlError(f"{fn.upper()} takes (?v, \"literal\")")
-            return ("strfn", fn, args[0][1:],
-                    _unrender(_resolve_term(*_tokenize(args[1])[0],
-                                            prefixes)))
+            if len(args) != 2:
+                raise SparqlError(f"{fn.upper()} takes (expr, \"literal\")")
+            lit = _unrender(_resolve_term(*_tokenize(args[1])[0], prefixes))
+            if re.match(r"^\?[A-Za-z_]\w*$", args[0]):
+                return ("strfn", fn, args[0][1:], lit)
+            return ("strfn_expr", fn, _parse_expr(args[0], prefixes), lit)
         if fn == "bound":
             vm = re.match(r"^\?([A-Za-z_]\w*)$", inner.strip())
             if vm is None:
@@ -593,8 +595,29 @@ def _filter_col(node, result_cols: list[str],
         # operand is an error, not true) — Column ~ has exactly the
         # three-valued behavior we want (~null = null = filtered out)
         return ~_filter_col(node[1], result_cols, prefixes)
+    if kind in ("strfn_expr", "regex_expr"):
+        expr = node[2] if kind == "strfn_expr" else node[1]
+        if result_cols is not None:
+            missing = _expr_vars(expr) - set(result_cols)
+            if missing:
+                raise SparqlError(
+                    f"FILTER references unbound variable "
+                    f"?{sorted(missing)[0]}")
+        c, k = _expr_compile(expr)
+        lex = _lexical(c) if k == "term" else c.cast("string")
+        if kind == "regex_expr":
+            pat = node[2] if not node[3] else f"(?{node[3]}){node[2]}"
+            return lex.rlike(pat)
+        fn, lit = node[1], node[3]
+        if fn == "contains":
+            return lex.contains(lit)
+        if fn == "strstarts":
+            return lex.startswith(lit)
+        return lex.endswith(lit)
     var = node[2] if kind in ("strfn", "isa") else node[1]
-    if var not in result_cols:
+    # result_cols=None → permissive (IF conditions inside BIND exprs,
+    # where the BIND site has already checked variable boundness)
+    if result_cols is not None and var not in result_cols:
         raise SparqlError(f"FILTER references unbound variable ?{var}")
     c = F.col(var)
     if kind == "cmp":
@@ -655,20 +678,36 @@ def _take_parens(text: str, i: int) -> tuple[str, int]:
 # expr := atom (('+'|'-'|'*'|'/') atom)*        (left-associative)
 # atom := FUNC '(' expr (',' expr)* ')' | '(' expr ')' | ?var | literal | num
 # FUNC := CONCAT | STR | UCASE | LCASE | STRLEN | IRI | URI | REPLACE
+#       | SUBSTR | STRBEFORE | STRAFTER | ENCODE_FOR_URI
+#       | ABS | CEIL | FLOOR | ROUND
+#       | MD5 | SHA1 | SHA256 | COALESCE | IF
+#       | LANG | DATATYPE | STRLANG | STRDT
+#
+# IF's first argument is a *boolean* expression and is parsed with the
+# FILTER-expression grammar (comparisons, REGEX/CONTAINS/..., BOUND,
+# &&/||/!), carried as a ('cond', filter_tree) node.
 #
 # Exprs are tuples: ('var', name) | ('const', rendered_term)
 #                 | ('call', func, [args]) | ('arith', op, left, right)
+#                 | ('cond', filter_tree)              (IF conditions only)
 
 Expr = tuple
 
-_EXPR_FUNCS = {"concat", "str", "ucase", "lcase", "strlen", "iri", "uri",
-               "replace"}
+#: func -> exact arity, or (min, max), or None (variadic)
+_EXPR_FUNCS: dict[str, object] = {
+    "concat": None, "coalesce": (1, 64),
+    "str": 1, "ucase": 1, "lcase": 1, "strlen": 1, "iri": 1, "uri": 1,
+    "replace": 3, "substr": (2, 3), "strbefore": 2, "strafter": 2,
+    "encode_for_uri": 1, "abs": 1, "ceil": 1, "floor": 1, "round": 1,
+    "md5": 1, "sha1": 1, "sha256": 1, "if": 3,
+    "lang": 1, "datatype": 1, "strlang": 2, "strdt": 2,
+}
 
 
 def _split_args(inner: str) -> list[str]:
     """Top-level comma split of a function-argument list (paren- and
     quote-aware)."""
-    args, depth, in_str, start = [], 0, False, 0
+    args, depth, in_str, in_iri, start = [], 0, False, False, 0
     i = 0
     while i < len(inner):
         ch = inner[i]
@@ -678,8 +717,13 @@ def _split_args(inner: str) -> list[str]:
                 continue
             if ch == '"':
                 in_str = False
+        elif in_iri:
+            if ch == ">":
+                in_iri = False
         elif ch == '"':
             in_str = True
+        elif ch == "<":
+            in_iri = True
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -697,7 +741,7 @@ def _parse_expr(text: str, prefixes: dict[str, str]) -> Expr:
     # binary arithmetic at top level (paren/quote aware): split at the
     # rightmost lowest-precedence operator (+/- before */), which gives
     # left-associativity within a precedence level
-    depth, in_str, i = 0, False, 0
+    depth, in_str, in_iri, i = 0, False, False, 0
     addsub = muldiv = None
     while i < len(text):
         ch = text[i]
@@ -707,8 +751,13 @@ def _parse_expr(text: str, prefixes: dict[str, str]) -> Expr:
                 continue
             if ch == '"':
                 in_str = False
+        elif in_iri:
+            if ch == ">":
+                in_iri = False
         elif ch == '"':
             in_str = True
+        elif ch == "<":
+            in_iri = True
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -728,17 +777,33 @@ def _parse_expr(text: str, prefixes: dict[str, str]) -> Expr:
         return ("arith", text[split],
                 _parse_expr(text[:split], prefixes),
                 _parse_expr(text[split + 1:], prefixes))
-    fm = re.match(r"^([A-Za-z]+)\s*\(", text)
+    fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\(", text)
     if fm and fm.group(1).lower() in _EXPR_FUNCS:
         inner, j = _take_parens(text, fm.end() - 1)
         if text[j:].strip():
             raise SparqlError(f"trailing text after call: {text[j:]!r}")
         func = fm.group(1).lower()
-        args = [_parse_expr(a, prefixes) for a in _split_args(inner)]
-        arity = {"concat": None, "str": 1, "ucase": 1, "lcase": 1,
-                 "strlen": 1, "iri": 1, "uri": 1, "replace": 3}[func]
-        if arity is not None and len(args) != arity:
+        raw_args = _split_args(inner)
+        if func == "if":
+            # IF(cond, then, else): the condition is a boolean
+            # expression in the FILTER grammar
+            if len(raw_args) != 3:
+                raise SparqlError("IF takes 3 arguments")
+            # the cond node carries the prologue's prefixes: 'cmp'
+            # leaves resolve their RHS term at compile time
+            args = [("cond", _parse_filter_expr(raw_args[0], prefixes),
+                     prefixes),
+                    _parse_expr(raw_args[1], prefixes),
+                    _parse_expr(raw_args[2], prefixes)]
+            return ("call", "if", args)
+        args = [_parse_expr(a, prefixes) for a in raw_args]
+        arity = _EXPR_FUNCS[func]
+        if isinstance(arity, int) and len(args) != arity:
             raise SparqlError(f"{func.upper()} takes {arity} argument(s)")
+        if isinstance(arity, tuple) and not (
+                arity[0] <= len(args) <= arity[1]):
+            raise SparqlError(
+                f"{func.upper()} takes {arity[0]}..{arity[1]} arguments")
         return ("call", "iri" if func == "uri" else func, args)
     if text.startswith("("):
         inner, j = _take_parens(text, 0)
@@ -1422,9 +1487,33 @@ def _apply_filter(result: DataFrame, var: str, op: str, raw: str,
     return result.where(_cmp_col(var, op, raw, prefixes))
 
 
+def _filter_tree_vars(node) -> set[str]:
+    """Variables referenced by a FILTER-expression tree (used to check
+    IF conditions at BIND sites the same way plain exprs are checked)."""
+    kind = node[0]
+    if kind in ("or", "and"):
+        return set().union(*[_filter_tree_vars(s) for s in node[1]])
+    if kind == "not":
+        return _filter_tree_vars(node[1])
+    if kind == "strfn_expr":
+        return _expr_vars(node[2])
+    if kind == "regex_expr":
+        return _expr_vars(node[1])
+    if kind in ("strfn", "isa"):
+        return {node[2]}
+    out = {node[1]}
+    if kind == "cmp":
+        m = re.match(r"^\?([A-Za-z_]\w*)$", node[3].strip())
+        if m:
+            out.add(m.group(1))
+    return out
+
+
 def _expr_vars(e: Expr) -> set[str]:
     if e[0] == "var":
         return {e[1]}
+    if e[0] == "cond":
+        return _filter_tree_vars(e[1])
     if e[0] == "call":
         return set().union(*[_expr_vars(a) for a in e[2]]) if e[2] else set()
     if e[0] == "arith":
@@ -1497,6 +1586,80 @@ def _expr_compile(e: Expr) -> tuple[F.Column, str]:
         return F.regexp_replace(lex(args[0]),
                                 _unrender(args[1][1]),
                                 _unrender(args[2][1])), "str"
+    if func == "substr":
+        # SPARQL SUBSTR is 1-based (XPath fn:substring)
+        pos = num(args[1]).cast("int")
+        length = (num(args[2]).cast("int") if len(args) == 3
+                  else F.lit(2147483647))
+        return F.substring(lex(args[0]), pos, length), "str"
+    if func == "strbefore":
+        s, t = lex(args[0]), lex(args[1])
+        pos = F.instr(s, t)
+        # no-match → "" (fn:substring-before), not the whole string;
+        # null (unbound operand = SPARQL error) stays null
+        return (F.when(pos.isNull(), F.lit(None).cast("string"))
+                .when(pos > 0, F.substring(s, F.lit(1), pos - 1))
+                .otherwise(F.lit(""))), "str"
+    if func == "strafter":
+        s, t = lex(args[0]), lex(args[1])
+        pos = F.instr(s, t)
+        return (F.when(pos.isNull(), F.lit(None).cast("string"))
+                .when(pos > 0,
+                      F.substring(s, pos + F.length(t),
+                                  F.lit(2147483647)))
+                .otherwise(F.lit(""))), "str"
+    if func == "encode_for_uri":
+        from .exec.functions import uri_encode_catalyst
+        return uri_encode_catalyst(lex(args[0])), "str"
+    if func == "abs":
+        return F.abs(num(args[0])), "num"
+    if func == "ceil":
+        return F.ceil(num(args[0])).cast("double"), "num"
+    if func == "floor":
+        return F.floor(num(args[0])).cast("double"), "num"
+    if func == "round":
+        # XPath fn:round: nearest integer, ties toward +inf — i.e.
+        # floor(x + 0.5), NOT Spark's HALF_UP (which sends -2.5 to -3)
+        return F.floor(num(args[0]) + F.lit(0.5)).cast("double"), "num"
+    if func == "md5":
+        return F.md5(lex(args[0])), "str"
+    if func == "sha1":
+        return F.sha1(lex(args[0])), "str"
+    if func == "sha256":
+        return F.sha2(lex(args[0]), 256), "str"
+    if func == "coalesce":
+        return F.coalesce(*[_expr_term(a) for a in args]), "term"
+    if func == "if":
+        # args[0] is ('cond', filter_tree, prefixes) from the parser;
+        # result_cols=None → boundness was checked at the BIND site
+        cond = _filter_col(args[0][1], None, args[0][2])
+        return (F.when(cond, _expr_term(args[1]))
+                .otherwise(_expr_term(args[2]))), "term"
+    if func == "lang":
+        t = _expr_term(args[0])
+        # LANG of a non-literal is a type error → unbound (null); a
+        # literal without a tag yields "" (SPARQL 1.1 §17.4.2.6)
+        return (F.when(t.startswith('"'),
+                       F.regexp_extract(t, r'@([A-Za-z0-9-]+)$', 1))
+                .otherwise(F.lit(None).cast("string"))), "str"
+    if func == "datatype":
+        t = _expr_term(args[0])
+        return (F.when(t.rlike(r'\^\^<'),
+                       F.regexp_extract(t, r'\^\^<(.*)>$', 1))
+                .when(t.startswith('"') & t.rlike('@[A-Za-z0-9-]+$'),
+                      F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                            "langString"))
+                .when(t.startswith('"'),
+                      F.lit("http://www.w3.org/2001/XMLSchema#string"))
+                .otherwise(F.lit(None).cast("string"))), "iri"
+    if func == "strlang":
+        return F.concat(F.lit('"'), _escape_lit(lex(args[0])),
+                        F.lit('"@'), lex(args[1])), "term"
+    if func == "strdt":
+        dtc, dtk = _expr_compile(args[1])
+        dtl = _lexical(dtc) if dtk == "term" else dtc
+        return F.concat(F.lit('"'), _escape_lit(lex(args[0])),
+                        F.lit('"^^<'), dtl, F.lit(">")), "term"
     raise SparqlError(f"unsupported function {func!r}")  # pragma: no cover
 
 

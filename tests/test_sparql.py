@@ -437,6 +437,162 @@ def test_bind_duplicate_and_unbound_errors(quads):
                                BIND(?nope + 1 AS ?x) }}""")
 
 
+def test_bind_substr_strbefore_strafter(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?local ?host ?path WHERE {{
+          ?s ex:age ?age .
+          BIND(SUBSTR(STR(?s), 15) AS ?local)
+          BIND(STRBEFORE(STRAFTER(STR(?s), "http://"), "/") AS ?host)
+          BIND(STRAFTER(STR(?s), "ex.com/") AS ?path)
+        }} ORDER BY ?s
+    """).collect()
+    # SUBSTR is 1-based: char 15 of "http://ex.com/alice" starts "alice"
+    assert (rows[0].local, rows[0].host, rows[0].path) == \
+        ("alice", "ex.com", "alice")
+
+
+def test_bind_strbefore_no_match_is_empty(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?b ?a WHERE {{
+          ?s ex:name ?name .
+          BIND(STRBEFORE(?name, "zzz") AS ?b)
+          BIND(STRAFTER(?name, "zzz") AS ?a)
+        }}
+    """).collect()
+    # fn:substring-before/-after: no occurrence -> "" (not the input)
+    assert (rows[0].b, rows[0].a) == ("", "")
+
+
+def test_bind_numeric_functions(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?r ?c ?f ?ab WHERE {{
+          ?s ex:age ?age .
+          BIND(ROUND(?age / 7) AS ?r)
+          BIND(CEIL(?age / 7) AS ?c)
+          BIND(FLOOR(?age / 7) AS ?f)
+          BIND(ABS(10 - ?age) AS ?ab)
+        }} ORDER BY ?s
+    """).collect()
+    # alice age 30: 30/7 = 4.2857 -> round 4, ceil 5, floor 4; |10-30|=20
+    assert [rows[0].r, rows[0].c, rows[0].f, rows[0].ab] == \
+        ["4.0", "5.0", "4.0", "20.0"]
+
+
+def test_bind_round_ties_toward_positive_infinity(quads):
+    # XPath fn:round: ROUND(-2.5) = -2 (NOT Spark HALF_UP's -3)
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?r ?r2 WHERE {{
+          ?s ex:age ?age .
+          BIND(ROUND(0 - 2.5) AS ?r)
+          BIND(ROUND(2.5) AS ?r2)
+        }} LIMIT 1
+    """).collect()
+    assert (rows[0].r, rows[0].r2) == ("-2.0", "3.0")
+
+
+def test_bind_hash_functions(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?m ?s1 ?s256 WHERE {{
+          ?s ex:name ?name .
+          BIND(MD5("abc") AS ?m)
+          BIND(SHA1("abc") AS ?s1)
+          BIND(SHA256("abc") AS ?s256)
+        }}
+    """).collect()
+    assert rows[0].m == "900150983cd24fb0d6963f7d28e17f72"
+    assert rows[0].s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert rows[0].s256 == ("ba7816bf8f01cfea414140de5dae2223"
+                            "b00361a396177a9cb410ff61f20015ad")
+
+
+def test_bind_coalesce_and_if(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?label ?bucket WHERE {{
+          ?s ex:age ?age .
+          OPTIONAL {{ ?s ex:name ?name }}
+          BIND(COALESCE(?name, "anon") AS ?label)
+          BIND(IF(?age >= 30, "old", "young") AS ?bucket)
+        }} ORDER BY ?s
+    """).collect()
+    got = {(r.s, r.label, r.bucket) for r in rows}
+    assert got == {(EX + "alice", "anon", "old"),
+                   (EX + "bob", "Bob", "young"),
+                   (EX + "carol", "anon", "old")}
+
+
+def test_bind_if_condition_with_strfn(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?k WHERE {{
+          ?s ex:age ?age .
+          BIND(IF(CONTAINS(STR(?s), "ali") && ?age > 10, "y", "n") AS ?k)
+        }} ORDER BY ?s
+    """).collect()
+    assert [r.k for r in rows] == ["y", "n", "n"]
+
+
+def test_bind_lang_datatype(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?lg ?dt ?dtn WHERE {{
+          ?s ex:name ?name .
+          ?s ex:age ?age .
+          BIND(LANG(?name) AS ?lg)
+          BIND(DATATYPE(?name) AS ?dt)
+          BIND(DATATYPE(?age) AS ?dtn)
+        }}
+    """, raw_terms=True).collect()
+    # "Bob"@en: lang "en", datatype rdf:langString; plain "25": xsd:string
+    assert rows[0].lg == '"en"'
+    assert rows[0].dt == \
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+    assert rows[0].dtn == "<http://www.w3.org/2001/XMLSchema#string>"
+
+
+def test_bind_lang_of_iri_is_unbound(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?lg WHERE {{
+          ?s ex:age ?age .
+          BIND(LANG(?s) AS ?lg)
+        }}
+    """).collect()
+    assert all(r.lg is None for r in rows)  # type error -> unbound
+
+
+def test_bind_strlang_strdt_encode(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?sl ?sd ?enc WHERE {{
+          ?s ex:name ?name .
+          BIND(STRLANG(STR(?name), "fr") AS ?sl)
+          BIND(STRDT(?age2, <http://www.w3.org/2001/XMLSchema#integer>)
+               AS ?sd)
+          BIND(ENCODE_FOR_URI("a b/c") AS ?enc)
+          {{ ?s ex:age ?age2 }}
+        }}
+    """, raw_terms=True).collect()
+    assert rows[0].sl == '"Bob"@fr'
+    assert rows[0].sd == '"25"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert rows[0].enc == '"a%20b%2Fc"'
+
+
+def test_bind_arity_errors(quads):
+    for bad in ["SUBSTR(?age)", "STRBEFORE(?age)", "IF(?age > 1, 2)",
+                "MD5(?age, ?age)", "COALESCE()"]:
+        with pytest.raises(SparqlError):
+            sparql_select(quads, f"""PREFIX ex: <{EX}>
+                SELECT ?x WHERE {{ ?s ex:age ?age .
+                                   BIND({bad} AS ?x) }}""")
+
+
 def test_values_single_var(quads):
     rows = sparql_select(quads, f"""
         PREFIX ex: <{EX}>
