@@ -22,11 +22,19 @@ scoping (the default BGP matches the union of all graphs; a GRAPH
 scope propagates to nested groups), ``MINUS`` (anti join on the shared
 variables; no shared variables removes nothing, §8.3), ``FILTER
 [NOT] EXISTS`` (semi/anti join, sees all of the group's bindings),
-``BIND(expr AS ?v)`` (CONCAT / STR /
-UCASE / LCASE / STRLEN / IRI / REPLACE + arithmetic), ``VALUES``
-inline data (no UNDEF), ``FILTER`` boolean expressions (comparisons on
-variables, ``&&``/``||``/``!``, ``REGEX``, ``CONTAINS`` / ``STRSTARTS``
-/ ``STRENDS``, ``BOUND``, ``isIRI``/``isLITERAL``/``isBLANK``,
+``BIND(expr AS ?v)`` and scalar select expressions ``(expr AS ?v)``
+in the projection (§18.2.4.4 Extend — applied after grouping, visible
+to ORDER BY), with the SPARQL 1.1 builtin library: CONCAT / STR /
+UCASE / LCASE / STRLEN / IRI / REPLACE / SUBSTR / STRBEFORE /
+STRAFTER / ENCODE_FOR_URI / ABS / CEIL / FLOOR / ROUND (XPath
+ties-toward-+inf) / MD5 / SHA1 / SHA256 / COALESCE / IF (condition in
+the FILTER grammar) / LANG / DATATYPE / STRLANG / STRDT + arithmetic,
+``VALUES`` inline data (no UNDEF), ``FILTER`` boolean expressions
+(comparisons on variables, ``&&``/``||``/``!``, ``REGEX``,
+``CONTAINS`` / ``STRSTARTS`` / ``STRENDS`` — each accepting an
+arbitrary expression as its first argument — ``BOUND``,
+``isIRI``/``isLITERAL``/``isBLANK``, ``?v [NOT] IN (t1, t2, …)``
+(numeric lists compare by value, others by term identity),
 ``LANG(?v) = "tag"`` — all compiled to codegen'd Column predicates),
 ``ORDER BY`` with ``ASC``/``DESC`` on variables, aggregate calls
 (``ORDER BY DESC(COUNT(?x))`` — computed as hidden grouping outputs)
@@ -203,6 +211,10 @@ class SelectQuery:
     aggregates: list[AggExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[tuple[str, str, str]] = field(default_factory=list)
+    #: scalar select expressions ``(expr AS ?alias)`` — §18.2.4.4
+    #: Extend, applied after grouping (so they may reference aggregate
+    #: aliases) and before ORDER BY (so sort keys may reference them)
+    select_exprs: list[tuple[str, Expr]] = field(default_factory=list)
 
     # root-level convenience views (back-compat for callers that only
     # deal in flat BGPs)
@@ -571,6 +583,28 @@ def _parse_filter_expr(text: str, prefixes: dict[str, str]):
                     "isliteral": "literal", "isblank": "blank"}[fn]
             return ("isa", kind, vm.group(1))
         raise SparqlError(f"unsupported FILTER function {fn!r}")
+    im = re.match(r"^\?([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*\(", text,
+                  re.IGNORECASE | re.DOTALL)
+    if im:
+        inner, j = _take_parens(text, im.end() - 1)
+        if text[j:].strip():
+            raise SparqlError(f"trailing text in FILTER: {text[j:]!r}")
+        parts = [p.strip() for p in _split_args(inner)]
+        if all(re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", p) for p in parts):
+            # all-numeric list → value comparison, like _cmp_col
+            node = ("in", im.group(1), [float(p) for p in parts], True)
+            return ("not", node) if im.group(2) else node
+        terms = []
+        for part in parts:
+            toks = _tokenize(part)
+            if len(toks) != 1:
+                raise SparqlError(f"bad IN list member {part!r}")
+            t = _resolve_term(*toks[0], prefixes)
+            if isinstance(t, Var):
+                raise SparqlError("IN list members must be constants")
+            terms.append(t)
+        node = ("in", im.group(1), terms, False)
+        return ("not", node) if im.group(2) else node
     return ("cmp",) + _parse_filter(text)
 
 
@@ -634,6 +668,11 @@ def _filter_col(node, result_cols: list[str],
         if fn == "strstarts":
             return lex.startswith(lit)
         return lex.endswith(lit)
+    if kind == "in":
+        # the expansion ?v = t1 || ?v = t2 || …: numeric lists compare
+        # by value (like _cmp_col), others by rendered-term identity;
+        # unbound ?v → null → dropped
+        return (_numeric(c) if node[3] else c).isin(*node[2])
     if kind == "bound":
         return c.isNotNull()
     if kind == "isa":
@@ -1019,11 +1058,16 @@ _AGG_PROJ = re.compile(
     r"\?([A-Za-z_][A-Za-z0-9_]*)\s*\)", re.IGNORECASE)
 
 
-def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
-    """Ordered output names (plain vars + agg aliases) and the agg
-    expressions out of the SELECT clause text."""
+def _parse_projection(proj_raw: str, prefixes: dict[str, str]
+                      ) -> tuple[list[str], list[AggExpr],
+                                 list[tuple[str, Expr]]]:
+    """Ordered output names (plain vars + agg/expression aliases), the
+    aggregate expressions, and the scalar select expressions
+    (``(expr AS ?alias)``, SPARQL §18.2.4.4 Extend) out of the SELECT
+    clause text."""
     names: list[str] = []
     aggs: list[AggExpr] = []
+    sel_exprs: list[tuple[str, Expr]] = []
     i, s = 0, proj_raw
     while i < len(s):
         if s[i].isspace():
@@ -1037,8 +1081,19 @@ def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
         if s[i] == "(":
             m = _AGG_PROJ.match(s, i)
             if m is None:
-                raise SparqlError(
-                    f"unsupported projection expression at {s[i:i + 40]!r}")
+                # scalar select expression: (expr AS ?alias)
+                inner, j = _take_parens(s, i)
+                em = re.match(r"^(.*\S)\s+AS\s+\?([A-Za-z_]\w*)$", inner,
+                              re.IGNORECASE | re.DOTALL)
+                if em is None:
+                    raise SparqlError(
+                        f"unsupported projection expression at "
+                        f"{s[i:i + 40]!r}")
+                alias = em.group(2)
+                sel_exprs.append((alias, _parse_expr(em.group(1), prefixes)))
+                names.append(alias)
+                i = j
+                continue
             func = m.group(1).lower()
             distinct = bool(m.group(2))
             var = None if m.group(3) == "*" else m.group(3)[1:]
@@ -1054,7 +1109,7 @@ def _parse_projection(proj_raw: str) -> tuple[list[str], list[AggExpr]]:
             i = m.end()
             continue
         raise SparqlError(f"bad projection at {s[i:i + 20]!r}")
-    return names, aggs
+    return names, aggs, sel_exprs
 
 
 def _strip_comments(text: str) -> str:
@@ -1181,9 +1236,10 @@ def parse_sparql(text: str,
     proj_raw, body, tail = m.group(2), m.group(3), m.group(4)
 
     if proj_raw.strip() == "*":
-        variables, aggregates = [], []
+        variables, aggregates, select_exprs = [], [], []
     else:
-        variables, aggregates = _parse_projection(proj_raw)
+        variables, aggregates, select_exprs = _parse_projection(
+            proj_raw, prefixes)
         if not variables:
             raise SparqlError(f"bad projection {proj_raw!r}")
 
@@ -1197,7 +1253,8 @@ def parse_sparql(text: str,
                     re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", gm.group(1))]
     # aggregates with no GROUP BY = one implicit group (valid SPARQL)
     if (aggregates or group_by):
-        aliases = {a.alias for a in aggregates}
+        aliases = {a.alias for a in aggregates} | \
+            {alias for alias, _ in select_exprs}
         bad = [v for v in variables if v not in aliases and v not in group_by]
         if bad:
             raise SparqlError(
@@ -1228,7 +1285,8 @@ def parse_sparql(text: str,
                        group=group, order_by=order_by, limit=limit,
                        offset=offset, prefixes=prefixes,
                        aggregates=aggregates,
-                       group_by=group_by, having=having)
+                       group_by=group_by, having=having,
+                       select_exprs=select_exprs)
 
 
 #: lexical form of a rendered term: IRIs lose <>, literals lose quotes
@@ -1880,11 +1938,28 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
         exprs = [_agg_expr(a) for a in all_aggs]
         # grouping keys are the *rendered* terms (SPARQL groups by RDF
         # term identity); the keys are lexical-stripped on output below
-        result = (result.groupBy(*q.group_by).agg(*exprs)
-                  if q.group_by else result.agg(*exprs))
+        if not exprs:
+            # GROUP BY with no aggregate projection = the distinct keys
+            result = result.select(*q.group_by).distinct()
+        else:
+            result = (result.groupBy(*q.group_by).agg(*exprs)
+                      if q.group_by else result.agg(*exprs))
         agg_outputs = {a.alias for a in q.aggregates}
         for var, op, raw in q.having:
             result = _apply_filter(result, var, op, raw, q.prefixes)
+
+    # scalar select expressions (§18.2.4.4 Extend): after grouping so
+    # they can reference aggregate aliases, before ORDER BY so sort
+    # keys can reference them
+    for alias, expr in q.select_exprs:
+        if alias in result.columns:
+            raise SparqlError(f"select expression rebinds ?{alias}")
+        missing = [v for v in sorted(_expr_vars(expr))
+                   if v not in result.columns]
+        if missing:
+            raise SparqlError(
+                f"select expression references unbound variables {missing}")
+        result = result.withColumn(alias, _expr_term(expr))
 
     for name, _, expr in norm_order:
         if expr is None:

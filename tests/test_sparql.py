@@ -593,6 +593,81 @@ def test_bind_arity_errors(quads):
                                    BIND({bad} AS ?x) }}""")
 
 
+def test_filter_in_iri_list(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{
+          ?s ex:age ?age .
+          FILTER(?s IN (ex:alice, <{EX}carol>))
+        }}
+    """).collect()
+    assert {r.s for r in rows} == {EX + "alice", EX + "carol"}
+
+
+def test_filter_not_in_numeric(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:age ?age .
+          FILTER(?age NOT IN (25, 41))
+        }}
+    """).collect()
+    assert {r.s for r in rows} == {EX + "alice"}  # only 30 survives
+
+
+def test_filter_in_combines_with_boolean_ops(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:age ?age .
+          FILTER(?age IN (25, 30) && !(?s IN (ex:bob)))
+        }}
+    """).collect()
+    assert {r.s for r in rows} == {EX + "alice"}
+
+
+def test_select_expression_plain(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (CONCAT("age=", ?age) AS ?label) (?age * 2 AS ?dbl)
+        WHERE {{ ?s ex:age ?age . }} ORDER BY ?s
+    """).collect()
+    assert rows[0].label == "age=30"
+    assert rows[0].dbl == "60.0"
+
+
+def test_select_expression_over_aggregate_alias(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (COUNT(?s) AS ?n) (?n * 10 AS ?scaled)
+        WHERE {{ ?s ex:age ?age . }}
+    """).collect()
+    assert (rows[0].n, rows[0].scaled) == (3, "30.0")
+
+
+def test_select_expression_orderable(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (0 - ?age AS ?neg)
+        WHERE {{ ?s ex:age ?age . }} ORDER BY ?neg
+    """).collect()
+    # ordered by negated age: carol (-41), alice (-30), bob (-25)
+    assert [r.s for r in rows] == [EX + "carol", EX + "alice", EX + "bob"]
+
+
+def test_select_expression_errors(quads):
+    with pytest.raises(SparqlError):  # rebinding an in-scope variable
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT (?age AS ?age) WHERE {{ ?s ex:age ?age }}""")
+    with pytest.raises(SparqlError):  # unbound reference
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT (?nope AS ?x) WHERE {{ ?s ex:age ?age }}""")
+    with pytest.raises(SparqlError):  # non-grouped var under GROUP BY
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT ?s (STR(?age) AS ?x) WHERE {{ ?s ex:age ?age }}
+            GROUP BY ?s""")
+
+
 def test_values_single_var(quads):
     rows = sparql_select(quads, f"""
         PREFIX ex: <{EX}>
