@@ -794,6 +794,34 @@ def q_curate_hash_split(spark, sf_dir):
         salt="split1").select("doc_id", "split")
 
 
+def q_pack_concat_chunk(spark, sf_dir):
+    """Concat-and-chunk sequence packing (kgloom/ops/packing.py): the
+    GPT-style pretraining scheme — per md5 bucket, documents in doc_id
+    order form one token stream chunked every 2048 tokens; a document
+    records the chunk it starts in, its offset, and whether it
+    straddles the boundary.  One window cumsum = one shuffle; pure
+    Catalyst; replayed exactly by the DuckDB window oracle."""
+    from kgloom.ops.packing import pack_concat_chunk
+    from kgloom.ops import textstats as T
+    toks = T.token_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return pack_concat_chunk(toks, "doc_id", "n_tokens",
+                             budget=2048, n_buckets=8)
+
+
+def q_pack_greedy(spark, sf_dir):
+    """First-fit-in-order greedy packing (kgloom/ops/packing.py):
+    documents never split; a pack closes when the next document would
+    overflow the 2048-token budget.  Stateful-by-definition per
+    stream, so it runs as Arrow-batched applyInPandas over md5
+    buckets; the DuckDB oracle replays the sequential discipline with
+    a recursive CTE walking each bucket in doc_id order."""
+    from kgloom.ops.packing import pack_greedy
+    from kgloom.ops import textstats as T
+    toks = T.token_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return pack_greedy(toks, "doc_id", "n_tokens",
+                       budget=2048, n_buckets=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-decode plumbing with deterministic fake kernel.  The
     # synthetic asset table is a pure function of range(64), so the
@@ -1176,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_hash_split": q_curate_hash_split,
+        "pack_concat_chunk": q_pack_concat_chunk,
+        "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1953,6 +1983,68 @@ def oracle_sql() -> dict[str, str]:
                    list_max(list_transform(string_split(lower(text), ' '),
                             x -> length(x))) AS max_token_len
             FROM documents
+        """,
+        # concat-and-chunk packing replay: identical md5 bucket, window
+        # cumsum per bucket in doc_id order, floor/mod against the
+        # 2048-token budget
+        "pack_concat_chunk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     len(string_split(lower(text), ' ')) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(doc_id || ''), 1, 8))
+                               AS BIGINT) % 8 AS INT) AS bucket,
+                     n_tokens
+              FROM tok),
+            c AS (
+              SELECT *,
+                     SUM(n_tokens) OVER (PARTITION BY bucket
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - n_tokens AS cb
+              FROM b)
+            SELECT doc_id, bucket,
+                   CAST(FLOOR(cb / 2048) AS INT) AS pack,
+                   CAST(cb % 2048 AS INT) AS "offset",
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(CASE WHEN cb % 2048 + n_tokens > 2048
+                        THEN 1 ELSE 0 END AS INT) AS straddles
+            FROM c
+        """,
+        # greedy first-fit replay: the sequential per-bucket discipline
+        # as a recursive CTE — row rn+1's pack/fill derive from row
+        # rn's, exactly the applyInPandas loop
+        "pack_greedy": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     len(string_split(lower(text), ' ')) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(doc_id || ''), 1, 8))
+                               AS BIGINT) % 8 AS INT) AS bucket,
+                     n_tokens
+              FROM tok),
+            d AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                          ORDER BY doc_id) AS rn
+              FROM b),
+            g AS (
+              SELECT doc_id, bucket, rn, n_tokens, 0 AS pack,
+                     CAST(n_tokens AS BIGINT) AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.bucket, d.rn, d.n_tokens,
+                     CASE WHEN g.fill > 0 AND g.fill + d.n_tokens > 2048
+                          THEN g.pack + 1 ELSE g.pack END,
+                     CASE WHEN g.fill > 0 AND g.fill + d.n_tokens > 2048
+                          THEN CAST(d.n_tokens AS BIGINT)
+                          ELSE g.fill + d.n_tokens END
+              FROM g JOIN d ON d.bucket = g.bucket AND d.rn = g.rn + 1)
+            SELECT doc_id, bucket, CAST(pack AS INT) AS pack, fill,
+                   CAST(n_tokens AS INT) AS n_tokens
+            FROM g
         """,
         "text_quality": """
             SELECT doc_id,

@@ -147,3 +147,67 @@ def test_hash_split_exhaustive_exclusive(spark):
                             salt="x").select("doc_id", "split").collect())
     first = dict(out.select("doc_id", "split").collect())
     assert first == again
+
+
+def test_pack_concat_chunk_stream_semantics(spark):
+    """Concat-and-chunk: offsets advance by token counts within a
+    bucket, packs are contiguous chunks of the stream, the straddle
+    flag marks exactly the boundary-crossing documents, and the
+    assignment is independent of input partitioning."""
+    from kgloom.ops.packing import pack_concat_chunk
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(
+            [30, 80, 100, 5, 95, 50, 200, 1, 64, 40])],
+        "doc_id string, n_tokens int")
+    out = pack_concat_chunk(df, "doc_id", "n_tokens",
+                            budget=100, n_buckets=1).collect()
+    rows = sorted(out, key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:  # single bucket, doc_id order = stream order
+        assert r.pack == cum // 100
+        assert r.offset == cum % 100
+        assert r.straddles == int(r.offset + r.n_tokens > 100)
+        cum += r.n_tokens
+    # partitioning must not change the packing (pure key function)
+    again = sorted(pack_concat_chunk(df.repartition(7), "doc_id",
+                                     "n_tokens", budget=100,
+                                     n_buckets=1).collect(),
+                   key=lambda r: r.doc_id)
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_pack_greedy_first_fit(spark):
+    """Greedy: documents never split, a pack closes when the next doc
+    would overflow, an exact fit stays in the pack, and an oversize
+    doc gets its own pack."""
+    from kgloom.ops.packing import pack_greedy
+    df = spark.createDataFrame(
+        [("a", 60), ("b", 40), ("c", 10), ("d", 150), ("e", 90),
+         ("f", 10)],
+        "doc_id string, n_tokens int")
+    out = {r.doc_id: (r.pack, r.fill) for r in
+           pack_greedy(df, "doc_id", "n_tokens",
+                       budget=100, n_buckets=1).collect()}
+    # a(60)+b(40) exactly fill pack 0; c(10) opens pack 1; d(150) is
+    # oversize -> its own pack 2; e(90) pack 3; f(10) joins e exactly
+    assert out == {"a": (0, 60), "b": (0, 100), "c": (1, 10),
+                   "d": (2, 150), "e": (3, 90), "f": (3, 100)}
+
+
+def test_pack_greedy_matches_across_buckets(spark):
+    """Bucketed greedy packing is deterministic and every document
+    appears exactly once; per-bucket fills never exceed the budget
+    except for single oversize documents."""
+    from kgloom.ops.packing import pack_greedy
+    df = spark.range(500).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 70 + 1).cast("int").alias("n_tokens"))
+    out = pack_greedy(df, "doc_id", "n_tokens", budget=128,
+                      n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert len({r.doc_id for r in rows}) == 500
+    assert all(r.fill <= 128 for r in rows)  # no doc exceeds 128 here
+    again = pack_greedy(df.repartition(11), "doc_id", "n_tokens",
+                        budget=128, n_buckets=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
