@@ -690,6 +690,15 @@ def q_text_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style n-gram repetition signals (kgloom/ops/textstats.py
+    repetition_stats): bigram totals/distincts and the most-frequent-
+    bigram count per document — thresholdable into duplicate-n-gram
+    fraction and top-n-gram coverage.  Map-side array work, no
+    shuffle, no Python."""
+    return T.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
 def q_text_language_id(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -1208,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_subwords": q_text_subwords,
@@ -2054,6 +2064,30 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        # bigram repetition replay: the same start-offset windows
+        # (DuckDB range() is stop-exclusive; list slices are 1-based
+        # inclusive) and the same distinct×filter top count
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CASE WHEN len(toks) < 2 THEN []
+                          ELSE list_transform(
+                            range(1, len(toks)),
+                            i -> array_to_string(toks[i:i+1], ' ')) END
+                       AS grams
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   len(grams) AS n_ngrams,
+                   len(list_distinct(grams)) AS n_distinct_ngrams,
+                   COALESCE(list_max(list_transform(
+                       list_distinct(grams),
+                       x -> len(list_filter(grams, y -> y = x)))), 0)
+                     AS top_ngram_count
+            FROM g
         """,
         "text_language_id": """
             WITH v AS (

@@ -32,6 +32,46 @@ def token_stats(docs: DataFrame) -> DataFrame:
          .alias("max_token_len"))
 
 
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, n_ngrams, n_distinct_ngrams, top_ngram_count)
+    — the Gopher-style repetition signals: how much of a document is
+    the same word n-gram over and over (machine-generated boilerplate,
+    SEO spam, decoding loops).  Consumers threshold ratios like
+    ``n_distinct_ngrams / n_ngrams`` (duplicate-n-gram fraction) and
+    ``top_ngram_count * n / n_tokens`` (top-n-gram coverage); integer
+    outputs keep the cross-engine oracle exact, like
+    :func:`quality_score`.
+
+    Pure Catalyst per-document array work — no shuffle, no Python; at
+    100 TB the cost is map-side and bounded per document.  The
+    top-count pass is O(unique·total) per document (array_distinct ×
+    filter); fine for web-document sizes — for pathological
+    multi-megabyte documents, cap upstream on ``n_tokens`` first.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = tokens()
+    # sequence(1, size-n+1) of starting offsets; sequence() DESCENDS
+    # when start > stop, so short docs need the explicit empty guard
+    grams = F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+    g = docs.select("doc_id", F.size(t).alias("n_tokens"),
+                    grams.alias("__g"))
+    return g.select(
+        "doc_id", "n_tokens",
+        F.size("__g").alias("n_ngrams"),
+        F.size(F.array_distinct("__g")).alias("n_distinct_ngrams"),
+        F.coalesce(
+            F.array_max(F.transform(
+                F.array_distinct("__g"),
+                lambda x: F.size(F.filter(F.col("__g"),
+                                          lambda y: y == x)))),
+            F.lit(0)).alias("top_ngram_count"))
+
+
 def quality_score(docs: DataFrame,
                   stopwords: list[str] | None = None) -> DataFrame:
     """(doc_id, n_tokens, n_stopwords, n_digits, n_punct) — the integer

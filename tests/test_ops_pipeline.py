@@ -211,3 +211,30 @@ def test_pack_greedy_matches_across_buckets(spark):
     again = pack_greedy(df.repartition(11), "doc_id", "n_tokens",
                         budget=128, n_buckets=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_repetition_stats_known_values(spark):
+    """Bigram totals/distincts/top-count on hand-checked documents,
+    including the short-doc empty guard and an n=3 variant."""
+    from kgloom.ops.textstats import repetition_stats
+    df = spark.createDataFrame(
+        [("loop", "buy now buy now buy now"),   # bigrams: 5, top 'buy now' x3
+         ("flat", "a b c d"),                   # 3 distinct bigrams
+         ("one", "word"),                       # too short for bigrams
+         ("pair", "x y")],                      # exactly one bigram
+        "doc_id string, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_ngrams, r.n_distinct_ngrams,
+                      r.top_ngram_count)
+           for r in repetition_stats(df, n=2).collect()}
+    assert out["loop"] == (6, 5, 2, 3)   # 'buy now' 3x, 'now buy' 2x
+    assert out["flat"] == (4, 3, 3, 1)
+    assert out["one"] == (1, 0, 0, 0)
+    assert out["pair"] == (2, 1, 1, 1)
+    tri = {r.doc_id: (r.n_ngrams, r.top_ngram_count)
+           for r in repetition_stats(df, n=3).collect()}
+    assert tri["loop"] == (4, 2)         # 'buy now buy' 2x
+    assert tri["pair"] == (0, 0)
+    # map-side only: no shuffle, no Python in the plan
+    plan = repetition_stats(df, n=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
