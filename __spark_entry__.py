@@ -699,6 +699,16 @@ def q_text_repetition(spark, sf_dir):
     return T.repetition_stats(_docs(spark, sf_dir), n=2)
 
 
+def q_text_commonness(spark, sf_dir):
+    """Corpus-level bigram commonness (kgloom/ops/textstats.py
+    ngram_commonness): per document, how many of its distinct bigrams
+    appear in >= 3 documents — the integer novelty signal (fresh
+    content scores low commonness, stock-phrase boilerplate high).
+    Inverted-index shape: explode distinct grams, one DF aggregate,
+    one semi-join back."""
+    return T.ngram_commonness(_docs(spark, sf_dir), n=2, min_df=3)
+
+
 def q_text_language_id(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -1218,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_subwords": q_text_subwords,
@@ -2088,6 +2099,30 @@ def oracle_sql() -> dict[str, str]:
                        x -> len(list_filter(grams, y -> y = x)))), 0)
                      AS top_ngram_count
             FROM g
+        """,
+        # commonness replay: distinct bigrams per doc, document
+        # frequency >= 3, count of common grams per doc (0-filled)
+        "text_commonness": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 2 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(1, len(toks)),
+                            i -> array_to_string(toks[i:i+1], ' '))) END
+                       AS grams
+              FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            c AS (SELECT gram FROM e GROUP BY gram
+                  HAVING COUNT(*) >= 3),
+            k AS (SELECT e.doc_id, COUNT(*) AS n_common
+                  FROM e JOIN c USING (gram) GROUP BY e.doc_id)
+            SELECT g.doc_id,
+                   len(g.grams) AS n_distinct_ngrams,
+                   COALESCE(k.n_common, 0) AS n_common_ngrams
+            FROM g LEFT JOIN k ON g.doc_id = k.doc_id
         """,
         "text_language_id": """
             WITH v AS (

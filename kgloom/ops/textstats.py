@@ -32,6 +32,19 @@ def token_stats(docs: DataFrame) -> DataFrame:
          .alias("max_token_len"))
 
 
+def _ngrams(t, n: int):
+    """Word n-gram array over a token-array column.  sequence(1,
+    size-n+1) of starting offsets; sequence() DESCENDS when start >
+    stop, so short docs need the explicit empty guard."""
+    if n == 1:
+        return t
+    return F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+
+
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, n_tokens, n_ngrams, n_distinct_ngrams, top_ngram_count)
     — the Gopher-style repetition signals: how much of a document is
@@ -51,15 +64,8 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     if n < 1:
         raise ValueError("n must be >= 1")
     t = tokens()
-    # sequence(1, size-n+1) of starting offsets; sequence() DESCENDS
-    # when start > stop, so short docs need the explicit empty guard
-    grams = F.when(
-        F.size(t) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(t, i, n))))
     g = docs.select("doc_id", F.size(t).alias("n_tokens"),
-                    grams.alias("__g"))
+                    _ngrams(t, n).alias("__g"))
     return g.select(
         "doc_id", "n_tokens",
         F.size("__g").alias("n_ngrams"),
@@ -70,6 +76,47 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
                 lambda x: F.size(F.filter(F.col("__g"),
                                           lambda y: y == x)))),
             F.lit(0)).alias("top_ngram_count"))
+
+
+def ngram_commonness(docs: DataFrame, n: int = 2,
+                     min_df: int = 2) -> DataFrame:
+    """(doc_id, n_distinct_ngrams, n_common_ngrams) — how much of each
+    document's n-gram vocabulary is CORPUS-common (appears in at least
+    ``min_df`` documents).  ``1 - n_common/n_distinct`` is a novelty
+    fraction: high for fresh content, low for boilerplate assembled
+    from corpus-wide stock phrases — the integer-signal counterpart of
+    a CCNet-style LM commonness score, engine-replayable without
+    float drift.
+
+    Shape at scale: explode distinct n-grams (each gram once per doc),
+    one hash aggregate for document frequency, one shuffle join back,
+    one per-doc count — the same inverted-index skeleton as the
+    n-gram-Jaccard dedup path, so it scales the same way (the gram
+    table shards by gram hash; no driver state, no Python).
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    t = tokens()
+    per_doc = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(t, n))).alias("__g"))
+    # each (doc, gram) appears once, so count(*) per gram = document
+    # frequency; partial (map-side) aggregation applies before the
+    # shuffle on gram
+    common = (per_doc.groupBy("__g")
+              .agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") >= min_df)
+              .select("__g"))
+    n_common = (per_doc.join(common, "__g")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_common_ngrams")))
+    totals = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_ngrams(t, n))).alias("n_distinct_ngrams"))
+    return (totals.join(n_common, "doc_id", "left")
+            .select("doc_id", "n_distinct_ngrams",
+                    F.coalesce("n_common_ngrams", F.lit(0))
+                     .cast("long").alias("n_common_ngrams")))
 
 
 def quality_score(docs: DataFrame,

@@ -11,8 +11,11 @@ queried (and can feed another mapping) without leaving Spark.
 
 Supported subset (the mapping-source shape the fixtures use):
 ``PREFIX``, ``SELECT [DISTINCT] ?v ... | *``, aggregate projections
-``(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT([DISTINCT] ?v | *
-[; SEPARATOR="s"]) AS ?alias)`` with ``GROUP BY`` and ``HAVING``
+``(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT([DISTINCT] ?v | * | expr
+[; SEPARATOR="s"]) AS ?alias)`` — the aggregate input may be any
+builtin-library expression, e.g. ``SUM(?a * ?b)`` — with ``GROUP BY``
+(with or without aggregates; bare GROUP BY = distinct keys) and
+``HAVING``
 (SAMPLE returns the lexical minimum, GROUP_CONCAT concatenates in
 sorted order — both deterministic refinements of the
 implementation-defined spec points), basic graph patterns with ``;`` predicate lists
@@ -188,12 +191,17 @@ class GroupPattern:
 
 @dataclass(frozen=True)
 class AggExpr:
-    """One aggregate projection ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
+    """One aggregate projection ``(FUNC([DISTINCT] ?var | * | expr)
+    AS ?alias)``."""
     func: str       # count | sum | avg | min | max | sample | group_concat
-    var: Optional[str]              # None = COUNT(*)
+    var: Optional[str]              # None = COUNT(*) or expression input
     distinct: bool
     alias: str
     sep: Optional[str] = None       # GROUP_CONCAT separator (default " ")
+    #: aggregate over a computed expression, e.g. ``SUM(?a * ?b)`` —
+    #: a BIND-language Expr tree evaluated per solution before
+    #: aggregation (mutually exclusive with ``var``)
+    expr: Optional[tuple] = None
 
 
 @dataclass
@@ -1081,7 +1089,6 @@ def _parse_projection(proj_raw: str, prefixes: dict[str, str]
         if s[i] == "(":
             m = _AGG_PROJ.match(s, i)
             if m is None:
-                # scalar select expression: (expr AS ?alias)
                 inner, j = _take_parens(s, i)
                 em = re.match(r"^(.*\S)\s+AS\s+\?([A-Za-z_]\w*)$", inner,
                               re.IGNORECASE | re.DOTALL)
@@ -1089,8 +1096,26 @@ def _parse_projection(proj_raw: str, prefixes: dict[str, str]
                     raise SparqlError(
                         f"unsupported projection expression at "
                         f"{s[i:i + 40]!r}")
-                alias = em.group(2)
-                sel_exprs.append((alias, _parse_expr(em.group(1), prefixes)))
+                alias, lhs = em.group(2), em.group(1).strip()
+                # aggregate over a computed expression:
+                # (FUNC([DISTINCT] expr) AS ?alias), e.g. SUM(?a * ?b)
+                am = re.match(
+                    r"^(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)"
+                    r"\s*\(", lhs, re.IGNORECASE)
+                if am:
+                    arg, k = _take_parens(lhs, am.end() - 1)
+                    if lhs[k:].strip():
+                        raise SparqlError(
+                            f"trailing text after aggregate: {lhs[k:]!r}")
+                    dm = re.match(r"^\s*DISTINCT\s+(.*)$", arg,
+                                  re.IGNORECASE | re.DOTALL)
+                    aggs.append(AggExpr(
+                        am.group(1).lower(), None, bool(dm), alias,
+                        expr=_parse_expr(dm.group(1) if dm else arg,
+                                         prefixes)))
+                else:
+                    # scalar select expression: (expr AS ?alias)
+                    sel_exprs.append((alias, _parse_expr(lhs, prefixes)))
                 names.append(alias)
                 i = j
                 continue
@@ -1853,29 +1878,34 @@ def sparql_ask(quads: DataFrame, query: str) -> bool:
 
 
 def _agg_expr(a: AggExpr) -> F.Column:
+    # the aggregation input: a bound variable's rendered term, or a
+    # computed expression rendered to a term (so every branch below
+    # sees the same rendered-term shape either way)
+    src = _expr_term(a.expr) if a.expr is not None else (
+        F.col(a.var) if a.var is not None else None)
     if a.func == "count":
-        if a.var is None:
+        if src is None:
             e = F.count(F.lit(1))
         elif a.distinct:
-            e = F.countDistinct(F.col(a.var))
+            e = F.countDistinct(src)
         else:
-            e = F.count(F.col(a.var))
+            e = F.count(src)
     elif a.func in ("sum", "avg"):
-        e = getattr(F, a.func)(_numeric(F.col(a.var)))
+        e = getattr(F, a.func)(_numeric(src))
     elif a.func == "sample":
         # §18.5.1.11 SAMPLE may return any value of the group; we pick
         # the lexical minimum so results are deterministic (and
         # relationally replayable)
-        e = F.min(_lexical(F.col(a.var)))
+        e = F.min(_lexical(src))
     elif a.func == "group_concat":
         # §18.5.1.7 leaves concatenation order undefined; we sort the
         # lexical forms for determinism.  DISTINCT → collect_set.
-        vals = (F.collect_set(_lexical(F.col(a.var))) if a.distinct
-                else F.collect_list(_lexical(F.col(a.var))))
+        vals = (F.collect_set(_lexical(src)) if a.distinct
+                else F.collect_list(_lexical(src)))
         e = F.array_join(F.sort_array(vals),
                          a.sep if a.sep is not None else " ")
     else:  # min / max: numeric order when the value parses, else lexical
-        c = F.col(a.var)
+        c = src
         num = _numeric(c)
         if a.func == "min":
             # numerics (non-null cast) sort before non-numerics
@@ -1929,9 +1959,14 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
     agg_outputs: set[str] = set()
     if q.aggregates or q.group_by:
         all_aggs = [*q.aggregates, *agg_order]
+        agg_vars = []
+        for a in all_aggs:
+            if a.expr is not None:
+                agg_vars += sorted(_expr_vars(a.expr))
+            elif a.var is not None:
+                agg_vars.append(a.var)
         missing = [v for v in q.group_by if v not in result.columns] + \
-            [a.var for a in all_aggs
-             if a.var is not None and a.var not in result.columns]
+            [v for v in agg_vars if v not in result.columns]
         if missing:
             raise SparqlError(
                 f"aggregation references unbound variables {missing}")

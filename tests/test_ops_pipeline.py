@@ -238,3 +238,23 @@ def test_repetition_stats_known_values(spark):
     plan = repetition_stats(df, n=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_ngram_commonness_known_values(spark):
+    """Common = document frequency >= min_df over DISTINCT per-doc
+    grams (within-doc repetition doesn't inflate df); docs too short
+    for bigrams report zeros."""
+    from kgloom.ops.textstats import ngram_commonness
+    df = spark.createDataFrame(
+        [("a", "buy now buy now"),     # grams {buy now, now buy}
+         ("b", "buy now please"),      # {buy now, now please}
+         ("c", "buy now thanks"),      # {buy now, now thanks}
+         ("d", "word")],               # no bigrams
+        "doc_id string, text string")
+    out = {r.doc_id: (r.n_distinct_ngrams, r.n_common_ngrams)
+           for r in ngram_commonness(df, n=2, min_df=3).collect()}
+    # 'buy now' df=3 (a counts once despite repeating it); others df=1
+    assert out == {"a": (2, 1), "b": (2, 1), "c": (2, 1), "d": (0, 0)}
+    strict = {r.doc_id: r.n_common_ngrams
+              for r in ngram_commonness(df, n=2, min_df=4).collect()}
+    assert strict == {"a": 0, "b": 0, "c": 0, "d": 0}

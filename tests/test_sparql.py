@@ -668,6 +668,40 @@ def test_select_expression_errors(quads):
             GROUP BY ?s""")
 
 
+def test_aggregate_over_expression(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (SUM(?age * 2) AS ?total) (AVG(STRLEN(STR(?s))) AS ?len)
+               (MAX(CONCAT("v", ?age)) AS ?m)
+        WHERE {{ ?s ex:age ?age . }}
+    """).collect()
+    # ages 30+25+41, doubled; IRI lengths 19+17+19; lexical max "v41"
+    assert rows[0].total == 192.0
+    assert abs(rows[0].len - 55 / 3) < 1e-9
+    assert rows[0].m == "v41"
+
+
+def test_aggregate_expression_distinct_and_grouped(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(DISTINCT SUBSTR(?age, 1, 1)) AS ?lead)
+        WHERE {{ ?s ex:age ?age . }} GROUP BY ?s ORDER BY ?s
+    """).collect()
+    assert [(r.s, r.lead) for r in rows] == [
+        (EX + "alice", 1), (EX + "bob", 1), (EX + "carol", 1)]
+
+
+def test_aggregate_expression_unbound_errors(quads):
+    with pytest.raises(SparqlError):
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT (SUM(?nope + 1) AS ?x)
+            WHERE {{ ?s ex:age ?age }}""")
+    with pytest.raises(SparqlError):  # arithmetic around an aggregate
+        sparql_select(quads, f"""PREFIX ex: <{EX}>
+            SELECT (SUM(?age) + 1 AS ?x)
+            WHERE {{ ?s ex:age ?age }}""")
+
+
 def test_values_single_var(quads):
     rows = sparql_select(quads, f"""
         PREFIX ex: <{EX}>
