@@ -2122,6 +2122,18 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     """
     template, group, prefixes, limit = _parse_construct(query)
     sol = _exec_group(quads, group, prefixes)
+    out = _instantiate_template(sol, template, "CONSTRUCT")
+    if limit is not None:
+        out = out.limit(limit)
+    return out.withColumn("graph", F.lit(None).cast("string"))
+
+
+def _instantiate_template(sol: DataFrame, template,
+                          what: str = "template") -> DataFrame:
+    """Instantiate a triple template once per solution row (§16.2):
+    instantiations with an unbound variable or a literal subject are
+    skipped; the result is a distinct (subj, pred, obj) DataFrame —
+    one lazy plan, no collect, no Python."""
     parts = []
     for (s, p, o) in template:
         cols = []
@@ -2129,7 +2141,7 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
             if isinstance(term, Var):
                 if term.name not in sol.columns:
                     raise SparqlError(
-                        f"CONSTRUCT template references unbound "
+                        f"{what} references unbound "
                         f"variable ?{term.name}")
                 cols.append(F.col(term.name).alias(pos))
             else:
@@ -2144,10 +2156,7 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
     out = parts[0]
     for t in parts[1:]:
         out = out.unionByName(t)
-    out = out.distinct()
-    if limit is not None:
-        out = out.limit(limit)
-    return out.withColumn("graph", F.lit(None).cast("string"))
+    return out.distinct()
 
 
 def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
@@ -2213,3 +2222,188 @@ def sparql_describe(quads: DataFrame, query: str) -> DataFrame:
     by_obj = quads.join(resources, quads["obj"] == resources["__r"],
                         "left_semi")
     return by_subj.unionByName(by_obj).select(*cols).distinct()
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+def _split_top_semis(text: str) -> list[str]:
+    """Split an update script at top-level ``;`` (outside braces,
+    quotes, and IRIs) into individual operations."""
+    parts, depth, in_str, in_iri, start = [], 0, False, False, 0
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == '"':
+                in_str = False
+        elif in_iri:
+            if ch == ">":
+                in_iri = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "<":
+            in_iri = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+def _update_template(src: str, prefixes: dict[str, str], what: str,
+                     ground: bool = False):
+    """Parse and validate a DELETE/INSERT template (or DATA block when
+    ``ground``): literal subjects and non-IRI predicates are rejected
+    (like CONSTRUCT templates), paths never, variables only when not
+    ground."""
+    triples = _parse_triples(src, prefixes)
+    if not triples:
+        raise SparqlError(f"empty {what} template")
+    for (s, p, o) in triples:
+        if isinstance(p, Path):
+            raise SparqlError(f"property paths are not allowed in {what}")
+        if ground and any(isinstance(x, Var) for x in (s, p, o)):
+            raise SparqlError(f"{what} requires ground triples "
+                              f"(no variables)")
+        if not isinstance(s, Var) and s.startswith('"'):
+            raise SparqlError(f"{what} subject cannot be a literal")
+        if not isinstance(p, Var) and not p.startswith("<"):
+            raise SparqlError(f"{what} predicate must be an IRI")
+    return triples
+
+
+def _take_update_braced(op: str, i: int, what: str) -> tuple[str, int]:
+    if i >= len(op) or op[i] != "{":
+        raise SparqlError(f"{what} must be followed by {{ ... }}")
+    return _take_braced(op, i)
+
+
+def _apply_update_op(out: DataFrame, op: str,
+                     prefixes: dict[str, str]) -> DataFrame:
+    spark = out.sparkSession
+    key = ["subj", "pred", "obj"]
+
+    def ground_df(src: str, what: str) -> DataFrame:
+        triples = _update_template(src, prefixes, what, ground=True)
+        return spark.createDataFrame(
+            [(s, p, o) for (s, p, o) in triples],
+            "subj string, pred string, obj string")
+
+    def insert_new(base: DataFrame, add: DataFrame) -> DataFrame:
+        # set semantics at the triple level: only triples absent from
+        # the (post-delete) store are added; added rows carry null in
+        # any extra columns (graph) via allowMissingColumns
+        new = add.join(base.select(*key).distinct(), key, "left_anti")
+        return base.unionByName(new, allowMissingColumns=True)
+
+    m = re.match(r"^(INSERT|DELETE)\s+DATA\s*", op, re.IGNORECASE)
+    if m:
+        src, j = _take_update_braced(op, m.end(), f"{m.group(1)} DATA")
+        if op[j:].strip():
+            raise SparqlError(f"trailing text after update: {op[j:]!r}")
+        df = ground_df(src, f"{m.group(1).upper()} DATA")
+        if m.group(1).upper() == "DELETE":
+            return out.join(F.broadcast(df), key, "left_anti")
+        return insert_new(out, df)
+
+    m = re.match(r"^DELETE\s+WHERE\s*", op, re.IGNORECASE)
+    if m:
+        src, j = _take_update_braced(op, m.end(), "DELETE WHERE")
+        if op[j:].strip():
+            raise SparqlError(f"trailing text after update: {op[j:]!r}")
+        template = _update_template(src, prefixes, "DELETE WHERE")
+        sol = _exec_group(out, _parse_group(src, prefixes), prefixes)
+        dels = _instantiate_template(sol, template, "DELETE WHERE")
+        return out.join(dels, key, "left_anti")
+
+    del_t = ins_t = None
+    i = 0
+    m = re.match(r"^DELETE\s*", op, re.IGNORECASE)
+    if m and op[m.end():m.end() + 1] == "{":
+        src, i = _take_update_braced(op, m.end(), "DELETE")
+        del_t = _update_template(src, prefixes, "DELETE template")
+    m = re.match(r"\s*INSERT\s*", op[i:], re.IGNORECASE)
+    if m and op[i + m.end():i + m.end() + 1] == "{":
+        src, j = _take_update_braced(op[i:], m.end(), "INSERT")
+        ins_t = _update_template(src, prefixes, "INSERT template")
+        i += j
+    if del_t is None and ins_t is None:
+        raise SparqlError(f"unsupported update operation: {op[:60]!r}")
+    m = re.match(r"\s*WHERE\s*", op[i:], re.IGNORECASE)
+    if m is None:
+        raise SparqlError("DELETE/INSERT templates require WHERE")
+    src, j = _take_update_braced(op[i:], m.end(), "WHERE")
+    if op[i + j:].strip():
+        raise SparqlError(f"trailing text after update: {op[i + j:]!r}")
+    group = _parse_group(src, prefixes)
+    if group.is_empty():
+        raise SparqlError("empty basic graph pattern")
+    # both templates instantiate against the PRE-update state (SPARQL
+    # 1.1 Update §3.1.3: the WHERE is evaluated once, DELETE applies
+    # before INSERT)
+    sol = _exec_group(out, group, prefixes)
+    if del_t is not None:
+        dels = _instantiate_template(sol, del_t, "DELETE template")
+        new_out = out.join(dels, key, "left_anti")
+    else:
+        new_out = out
+    if ins_t is not None:
+        ins = _instantiate_template(sol, ins_t, "INSERT template")
+        new_out = insert_new(new_out, ins)
+    return new_out
+
+
+def sparql_update(quads: DataFrame, update: str) -> DataFrame:
+    """Execute a SPARQL 1.1 Update subset over a ``(subj, pred, obj
+    [, graph])`` DataFrame — functional, not in place: returns the
+    updated quad DataFrame as one lazy plan (the input is never
+    mutated; persist or write the result to adopt it).
+
+    Supported operations (``;``-separated sequences run in order, each
+    against the previous operation's result): ``INSERT DATA {…}``,
+    ``DELETE DATA {…}``, ``DELETE WHERE {…}`` (the pattern is both the
+    match and the delete template), and ``DELETE {…} INSERT {…} WHERE
+    {…}`` with either template optional.  Within one operation the
+    WHERE matches the pre-update state and DELETE applies before
+    INSERT (SPARQL 1.1 Update §3.1.3).
+
+    Semantics note: the store is treated as a TRIPLE set — matching
+    spans all graphs (like this engine's BGPs), a delete removes every
+    graph's copy of a matched triple, and inserts land with a null
+    ``graph``; duplicate inserts are suppressed by an anti join rather
+    than a full distinct, so the touched data — not the whole store —
+    pays the dedup cost.  Spark shape: deletes are left-anti joins
+    (ground DATA blocks broadcast), inserts are anti-join + union; no
+    collect, no Python.  For long scripts, localCheckpoint
+    intermittently — each operation adds joins to the lazy plan.
+
+    The reference has no update surface at all (its SPARQL enum is
+    source-only, `/root/reference/operator/src/lib.rs:369`); this
+    completes the engine's read-query surface with the maintenance
+    half a KG store needs.
+    """
+    text = _strip_comments(update)
+    if _UNSUPPORTED.search(text):
+        raise SparqlError(
+            f"unsupported SPARQL feature: {_UNSUPPORTED.search(text).group(0)}")
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^>]*)>", text,
+                         re.IGNORECASE):
+        prefixes[m.group(1) or ""] = m.group(2)
+    text = re.sub(r"PREFIX\s+[\w-]*:\s*<[^>]*>", "", text,
+                  flags=re.IGNORECASE)
+    out = quads
+    ran = False
+    for op in _split_top_semis(text):
+        op = op.strip()
+        if not op:
+            continue
+        out = _apply_update_op(out, op, prefixes)
+        ran = True
+    if not ran:
+        raise SparqlError("empty update script")
+    return out

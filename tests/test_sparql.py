@@ -1385,3 +1385,124 @@ def test_group_concat_errors(quads):
                      'WHERE { ?a ?b ?x . }')
     with pytest.raises(SparqlError):
         parse_sparql("SELECT (SAMPLE(*) AS ?s) WHERE { ?a ?b ?x . }")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (functional: returns the updated store)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def upd_quads(spark):
+    rows = [
+        (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>", None),
+        (f"<{EX}alice>", f"<{EX}age>", '"30"', None),
+        # same triple in two graphs: triple-set semantics must treat
+        # them as one for matching and delete both copies
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', f"<{EX}g1>"),
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def _triples(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_update_insert_data_dedups(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{ ex:carol ex:age "41" . ex:alice ex:knows ex:bob }}
+    """)
+    # the second DATA triple already exists -> suppressed; new triple
+    # lands with a null graph
+    assert out.count() == 5
+    new = out.where(F.col("subj") == f"<{EX}carol>").collect()
+    assert [(r.obj, r.graph) for r in new] == [('"41"', None)]
+
+
+def test_update_delete_data_spans_graphs(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        DELETE DATA {{ ex:bob ex:age "25" }}""")
+    assert _triples(out) == {
+        (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>"),
+        (f"<{EX}alice>", f"<{EX}age>", '"30"'),
+    }
+
+
+def test_update_delete_where(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        DELETE WHERE {{ ?s ex:age ?a }}""")
+    assert _triples(out) == {(f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>")}
+
+
+def test_update_delete_insert_where_pre_update(upd_quads):
+    """WHERE is evaluated once against the pre-update state; DELETE
+    applies before INSERT (SPARQL 1.1 Update 3.1.3) — the rename does
+    not re-trigger on its own inserts."""
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:age ?a }}
+        INSERT {{ ?s ex:ageYears ?a . ?s ex:migrated "true" }}
+        WHERE {{ ?s ex:age ?a }}""")
+    assert _triples(out) == {
+        (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>"),
+        (f"<{EX}alice>", f"<{EX}ageYears>", '"30"'),
+        (f"<{EX}alice>", f"<{EX}migrated>", '"true"'),
+        (f"<{EX}bob>", f"<{EX}ageYears>", '"25"'),
+        (f"<{EX}bob>", f"<{EX}migrated>", '"true"'),
+    }
+
+
+def test_update_sequence_runs_in_order(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{ ex:meta ex:version "1" }} ;
+        DELETE {{ ex:meta ex:version "1" }}
+        INSERT {{ ex:meta ex:version "2" }}
+        WHERE {{ ex:meta ex:version "1" }} ;
+        DELETE WHERE {{ ?s ex:age ?a }}""")
+    got = _triples(out)
+    assert (f"<{EX}meta>", f"<{EX}version>", '"2"') in got
+    assert not any(p == f"<{EX}age>" for (_, p, _) in got)
+    assert len(got) == 2  # alice-knows-bob + meta-version-2
+
+
+def test_update_insert_only_where(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:hasAge "yes" }} WHERE {{ ?s ex:age ?a }}""")
+    assert out.count() == 4 + 2
+
+
+def test_update_skips_null_and_literal_subject_bindings(upd_quads):
+    """Template instantiation skips solutions where a template variable
+    is unbound (OPTIONAL miss) or would put a literal in the subject."""
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:knowsAge ?k }}
+        WHERE {{ ?s ex:age ?a . OPTIONAL {{ ?s ex:knows ?k }} }}""")
+    assert out.count() == 4 + 1  # only alice has a ?k binding
+    out2 = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT {{ ?a ex:isAgeOf ?s }} WHERE {{ ?s ex:age ?a }}""")
+    assert out2.count() == 4     # "30"/"25" subjects skipped
+
+
+def test_update_errors(upd_quads):
+    from kgloom.sparql import sparql_update
+    for bad, msg in [
+        (f'INSERT DATA {{ ?v <{EX}p> "1" }}', "ground"),
+        (f'INSERT DATA {{ "lit" <{EX}p> "1" }}', "literal"),
+        (f'DELETE {{ ?s <{EX}p> ?o }}', "WHERE"),
+        (f'DELETE {{ ?s <{EX}p>+ ?o }} WHERE {{ ?s <{EX}p> ?o }}',
+         "paths"),
+        (f'INSERT {{ ?s <{EX}p> ?missing }} WHERE {{ ?s <{EX}p> ?o }}',
+         "unbound"),
+        ("", "empty"),
+        (f'CLEAR GRAPH <{EX}g1>', "unsupported"),
+        (f'INSERT DATA {{ }}', "empty"),
+    ]:
+        with pytest.raises(SparqlError, match=msg):
+            sparql_update(upd_quads, bad)
