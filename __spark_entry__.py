@@ -506,6 +506,29 @@ def q_sparql_kg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update over the constructed KG (round-4,
+    kgloom/sparql.py:sparql_update): a two-operation script — INSERT
+    DATA adds a ground dataset-version triple, then DELETE/INSERT WHERE
+    rewrites every ``kg:role "tool"`` triple to ``"tool_result"`` and
+    stamps the rewritten turns with a marker triple.  Functional
+    semantics: the updated store comes back as one lazy plan (anti-join
+    deletes, anti-join + union inserts — only touched data pays dedup),
+    which the DuckDB oracle replays with plain set operations."""
+    from kgloom.sparql import sparql_update
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_update(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        INSERT DATA {
+          <http://kg.example/dataset> kg:version "r4"
+        } ;
+        DELETE { ?t kg:role "tool" }
+        INSERT { ?t kg:role "tool_result" .
+                 ?t kg:rewritten "true" }
+        WHERE  { ?t kg:role "tool" }
+    """).select("subj", "pred", "obj")
+
+
 def q_sparql_kg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 built-in function surface (round-4): chained BINDs
     over the constructed KG exercising STRAFTER/STRBEFORE (IRI
@@ -1201,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_path_anchored": q_sparql_kg_path_anchored,
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "sparql_kg_subquery": q_sparql_kg_subquery,
+        "sparql_kg_update": q_sparql_kg_update,
         "sparql_kg_functions": q_sparql_kg_functions,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
@@ -1708,6 +1732,32 @@ def oracle_sql() -> dict[str, str]:
                    'http://kg.example/tool/' || t.tool AS tool
             FROM tr t JOIN top5 ON t.conv_id = top5.conv_id
             WHERE t.tool IS NOT NULL
+        """,
+        # update replay: the store after the script = (base triples
+        # minus the matched role-"tool" rows) + the rewritten role +
+        # marker triples for the matched subjects + the ground INSERT
+        # DATA triple, as a set (the engine's anti-join insert only
+        # adds absent triples; DISTINCT replays that)
+        "sparql_kg_update": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            base AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+            matched AS (
+              SELECT DISTINCT subj FROM base
+              WHERE pred = '<http://kg.example/ontology/role>'
+                AND obj = '"tool"')
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT subj, pred, obj FROM base
+              WHERE NOT (pred = '<http://kg.example/ontology/role>'
+                         AND obj = '"tool"')
+              UNION ALL
+              SELECT subj, '<http://kg.example/ontology/role>',
+                     '"tool_result"' FROM matched
+              UNION ALL
+              SELECT subj, '<http://kg.example/ontology/rewritten>',
+                     '"true"' FROM matched
+              UNION ALL
+              SELECT '<http://kg.example/dataset>',
+                     '<http://kg.example/ontology/version>', '"r4"')
         """,
         # builtin-function replay: STRAFTER/STRBEFORE dissect the turn
         # IRI (conv/<cid>/turn/<idx> after the first "conv/"), ROUND is
