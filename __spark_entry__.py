@@ -569,13 +569,10 @@ def q_sparql_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def q_sparql_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL GRAPH over an engine-constructed two-named-graph KG:
-    nation names serialized into ``graph/names`` and region topology
-    into ``graph/topology`` by ONE plan (quad serializer templates),
-    then a cross-graph join — constant-IRI GRAPH scoping for the first
-    pattern, variable GRAPH binding (``?g``) for the second."""
-    from kgloom.sparql import sparql_select
+def _two_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-named-graph KG built by ONE mapping plan (quad serializer
+    templates): nation names into ``graph/names``, region topology
+    into ``graph/topology``."""
     g = Plan()
     p = g.source(_table_source("nation"))
     p = p.apply(ProjectOp(projection_attributes=frozenset(
@@ -594,13 +591,46 @@ def q_sparql_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = p.serialize(SerializerOp(template=(
         "?sm ?p_name ?o_name ?g_names .\n?sm ?p_reg ?o_reg ?g_topo .")))
     p = p.sink(_sink())
-    quads = _bind(spark, sf_dir, p, ["nation"])
+    return _bind(spark, sf_dir, p, ["nation"])
+
+
+def q_sparql_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH over an engine-constructed two-named-graph KG
+    (:func:`_two_graph_quads`): a cross-graph join — constant-IRI
+    GRAPH scoping for the first pattern, variable GRAPH binding
+    (``?g``) for the second."""
+    from kgloom.sparql import sparql_select
+    quads = _two_graph_quads(spark, sf_dir)
     return sparql_select(quads, f"""
         SELECT DISTINCT ?n ?r ?g WHERE {{
           GRAPH <{EX}graph/names> {{
             ?s <{EX}ontology/name> ?n }}
           GRAPH ?g {{ ?s <{EX}ontology/inRegion> ?r }}
         }}
+    """)
+
+
+def q_sparql_kg_update_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-scoped SPARQL 1.1 Update (round-4, kgloom/sparql.py): over
+    the two-named-graph KG, a three-operation script — MOVE renames the
+    topology graph (filter + retarget + union), a WITH-scoped
+    DELETE/INSERT rewrites ``ontology/name`` to ``ontology/label``
+    inside ``graph/names`` only (WITH wraps both the matching and the
+    unscoped templates in the graph scope), and a ``GRAPH ?g`` template
+    stamps every named graph with a provenance triple placed in that
+    same graph.  Quad-precise deletes/inserts (anti joins keyed on the
+    full quad, null-safe graph); the DuckDB oracle replays the end
+    state relationally."""
+    from kgloom.sparql import sparql_update
+    quads = _two_graph_quads(spark, sf_dir)
+    return sparql_update(quads, f"""
+        MOVE <{EX}graph/topology> TO <{EX}graph/topo2> ;
+        WITH <{EX}graph/names>
+        DELETE {{ ?s <{EX}ontology/name> ?n }}
+        INSERT {{ ?s <{EX}ontology/label> ?n }}
+        WHERE  {{ ?s <{EX}ontology/name> ?n }} ;
+        INSERT {{ GRAPH ?g {{ ?g <{EX}ontology/stamp> "stamped" }} }}
+        WHERE  {{ GRAPH ?g {{ ?s ?p ?o }} }}
     """)
 
 
@@ -1225,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_path_alt": q_sparql_kg_path_alt,
         "sparql_kg_subquery": q_sparql_kg_subquery,
         "sparql_kg_update": q_sparql_kg_update,
+        "sparql_kg_update_graphs": q_sparql_kg_update_graphs,
         "sparql_kg_functions": q_sparql_kg_functions,
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
@@ -1510,6 +1541,31 @@ def oracle_sql() -> dict[str, str]:
                    '{ex}region/' || CAST(n_regionkey AS VARCHAR) AS r,
                    '{ex}graph/topology' AS g
             FROM nation
+        """,
+        # graph-update replay: MOVE retargets topology->topo2, the
+        # WITH-scoped rewrite renames name->label inside graph/names,
+        # and the stamp insert adds one provenance quad per non-empty
+        # named graph
+        "sparql_kg_update_graphs": f"""
+            SELECT DISTINCT * FROM (
+              SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR)
+                       || '>' AS subj,
+                     '<{ex}ontology/inRegion>' AS pred,
+                     '<{ex}region/' || CAST(n_regionkey AS VARCHAR)
+                       || '>' AS obj,
+                     '<{ex}graph/topo2>' AS graph
+              FROM nation
+              UNION ALL
+              SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR)
+                       || '>',
+                     '<{ex}ontology/label>',
+                     '"' || n_name || '"',
+                     '<{ex}graph/names>'
+              FROM nation
+              UNION ALL
+              SELECT g, '<{ex}ontology/stamp>', '"stamped"', g
+              FROM (VALUES ('<{ex}graph/topo2>'),
+                           ('<{ex}graph/names>')) t(g))
         """,
         # negation replay: MINUS removes tool-invoking turns (exactly
         # the role='tool' rows, which always carry a tool), NOT EXISTS

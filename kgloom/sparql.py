@@ -2130,12 +2130,18 @@ def sparql_construct(quads: DataFrame, query: str) -> DataFrame:
 
 def _instantiate_template(sol: DataFrame, template,
                           what: str = "template") -> DataFrame:
-    """Instantiate a triple template once per solution row (§16.2):
-    instantiations with an unbound variable or a literal subject are
-    skipped; the result is a distinct (subj, pred, obj) DataFrame —
-    one lazy plan, no collect, no Python."""
+    """Instantiate a triple (or quad) template once per solution row
+    (§16.2): instantiations with an unbound variable, a literal
+    subject, or a literal/unbound graph are skipped; the result is a
+    distinct (subj, pred, obj[, graph]) DataFrame — one lazy plan, no
+    collect, no Python.  Template entries are 3-tuples (no graph
+    column emitted) or 4-tuples whose 4th element is ``None`` (default
+    graph → null), an IRI string, or a :class:`Var`."""
     parts = []
-    for (s, p, o) in template:
+    for entry in template:
+        s, p, o = entry[0], entry[1], entry[2]
+        g = entry[3] if len(entry) > 3 else None
+        with_graph = len(entry) > 3
         cols = []
         for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
             if isinstance(term, Var):
@@ -2146,13 +2152,22 @@ def _instantiate_template(sol: DataFrame, template,
                 cols.append(F.col(term.name).alias(pos))
             else:
                 cols.append(F.lit(term).alias(pos))
-        t = (sol.select(*cols)
-             .where(F.col("subj").isNotNull()
-                    & F.col("pred").isNotNull()
-                    & F.col("obj").isNotNull()
-                    & ~F.col("subj").startswith('"')
-                    & F.col("pred").startswith("<")))
-        parts.append(t)
+        keep = (F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+                & ~F.col("subj").startswith('"')
+                & F.col("pred").startswith("<"))
+        if with_graph:
+            if isinstance(g, Var):
+                if g.name not in sol.columns:
+                    raise SparqlError(
+                        f"{what} references unbound variable ?{g.name}")
+                cols.append(F.col(g.name).alias("graph"))
+                keep = (keep & F.col("graph").isNotNull()
+                        & ~F.col("graph").startswith('"'))
+            else:
+                cols.append(F.lit(g).cast("string").alias("graph"))
+        parts.append(sol.select(*cols).where(keep))
     out = parts[0]
     for t in parts[1:]:
         out = out.unionByName(t)
@@ -2254,26 +2269,76 @@ def _split_top_semis(text: str) -> list[str]:
     return parts
 
 
+_GRAPH_HEAD = re.compile(
+    r"GRAPH\s+(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)\s*",
+    re.IGNORECASE)
+
+
 def _update_template(src: str, prefixes: dict[str, str], what: str,
-                     ground: bool = False):
-    """Parse and validate a DELETE/INSERT template (or DATA block when
-    ``ground``): literal subjects and non-IRI predicates are rejected
-    (like CONSTRUCT templates), paths never, variables only when not
-    ground."""
-    triples = _parse_triples(src, prefixes)
-    if not triples:
+                     ground: bool = False, default_graph=None):
+    """Parse and validate a DELETE/INSERT quad template (or DATA block
+    when ``ground``): plain triples plus ``GRAPH <iri>|?var { ... }``
+    blocks, returned as (s, p, o, g) 4-tuples where g is ``None``
+    (triples outside any GRAPH block, scoped to ``default_graph`` —
+    the ``WITH`` graph — when one is set), an IRI, or a :class:`Var`.
+    Literal subjects and non-IRI predicates are rejected (like
+    CONSTRUCT templates), paths never, variables only when not
+    ``ground``."""
+    quads: list[tuple] = []
+    i, n, chunk_start, in_str = 0, len(src), 0, False
+    while i < n:
+        ch = src[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+            i += 1
+            continue
+        if ch == '"':
+            in_str = True
+        elif _at_keyword(src, i, "GRAPH"):
+            chunk = src[chunk_start:i]
+            quads.extend((*t, default_graph)
+                         for t in _parse_triples(chunk, prefixes))
+            m = _GRAPH_HEAD.match(src, i)
+            if m is None:
+                raise SparqlError(f"GRAPH needs ?var or an IRI in {what}")
+            gsrc = m.group(1)
+            if gsrc.startswith("?"):
+                gterm: Term = Var(gsrc[1:])
+            elif gsrc.startswith("<"):
+                gterm = gsrc
+            else:
+                gterm = _resolve_term("pname", gsrc, prefixes)
+            if m.end() >= n or src[m.end()] != "{":
+                raise SparqlError(
+                    f"GRAPH must be followed by a group in {what}")
+            inner, j = _take_braced(src, m.end())
+            quads.extend((*t, gterm)
+                         for t in _parse_triples(inner, prefixes))
+            chunk_start = i = j
+            continue
+        i += 1
+    quads.extend((*t, default_graph)
+                 for t in _parse_triples(src[chunk_start:], prefixes))
+    if not quads:
         raise SparqlError(f"empty {what} template")
-    for (s, p, o) in triples:
+    for (s, p, o, g) in quads:
         if isinstance(p, Path):
             raise SparqlError(f"property paths are not allowed in {what}")
-        if ground and any(isinstance(x, Var) for x in (s, p, o)):
+        if ground and any(isinstance(x, Var) for x in (s, p, o, g)):
             raise SparqlError(f"{what} requires ground triples "
                               f"(no variables)")
         if not isinstance(s, Var) and s.startswith('"'):
             raise SparqlError(f"{what} subject cannot be a literal")
         if not isinstance(p, Var) and not p.startswith("<"):
             raise SparqlError(f"{what} predicate must be an IRI")
-    return triples
+        if g is not None and not isinstance(g, Var) \
+                and not g.startswith("<"):
+            raise SparqlError(f"{what} graph name must be an IRI")
+    return quads
 
 
 def _take_update_braced(op: str, i: int, what: str) -> tuple[str, int]:
@@ -2282,32 +2347,143 @@ def _take_update_braced(op: str, i: int, what: str) -> tuple[str, int]:
     return _take_braced(op, i)
 
 
+_GM_CLEAR = re.compile(
+    r"^(CLEAR|DROP)\s+(?:SILENT\s+)?"
+    r"(?:GRAPH\s+(<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)|(DEFAULT|NAMED|ALL))"
+    r"\s*$", re.IGNORECASE)
+_GM_MOVE = re.compile(
+    r"^(ADD|COPY|MOVE)\s+(?:SILENT\s+)?"
+    r"(?:(?:GRAPH\s+)?(<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)|(DEFAULT))"
+    r"\s+TO\s+"
+    r"(?:(?:GRAPH\s+)?(<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)|(DEFAULT))"
+    r"\s*$", re.IGNORECASE)
+
+
 def _apply_update_op(out: DataFrame, op: str,
                      prefixes: dict[str, str]) -> DataFrame:
     spark = out.sparkSession
     key = ["subj", "pred", "obj"]
+    has_graph = "graph" in out.columns
+
+    def need_graph(what: str) -> None:
+        if not has_graph:
+            raise SparqlError(
+                f"{what} needs a quad store (no graph column)")
+
+    def resolve_graph_iri(src: str, what: str) -> str:
+        g = src if src.startswith("<") \
+            else _resolve_term("pname", src, prefixes)
+        if isinstance(g, Var) or not g.startswith("<"):
+            raise SparqlError(f"{what} graph name must be an IRI")
+        return g
+
+    def graph_pred(g):  # g None = the default graph
+        return F.col("graph").isNull() if g is None \
+            else F.col("graph").eqNullSafe(F.lit(g))
 
     def ground_df(src: str, what: str) -> DataFrame:
-        triples = _update_template(src, prefixes, what, ground=True)
+        quads = _update_template(src, prefixes, what, ground=True)
+        if any(g is not None for (_, _, _, g) in quads):
+            need_graph(f"GRAPH in {what}")
         return spark.createDataFrame(
-            [(s, p, o) for (s, p, o) in triples],
-            "subj string, pred string, obj string")
+            quads, "subj string, pred string, obj string, graph string")
+
+    def apply_delete(base: DataFrame, dels: DataFrame) -> DataFrame:
+        """``dels`` is a quad set; rows with a null graph delete EVERY
+        graph's copy of the triple (the documented triple-set view of
+        unscoped templates), rows with a graph delete only that
+        graph's copy.  Both are left-anti joins."""
+        any_g = dels.where(F.col("graph").isNull()).select(*key)
+        new = base.join(any_g, key, "left_anti")
+        scoped = dels.where(F.col("graph").isNotNull())
+        if has_graph:
+            new = new.join(scoped, key + ["graph"], "left_anti")
+        return new
 
     def insert_new(base: DataFrame, add: DataFrame) -> DataFrame:
-        # set semantics at the triple level: only triples absent from
-        # the (post-delete) store are added; added rows carry null in
-        # any extra columns (graph) via allowMissingColumns
-        new = add.join(base.select(*key).distinct(), key, "left_anti")
+        # set semantics: on a quad store the key is the full quad
+        # (null graph = the default graph, null-safe compare); on a
+        # bare triple store it is the triple.  Only triples absent
+        # from the (post-delete) store are added — an anti join, so
+        # the touched data, not the whole store, pays the dedup cost.
+        if has_graph:
+            b = base.select(*key, "graph").distinct().alias("__b")
+            a = add.alias("__a")
+            cond = (F.col("__a.subj") == F.col("__b.subj")) \
+                & (F.col("__a.pred") == F.col("__b.pred")) \
+                & (F.col("__a.obj") == F.col("__b.obj")) \
+                & F.col("__a.graph").eqNullSafe(F.col("__b.graph"))
+            new = a.join(b, cond, "left_anti")
+        else:
+            new = add.select(*key).join(
+                base.select(*key).distinct(), key, "left_anti")
         return base.unionByName(new, allowMissingColumns=True)
+
+    m = _GM_CLEAR.match(op)
+    if m:
+        need_graph(m.group(1).upper())
+        if m.group(2):
+            return out.where(
+                ~graph_pred(resolve_graph_iri(m.group(2), m.group(1))))
+        kw = m.group(3).upper()
+        if kw == "ALL":
+            return out.where(F.lit(False))
+        if kw == "NAMED":
+            return out.where(F.col("graph").isNull())
+        return out.where(F.col("graph").isNotNull())  # DEFAULT
+
+    m = _GM_MOVE.match(op)
+    if m:
+        verb = m.group(1).upper()
+        need_graph(verb)
+        src = None if m.group(3) else resolve_graph_iri(m.group(2), verb)
+        dst = None if m.group(5) else resolve_graph_iri(m.group(4), verb)
+        if src == dst:
+            return out
+        moved = (out.where(graph_pred(src))
+                 .withColumn("graph", F.lit(dst).cast("string")))
+        if verb == "ADD":
+            return insert_new(out, moved)
+        base = out.where(~graph_pred(dst))
+        if verb == "MOVE":
+            base = base.where(~graph_pred(src))
+        return base.unionByName(moved)
+
+    if re.match(r"^CREATE\s+(SILENT\s+)?GRAPH\s+", op, re.IGNORECASE):
+        # graphs have no independent existence in a quad table: an
+        # empty graph IS absence — CREATE is a conformance no-op
+        return out
+
+    with_g = None
+    m = re.match(r"^WITH\s+(<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)\s*", op,
+                 re.IGNORECASE)
+    if m:
+        with_g = resolve_graph_iri(m.group(1), "WITH")
+        need_graph("WITH")
+        op = op[m.end():]
+
+    def exec_where(src: str) -> DataFrame:
+        group = _parse_group(src, prefixes)
+        if group.is_empty():
+            raise SparqlError("empty basic graph pattern")
+        if with_g is not None:
+            # WITH sets the active graph for matching (§3.1.3): wrap
+            # the whole WHERE in a GRAPH scope
+            outer = GroupPattern()
+            outer.graphs.append((with_g, group))
+            group = outer
+        return _exec_group(out, group, prefixes)
 
     m = re.match(r"^(INSERT|DELETE)\s+DATA\s*", op, re.IGNORECASE)
     if m:
+        if with_g is not None:
+            raise SparqlError("WITH does not apply to DATA operations")
         src, j = _take_update_braced(op, m.end(), f"{m.group(1)} DATA")
         if op[j:].strip():
             raise SparqlError(f"trailing text after update: {op[j:]!r}")
         df = ground_df(src, f"{m.group(1).upper()} DATA")
         if m.group(1).upper() == "DELETE":
-            return out.join(F.broadcast(df), key, "left_anti")
+            return apply_delete(out, F.broadcast(df))
         return insert_new(out, df)
 
     m = re.match(r"^DELETE\s+WHERE\s*", op, re.IGNORECASE)
@@ -2315,42 +2491,47 @@ def _apply_update_op(out: DataFrame, op: str,
         src, j = _take_update_braced(op, m.end(), "DELETE WHERE")
         if op[j:].strip():
             raise SparqlError(f"trailing text after update: {op[j:]!r}")
-        template = _update_template(src, prefixes, "DELETE WHERE")
-        sol = _exec_group(out, _parse_group(src, prefixes), prefixes)
-        dels = _instantiate_template(sol, template, "DELETE WHERE")
-        return out.join(dels, key, "left_anti")
+        template = _update_template(src, prefixes, "DELETE WHERE",
+                                    default_graph=with_g)
+        if any(t[3] is not None for t in template):
+            need_graph("GRAPH in DELETE WHERE")
+        sol = exec_where(src)
+        return apply_delete(
+            out, _instantiate_template(sol, template, "DELETE WHERE"))
 
     del_t = ins_t = None
     i = 0
     m = re.match(r"^DELETE\s*", op, re.IGNORECASE)
     if m and op[m.end():m.end() + 1] == "{":
         src, i = _take_update_braced(op, m.end(), "DELETE")
-        del_t = _update_template(src, prefixes, "DELETE template")
+        del_t = _update_template(src, prefixes, "DELETE template",
+                                 default_graph=with_g)
     m = re.match(r"\s*INSERT\s*", op[i:], re.IGNORECASE)
     if m and op[i + m.end():i + m.end() + 1] == "{":
         src, j = _take_update_braced(op[i:], m.end(), "INSERT")
-        ins_t = _update_template(src, prefixes, "INSERT template")
+        ins_t = _update_template(src, prefixes, "INSERT template",
+                                 default_graph=with_g)
         i += j
     if del_t is None and ins_t is None:
         raise SparqlError(f"unsupported update operation: {op[:60]!r}")
+    for t in (del_t or []) + (ins_t or []):
+        if t[3] is not None:
+            need_graph("GRAPH in update template")
+            break
     m = re.match(r"\s*WHERE\s*", op[i:], re.IGNORECASE)
     if m is None:
         raise SparqlError("DELETE/INSERT templates require WHERE")
     src, j = _take_update_braced(op[i:], m.end(), "WHERE")
     if op[i + j:].strip():
         raise SparqlError(f"trailing text after update: {op[i + j:]!r}")
-    group = _parse_group(src, prefixes)
-    if group.is_empty():
-        raise SparqlError("empty basic graph pattern")
     # both templates instantiate against the PRE-update state (SPARQL
     # 1.1 Update §3.1.3: the WHERE is evaluated once, DELETE applies
     # before INSERT)
-    sol = _exec_group(out, group, prefixes)
+    sol = exec_where(src)
+    new_out = out
     if del_t is not None:
         dels = _instantiate_template(sol, del_t, "DELETE template")
-        new_out = out.join(dels, key, "left_anti")
-    else:
-        new_out = out
+        new_out = apply_delete(new_out, dels)
     if ins_t is not None:
         ins = _instantiate_template(sol, ins_t, "INSERT template")
         new_out = insert_new(new_out, ins)
@@ -2366,18 +2547,29 @@ def sparql_update(quads: DataFrame, update: str) -> DataFrame:
     Supported operations (``;``-separated sequences run in order, each
     against the previous operation's result): ``INSERT DATA {…}``,
     ``DELETE DATA {…}``, ``DELETE WHERE {…}`` (the pattern is both the
-    match and the delete template), and ``DELETE {…} INSERT {…} WHERE
-    {…}`` with either template optional.  Within one operation the
-    WHERE matches the pre-update state and DELETE applies before
-    INSERT (SPARQL 1.1 Update §3.1.3).
+    match and the delete template), ``[WITH <g>] DELETE {…} INSERT {…}
+    WHERE {…}`` with either template optional, and — on quad stores —
+    the graph-management family ``CLEAR|DROP [SILENT] GRAPH <g> |
+    DEFAULT | NAMED | ALL``, ``ADD|COPY|MOVE [SILENT] <g1>|DEFAULT TO
+    <g2>|DEFAULT`` and the ``CREATE GRAPH`` no-op (an empty graph IS
+    absence in a quad table).  Templates and DATA blocks may contain
+    ``GRAPH <iri>|?var { … }`` blocks; ``WITH <g>`` scopes both the
+    WHERE matching and any unscoped template triples to ``<g>``.
+    Within one operation the WHERE matches the pre-update state and
+    DELETE applies before INSERT (SPARQL 1.1 Update §3.1.3).
 
-    Semantics note: the store is treated as a TRIPLE set — matching
-    spans all graphs (like this engine's BGPs), a delete removes every
-    graph's copy of a matched triple, and inserts land with a null
-    ``graph``; duplicate inserts are suppressed by an anti join rather
-    than a full distinct, so the touched data — not the whole store —
-    pays the dedup cost.  Spark shape: deletes are left-anti joins
-    (ground DATA blocks broadcast), inserts are anti-join + union; no
+    Semantics note: UNSCOPED template triples keep the engine's
+    triple-set view — matching spans all graphs (like this engine's
+    BGPs), an unscoped delete removes every graph's copy of a matched
+    triple, and unscoped inserts land in the default graph (null
+    ``graph``); GRAPH-scoped (or WITH-scoped) triples are quad-precise
+    on both sides.  On a quad store the insert set-key is the full
+    quad (null-safe on graph), on a bare triple store the triple;
+    duplicate inserts are suppressed by an anti join rather than a
+    full distinct, so the touched data — not the whole store — pays
+    the dedup cost.  Spark shape: deletes are left-anti joins (ground
+    DATA blocks broadcast), inserts are anti-join + union, CLEAR/DROP
+    are filters, ADD/COPY/MOVE are filter + retarget + union; no
     collect, no Python.  For long scripts, localCheckpoint
     intermittently — each operation adds joins to the lazy plan.
 

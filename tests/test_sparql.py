@@ -1501,8 +1501,133 @@ def test_update_errors(upd_quads):
         (f'INSERT {{ ?s <{EX}p> ?missing }} WHERE {{ ?s <{EX}p> ?o }}',
          "unbound"),
         ("", "empty"),
-        (f'CLEAR GRAPH <{EX}g1>', "unsupported"),
+        (f'LOAD <{EX}dump.nq>', "unsupported"),
         (f'INSERT DATA {{ }}', "empty"),
+        (f'WITH <{EX}g1> INSERT DATA {{ <{EX}a> <{EX}p> "1" }}',
+         "WITH does not apply"),
+        (f'INSERT DATA {{ GRAPH ?v {{ <{EX}a> <{EX}p> "1" }} }}',
+         "ground"),
     ]:
         with pytest.raises(SparqlError, match=msg):
             sparql_update(upd_quads, bad)
+
+
+def test_update_graph_ops_need_quad_store(upd_quads):
+    from kgloom.sparql import sparql_update
+    triples = upd_quads.select("subj", "pred", "obj")
+    for bad in [f"CLEAR GRAPH <{EX}g1>",
+                f"ADD <{EX}g1> TO DEFAULT",
+                f"WITH <{EX}g1> INSERT {{ ?s <{EX}q> ?o }} "
+                f"WHERE {{ ?s <{EX}p> ?o }}",
+                f'INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}a> <{EX}p> "1" '
+                f'}} }}',
+                f"DELETE WHERE {{ GRAPH <{EX}g1> {{ ?s ?p ?o }} }}"]:
+        with pytest.raises(SparqlError, match="quad store"):
+            sparql_update(triples, bad)
+
+
+def _quads(df):
+    return {(r.subj, r.pred, r.obj, r.graph) for r in df.collect()}
+
+
+def test_update_clear_drop(upd_quads):
+    from kgloom.sparql import sparql_update
+    assert sparql_update(upd_quads, f"CLEAR GRAPH <{EX}g1>").count() == 3
+    assert sparql_update(upd_quads, "CLEAR DEFAULT").count() == 1
+    assert sparql_update(upd_quads, "DROP NAMED").count() == 3
+    assert sparql_update(upd_quads, "CLEAR ALL").count() == 0
+    assert sparql_update(upd_quads, "CLEAR SILENT ALL").count() == 0
+    # clearing an absent graph is a no-op, not an error
+    assert sparql_update(upd_quads, f"CLEAR GRAPH <{EX}nope>").count() == 4
+    # CREATE is a conformance no-op
+    assert sparql_update(upd_quads,
+                         f"CREATE GRAPH <{EX}gnew>").count() == 4
+
+
+def test_update_add_copy_move(upd_quads):
+    from kgloom.sparql import sparql_update
+    g1, g2 = f"<{EX}g1>", f"<{EX}g2>"
+    # ADD: union with set semantics; the default graph already holds
+    # bob-age-25, so ADD g1 TO DEFAULT adds nothing
+    assert sparql_update(upd_quads, f"ADD {g1} TO DEFAULT").count() == 4
+    out = sparql_update(upd_quads, f"ADD DEFAULT TO {g2}")
+    assert out.count() == 7
+    assert out.where(F.col("graph") == g2).count() == 3
+    # COPY replaces the target graph
+    out = sparql_update(out, f"COPY {g1} TO {g2}")
+    assert _quads(out.where(F.col("graph") == g2)) == {
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', g2)}
+    # MOVE empties the source
+    out2 = sparql_update(upd_quads, f"MOVE {g1} TO {g2}")
+    assert out2.where(F.col("graph") == g1).count() == 0
+    assert _quads(out2.where(F.col("graph") == g2)) == {
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', g2)}
+    # self-target is a no-op
+    assert sparql_update(upd_quads, f"MOVE {g1} TO {g1}").count() == 4
+
+
+def test_update_insert_data_graph_block(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{
+          ex:carol ex:age "41" .
+          GRAPH ex:g1 {{ ex:carol ex:age "41" . ex:dave ex:age "9" }}
+        }}""")
+    # quad-level set semantics: the same triple may land in the
+    # default graph AND g1
+    assert _quads(out.where(F.col("subj") == f"<{EX}carol>")) == {
+        (f"<{EX}carol>", f"<{EX}age>", '"41"', None),
+        (f"<{EX}carol>", f"<{EX}age>", '"41"', f"<{EX}g1>"),
+    }
+    # re-inserting an existing quad is suppressed
+    again = sparql_update(out, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{ GRAPH ex:g1 {{ ex:dave ex:age "9" }} }}""")
+    assert again.count() == out.count()
+
+
+def test_update_delete_data_graph_scoped(upd_quads):
+    from kgloom.sparql import sparql_update
+    # scoped DELETE DATA removes only that graph's copy
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        DELETE DATA {{ GRAPH ex:g1 {{ ex:bob ex:age "25" }} }}""")
+    assert _quads(out) == {
+        (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>", None),
+        (f"<{EX}alice>", f"<{EX}age>", '"30"', None),
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', None),
+    }
+
+
+def test_update_with_graph_scoping(upd_quads):
+    from kgloom.sparql import sparql_update
+    # WITH scopes matching: only g1 holds bob-age-25, the default-graph
+    # copies of ex:age do not match inside WITH <g1>
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        WITH <{EX}g1>
+        DELETE {{ ?s ex:age ?a }} INSERT {{ ?s ex:ageYears ?a }}
+        WHERE {{ ?s ex:age ?a }}""")
+    assert _quads(out) == {
+        (f"<{EX}alice>", f"<{EX}knows>", f"<{EX}bob>", None),
+        (f"<{EX}alice>", f"<{EX}age>", '"30"', None),
+        (f"<{EX}bob>", f"<{EX}age>", '"25"', None),
+        (f"<{EX}bob>", f"<{EX}ageYears>", '"25"', f"<{EX}g1>"),
+    }
+
+
+def test_update_graph_var_template(upd_quads):
+    from kgloom.sparql import sparql_update
+    # GRAPH ?g in both the WHERE and the INSERT template: stamp every
+    # named graph with a provenance triple in that same graph
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        INSERT {{ GRAPH ?g {{ ?g ex:touched "true" }} }}
+        WHERE  {{ GRAPH ?g {{ ?s ?p ?o }} }}""")
+    added = _quads(out) - _quads(upd_quads)
+    assert added == {(f"<{EX}g1>", f"<{EX}touched>", '"true"',
+                      f"<{EX}g1>")}
+
+
+def test_update_delete_where_graph_block(upd_quads):
+    from kgloom.sparql import sparql_update
+    out = sparql_update(upd_quads, f"""PREFIX ex: <{EX}>
+        DELETE WHERE {{ GRAPH <{EX}g1> {{ ?s ?p ?o }} }}""")
+    assert out.count() == 3
+    assert out.where(F.col("graph").isNotNull()).count() == 0
