@@ -323,6 +323,30 @@ def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("conv_id").alias("n_convs")))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the co-mention graph (round-4,
+    kgloom/ops/graph.py:triangle_count — degree-ordered node-iterator,
+    each triangle generated once at its lowest-rank corner, hub wedge
+    fan-out bounded by O(√m)): canonical entities sharing a
+    conversation are joined into undirected edges, then counted.  The
+    DuckDB oracle replays the count with the naive rank-free
+    lexicographic orientation — triangle counts are
+    orientation-independent, so the two must agree exactly."""
+    from kgloom.transcripts.er import canonical_map
+    from kgloom.ops.graph import triangle_count
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    ents = (m.join(cmap, "surface")
+            .select("conv_id", "canonical").distinct())
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "conv_id")
+             .where(F.col("a.canonical") < F.col("b.canonical"))
+             .select(F.col("a.canonical").alias("src"),
+                     F.col("b.canonical").alias("dst")))
+    return triangle_count(edges)
+
+
 def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT over the engine's own constructed KG: build the
     turn triples, then answer a two-pattern BGP (join on ?turn) with a
@@ -1292,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "graph_pagerank": q_graph_pagerank,
         "graph_kg_profile": q_graph_kg_profile,
+        "graph_triangles": q_graph_triangles,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -1444,6 +1469,48 @@ def oracle_sql() -> dict[str, str]:
         # exactly the norm_key groups and the canonical is the group's
         # min surface (both the driver union-find and the distributed
         # CC use the same min-label rule)
+        # co-mention triangle replay with the naive lexicographic
+        # orientation (u < v names; the engine uses degree-rank
+        # orientation — counts are orientation-independent)
+        "graph_triangles": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1) AS norm_key
+              FROM tr),
+            canon AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            ents AS (
+              SELECT DISTINCT m.conv_id, c.canonical AS ent
+              FROM m JOIN canon c USING (norm_key)),
+            e AS (
+              SELECT DISTINCT a.ent AS u, b.ent AS v
+              FROM ents a JOIN ents b
+                ON a.conv_id = b.conv_id AND a.ent < b.ent),
+            deg AS (
+              SELECT node FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+            cnt AS (
+              SELECT node, COUNT(*) AS n
+              FROM (SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+              GROUP BY node)
+            SELECT deg.node AS node,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+            FROM deg LEFT JOIN cnt USING (node)
+        """,
         "transcripts_entity_degree": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
             m AS (

@@ -95,6 +95,68 @@ def kg_profile(triples: DataFrame) -> DataFrame:
         F.sum(obj.startswith("_:").cast("long")).alias("n_bnode_obj")))
 
 
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """(node, n_triangles) over the undirected simple graph induced by
+    ``edges`` (direction, duplicates, and self-loops are discarded) —
+    the clustering / cohesion measure reported next to degree and
+    PageRank.
+
+    Algorithm: degree-ordered node-iterator (Latapy's compact-forward /
+    the Suri–Vassilvitskii MapReduce orientation): every edge is
+    oriented from its lower-``(degree, node)`` endpoint to the higher,
+    so each triangle is generated exactly once at its lowest-rank
+    corner and — the 100-TB point — a degree-``d`` hub generates wedge
+    pairs only from its ORIENTED out-neighbourhood, whose size is
+    O(√m) on any graph (bounded by arboricity), not ``d``: the skewed
+    hub that makes the naive wedge join quadratic is defused by
+    construction, no salting needed.
+
+    Spark shape: one self-join on the wedge center builds candidate
+    pairs, one semi-ish inner join against the oriented edge set closes
+    them, one explode + hash aggregate credits the three corners; the
+    oriented edge set is computed once and persisted (tracked —
+    release via :func:`kgloom.ops.cache.unpersist_tracked`).  All
+    Catalyst, no Python."""
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(F.least(F.col(src), F.col(dst)).alias("u"),
+                 F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    nodes = tracked_persist(deg.select("node"))
+    ranked = (e.join(deg.withColumnsRenamed({"node": "u", "d": "du"}), "u")
+              .join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v"))
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = tracked_persist(ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du"))
+        .alias("db")))
+    # wedges at the lowest-rank corner: two out-edges of a, the pair
+    # itself rank-ordered so the closing edge's orientation is known
+    w1 = oriented.select("a", F.col("b").alias("b1"),
+                         F.col("db").alias("db1"))
+    w2 = oriented.select("a", F.col("b").alias("b2"),
+                         F.col("db").alias("db2"))
+    wedges = w1.join(w2, "a").where(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2"))))
+    closing = oriented.select(F.col("a").alias("b1"),
+                              F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    corners = (tri.select(F.explode(F.array("a", "b1", "b2"))
+                          .alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1))
+                                    .alias("n_triangles")))
+    return (nodes.join(corners, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .alias("n_triangles")))
+
+
 def degree_summary(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree) over the distinct edge set —

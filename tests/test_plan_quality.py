@@ -160,3 +160,16 @@ def test_shacl_validate_single_scan_no_python(spark):
     plan = explain_str(df)
     assert "EvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_triangle_count_jvm_only_no_cartesian(spark):
+    """The triangle plan is pure Catalyst (no Python eval) and every
+    join is keyed — no cartesian/broadcast-nested-loop blowup from the
+    wedge self-join."""
+    from kgloom.ops.graph import triangle_count
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string")
+    plan = explain_str(triangle_count(e))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -136,3 +136,59 @@ def test_degree_summary(edges):
     got = {r.node: (r.out_degree, r.in_degree)
            for r in degree_summary(edges).collect()}
     assert got == {"a": (2, 2), "b": (1, 1), "c": (1, 2), "d": (1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def _py_triangles(edges):
+    """Brute-force per-node triangle counts over the induced undirected
+    simple graph."""
+    import itertools
+    adj = {}
+    for s, t in edges:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    counts = {v: 0 for v in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from kgloom.ops.graph import triangle_count
+    # two triangles sharing edge (a,b), a pendant, an isolated edge,
+    # a duplicate edge, a reversed duplicate, and a self-loop
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b"),
+           ("d", "e"), ("x", "y"), ("b", "a"), ("a", "b"), ("e", "e")]
+    e = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == _py_triangles(raw)
+    # every graph node appears, zero-triangle ones included
+    assert got["x"] == 0 and got["e"] == 0
+
+
+def test_triangle_count_complete_graph(spark):
+    from kgloom.ops.graph import triangle_count
+    # K6: every node is in C(5,2) = 10 triangles (heavy tie-breaking:
+    # all degrees equal, so orientation falls back to the name order)
+    nodes = [f"n{i}" for i in range(6)]
+    raw = [(a, b) for a in nodes for b in nodes if a < b]
+    e = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {n: 10 for n in nodes}
+
+
+def test_triangle_count_triangle_free(spark):
+    from kgloom.ops.graph import triangle_count
+    # C4 (square) has no triangles
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    e = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {v: 0 for v in "abcd"}
