@@ -323,6 +323,30 @@ def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("conv_id").alias("n_convs")))
 
 
+def q_transcripts_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-gap sessionization rollup (round-4,
+    kgloom/transcripts/training.py): conversations split at >6h
+    inactivity gaps (LAG boundary + running sum, compared in exact
+    integer microseconds), rolled up to per-session turn counts and
+    bounds.  One shuffle on conv_id, linear per-conversation windows —
+    the transcript pipeline's partitioning reused as-is."""
+    from kgloom.transcripts.training import session_summary
+    turns = transcripts_from_events(spark, sf_dir)
+    return session_summary(turns, gap_seconds=21600)
+
+
+def q_transcripts_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example extraction (round-4,
+    kgloom/transcripts/training.py): one (prompt, response) pair per
+    assistant turn, the prompt being the rendered last-3-turn context
+    window (collect_list over a bounded window frame, joined JVM-side)
+    — the conversation-to-training-example step of an LLM data
+    pipeline, capped so prompt volume stays linear at 100 TB."""
+    from kgloom.transcripts.training import sft_examples
+    turns = transcripts_from_events(spark, sf_dir)
+    return sft_examples(turns, max_context_turns=3)
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts over the co-mention graph (round-4,
     kgloom/ops/graph.py:triangle_count — degree-ordered node-iterator,
@@ -1268,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vertical_store": q_kg_vertical_store,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
+        "transcripts_sessions": q_transcripts_sessions,
+        "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "sparql_kg_select": q_sparql_kg_select,
         "sparql_kg_optional": q_sparql_kg_optional,
         "sparql_kg_union": q_sparql_kg_union,
@@ -1469,6 +1495,47 @@ def oracle_sql() -> dict[str, str]:
         # exactly the norm_key groups and the canonical is the group's
         # min surface (both the driver union-find and the distributed
         # CC use the same min-label rule)
+        # sessionization replay: LAG boundary in exact microseconds,
+        # running-sum session index, per-session rollup
+        "transcripts_sessions": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            l AS (
+              SELECT conv_id, turn_idx, ts, tool,
+                     epoch_us(ts - LAG(ts) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx))
+                       AS gap_us
+              FROM tr),
+            s AS (
+              SELECT *,
+                     SUM(CASE WHEN gap_us IS NULL
+                              OR gap_us > CAST(21600 AS BIGINT) * 1000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+              FROM l)
+            SELECT conv_id,
+                   conv_id || '#' || CAST(sidx AS VARCHAR) AS session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(tool) AS BIGINT) AS n_tool_turns,
+                   MIN(epoch_us(ts)) AS t_start_us,
+                   MAX(epoch_us(ts)) AS t_end_us
+            FROM s GROUP BY conv_id, sidx
+        """,
+        # SFT pair replay: windowed string_agg over the 3-turn frame,
+        # assistant turns with non-empty context
+        "transcripts_sft_pairs": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx, role, text,
+                     string_agg(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS prompt
+              FROM tr)
+            SELECT conv_id, turn_idx, prompt, text AS response
+            FROM c
+            WHERE role = 'assistant' AND prompt IS NOT NULL
+        """,
         # co-mention triangle replay with the naive lexicographic
         # orientation (u < v names; the engine uses degree-rank
         # orientation — counts are orientation-independent)
