@@ -866,6 +866,17 @@ def q_ann_cosine_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """int8-quantized ANN (round-4, kgloom/ops/similarity.py): global
+    symmetric scalar quantization (one aggregate, broadcast back, 4×
+    less embedding IO at scale) then top-k on quantized cosine; the
+    returned qdot is an exact integer dot product, so every output
+    cell is drift-free and fully hashable.  The DuckDB oracle replays
+    the identical quantize → integer-dot → rank pipeline."""
+    return S.quantized_topk(_emb(spark, sf_dir), k=5,
+                            query_ids=list(range(10)))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir), k=3,
                       query_ids=list(range(20))).select(
@@ -1344,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kg_profile": q_graph_kg_profile,
         "graph_triangles": q_graph_triangles,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
@@ -2512,6 +2524,40 @@ def oracle_sql() -> dict[str, str]:
                    '<http://kg.example/tool/' || tool || '>'
             FROM tr WHERE tool IS NOT NULL""",
             damping=0.85, iterations=3),
+        # quantize -> exact integer dot -> rank replay (all integer
+        # inputs stay below 2^53, so the double dot sums are exact and
+        # engine-identical)
+        "ann_quantized_topk": """
+            WITH ma AS (
+              SELECT 127.0 / MAX(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS s
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> round(x * s)) AS qv
+              FROM embeddings, ma),
+            n AS (
+              SELECT vec_id, qv,
+                     list_dot_product(qv, qv) AS sq
+              FROM q),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot,
+                     list_dot_product(a.qv, b.qv)
+                       / sqrt(a.sq * b.sq) AS qsim
+              FROM n a JOIN n b ON a.vec_id != b.vec_id
+              WHERE a.vec_id < 10),
+            ranked AS (
+              SELECT query_id, neighbor_id, qdot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY qsim DESC, neighbor_id)
+                       AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   qdot
+            FROM ranked WHERE rank <= 5
+        """,
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -230,3 +230,79 @@ def cosine_topk_arrow(emb: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("sim", round_to).alias("sim")))
+
+
+# --- int8 scalar quantization (the 100 TB storage/IO path) ----------------
+
+def quantize_embeddings(emb: DataFrame, col: str = "embedding",
+                        out: str = "qembedding",
+                        keep_scale: bool = False) -> DataFrame:
+    """Symmetric global-scale int8 quantization of an ``array<float>``
+    column: ``q[i] = round(x[i] * 127 / max_abs)`` stored as
+    ``array<tinyint>`` — a 4× cut in embedding bytes scanned, shuffled
+    and cached, which at 100 TB is the difference between an ANN pass
+    that fits in cluster memory and one that spills.
+
+    ``max_abs`` is ONE global aggregate (exact double max of the
+    float32 inputs), broadcast back as a 1-row DataFrame cross-join —
+    nothing is collected to the driver and the quantization expression
+    stays in Catalyst.  Symmetric + global means quantization is a
+    single linear map, so integer dot products preserve cosine
+    geometry up to the per-element rounding (|dequant err| ≤
+    max_abs/254 per element).  ``keep_scale`` retains the ``__scale``
+    column (quants-per-unit) for dequantization.
+    """
+    scale_df = emb.agg(
+        (F.lit(127.0)
+         / F.max(F.array_max(F.transform(
+             F.col(col), lambda x: F.abs(x.cast("double"))))))
+        .alias("__scale"))
+    q = (emb.crossJoin(F.broadcast(scale_df))
+         .withColumn(out, F.transform(
+             F.col(col),
+             lambda x: F.round(x.cast("double") * F.col("__scale"))
+             .cast("tinyint"))))
+    return q if keep_scale else q.drop("__scale")
+
+
+def quantized_dot(a, b) -> F.Column:
+    """Exact integer dot product of two int8 vectors (long math — no
+    float drift, so results are stable across engines and runs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_topk(emb: DataFrame, k: int = 5,
+                   query_ids: list[int] | None = None) -> DataFrame:
+    """(query_id, neighbor_id, rank, qdot): top-k neighbors scored on
+    the int8-quantized vectors — the cheap first pass of a
+    quantize-then-rerank pipeline (rerank the top-k with float cosine
+    when exactness matters).  Ranking uses quantized cosine
+    (qdot/√(‖qa‖²‖qb‖²), identical doubles from identical integers on
+    any engine), ties broken by neighbor_id; the returned ``qdot`` is
+    the exact integer dot product."""
+    q = quantize_embeddings(emb)
+    queries = q.select(F.col("vec_id").alias("query_id"),
+                       F.col("qembedding").alias("qa"),
+                       quantized_dot(F.col("qembedding"),
+                                     F.col("qembedding")).alias("sa"))
+    if query_ids is not None:
+        queries = queries.where(F.col("query_id").isin(query_ids))
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qembedding").alias("qb"),
+                      quantized_dot(F.col("qembedding"),
+                                    F.col("qembedding")).alias("sb"))
+    scored = (F.broadcast(queries).crossJoin(corpus)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("qdot", quantized_dot(F.col("qa"),
+                                                F.col("qb")))
+              .withColumn("qsim",
+                          F.col("qdot").cast("double")
+                          / F.sqrt(F.col("sa").cast("double")
+                                   * F.col("sb").cast("double"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "qdot"))

@@ -217,3 +217,49 @@ def test_unpersist_tracked_releases_operator_caches(spark):
     released = unpersist_tracked()
     assert released >= 2
     assert unpersist_tracked() == 0  # registry drained
+
+
+# --- int8 quantization -------------------------------------------------------
+
+def test_quantize_error_bound_and_range(spark):
+    from kgloom.ops import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = S.quantize_embeddings(emb, keep_scale=True)
+    row = q.select(
+        F.max(F.array_max(F.transform("qembedding",
+                                      lambda x: F.abs(x)))).alias("qmax"),
+        F.max(F.array_max(F.zip_with(
+            "embedding", "qembedding",
+            lambda x, y: F.abs(x.cast("double")
+                               - y.cast("double") / F.col("__scale")))))
+        .alias("err"),
+        F.first("__scale").alias("scale")).collect()[0]
+    assert row.qmax <= 127
+    # dequantization error per element is at most half a quant step
+    assert row.err <= 0.5 / row.scale + 1e-12
+    # the max-magnitude element hits the top of the int8 range exactly
+    assert row.qmax == 127
+    assert dict(q.select("qembedding").schema.fields[0].dataType
+                .__dict__)["elementType"].simpleString() == "tinyint"
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 scoring keeps high top-k agreement with exact float cosine
+    on the (seeded, deterministic) embeddings table."""
+    from kgloom.ops import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, k=5, query_ids=qids).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in S.quantized_topk(emb, k=5, query_ids=qids).collect()}
+    assert len(quant & exact) / len(exact) >= 0.8
+
+
+def test_quantized_dot_is_exact_integer(spark):
+    from kgloom.ops import similarity as S
+    df = spark.createDataFrame(
+        [([127, -128, 1],), ([100, 100, -100],)], "v array<tinyint>")
+    got = df.select(S.quantized_dot(F.col("v"), F.col("v"))
+                    .alias("d")).collect()
+    assert [r.d for r in got] == [127 * 127 + 128 * 128 + 1, 30000]
