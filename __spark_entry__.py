@@ -791,6 +791,16 @@ def q_text_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking with overlap (round-4,
+    kgloom/ops/textstats.py:chunk_text): 32-token chunks, 8-token
+    overlap — the RAG/context splitter.  Shuffle-free (per-row explode
+    + slice inside the scan stage); the DuckDB oracle replays the
+    identical window arithmetic with list slicing."""
+    return T.chunk_text(_docs(spark, sf_dir), chunk_tokens=32,
+                        overlap_tokens=8)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style n-gram repetition signals (kgloom/ops/textstats.py
     repetition_stats): bigram totals/distincts and the most-frequent-
@@ -1342,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
+        "text_chunks": q_text_chunks,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
@@ -2246,6 +2257,26 @@ def oracle_sql() -> dict[str, str]:
                         < '{_hex_threshold(0.9)}' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents
+        """,
+        # sliding-window replay: same stride arithmetic, DuckDB
+        # 1-based inclusive list slicing
+        "text_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE 1 + CAST(CEIL((len(toks) - 32) / 24.0)
+                                        AS INTEGER) END AS nc
+              FROM t)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')
+                     AS chunk,
+                   CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INTEGER)
+                     AS n_tokens
+            FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -262,3 +262,37 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
         .otherwise(F.array().cast("array<long>"))
     return staged.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def chunk_text(docs: DataFrame, chunk_tokens: int = 256,
+               overlap_tokens: int = 32) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG / context-window
+    splitter: ``(doc_id, chunk_idx, chunk, n_tokens)`` where chunk
+    ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)`` of the
+    whitespace tokenization, ``stride = chunk_tokens - overlap_tokens``
+    (the standard HF sliding window; the final chunk is the truncated
+    remainder, and a document no longer than one chunk yields exactly
+    one).
+
+    Pure Catalyst — one tokenize, one ``sequence`` explode, one
+    ``slice`` + ``array_join`` per chunk; no shuffle at all (chunking
+    is per-row), so at 100 TB it pipelines inside the scan stage and
+    parallelism is whatever the input partitioning gives."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    t = tokens()
+    n = F.size(t)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(chunk_tokens))
+                          / F.lit(float(stride))).cast("int"))
+    exploded = (docs.select("doc_id", t.alias("__t"),
+                            n_chunks.alias("__nc"))
+                .select("doc_id", "__t",
+                        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+                        .alias("chunk_idx")))
+    sliced = F.slice("__t", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id", "chunk_idx",
+        F.array_join(sliced, " ").alias("chunk"),
+        F.size(sliced).alias("n_tokens"))

@@ -258,3 +258,52 @@ def test_ngram_commonness_known_values(spark):
     strict = {r.doc_id: r.n_common_ngrams
               for r in ngram_commonness(df, n=2, min_df=4).collect()}
     assert strict == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+# --- sliding-window chunking -------------------------------------------------
+
+def test_chunk_text_windows_and_overlap(spark):
+    from kgloom.ops.textstats import chunk_text
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")],
+        "doc_id int, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+           for r in chunk_text(docs, chunk_tokens=4,
+                               overlap_tokens=2).collect()}
+    # doc 1: starts 0,2,4,6 (stride 2) — 1 + ceil((10-4)/2) = 4 chunks,
+    # no start past full coverage
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert got[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert len([k for k in got if k[0] == 1]) == 4
+    # docs no longer than one chunk yield exactly one
+    assert got[(2, 0)] == ("a b c", 3)
+    assert got[(3, 0)] == ("solo", 1)
+    assert len([k for k in got if k[0] == 2]) == 1
+    # every adjacent pair overlaps by exactly overlap_tokens
+    assert got[(1, 1)][0].split()[:2] == got[(1, 0)][0].split()[-2:]
+
+
+def test_chunk_text_reconstructs_document(spark):
+    """Dropping each chunk's leading overlap (except chunk 0)
+    reconstructs the original token stream exactly."""
+    from kgloom.ops.textstats import chunk_text
+    words = " ".join(f"t{i}" for i in range(53))
+    docs = spark.createDataFrame([(1, words)], "doc_id int, text string")
+    rows = sorted(chunk_text(docs, chunk_tokens=16, overlap_tokens=5)
+                  .collect(), key=lambda r: r.chunk_idx)
+    rebuilt = rows[0].chunk.split()
+    for r in rows[1:]:
+        rebuilt += r.chunk.split()[5:]
+    assert rebuilt == words.split()
+
+
+def test_chunk_text_validates_params(spark):
+    from kgloom.ops.textstats import chunk_text
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_text(docs, chunk_tokens=8, overlap_tokens=8)
+    with _pt.raises(ValueError):
+        chunk_text(docs, chunk_tokens=8, overlap_tokens=-1)
