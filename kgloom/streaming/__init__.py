@@ -19,5 +19,6 @@ from .pipeline import (  # noqa: F401
     read_transcript_stream,
     stream_mention_window_counts,
     stream_session_state,
+    stream_session_windows,
     stream_turn_triples,
 )

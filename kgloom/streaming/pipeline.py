@@ -115,6 +115,37 @@ def stream_mention_window_counts(turns: DataFrame,
                     "entity", "n_mentions"))
 
 
+def stream_session_windows(turns: DataFrame, gap: str = "6 hours",
+                           watermark: str = "1 day") -> DataFrame:
+    """Event-time sessionization with the native ``session_window``
+    aggregation: per (conv_id, session) turn counts and bounds, the
+    streaming twin of :func:`kgloom.transcripts.training.session_summary`.
+
+    Sessions merge while each turn arrives strictly within ``gap`` of
+    the previous one; the emitted ``session_end`` is Spark's
+    ``last_ts + gap`` convention.  Boundary note vs the batch LAG
+    formulation: a turn at EXACTLY ``gap`` after its predecessor stays
+    in the same session there (strict ``>`` test) but opens a new one
+    here (windows merge only on strict overlap) — indistinguishable on
+    continuous timestamps, documented for the exact-boundary case.
+
+    Works on both batch and streaming inputs (the watermark is applied
+    only when streaming); in append mode a session emits once the
+    watermark passes its close — exactly-once per session with state
+    bounded by ``watermark``, the right shape for an unbounded
+    transcript feed."""
+    src = turns
+    if turns.isStreaming:
+        src = turns.withWatermark("ts", watermark)
+    return (src.groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.count("tool").alias("n_tool_turns"))
+            .select("conv_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_turns", "n_tool_turns"))
+
+
 _SESSION_SCHEMA = StructType([
     StructField("conv_id", StringType()),
     StructField("n_turns", LongType()),

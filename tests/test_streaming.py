@@ -96,3 +96,50 @@ def test_stream_closed_triples_equals_batch_closure(spark, tmp_path,
         batch, schema=ont, include_schema=False).collect()))
     assert got == want
     assert any(p.endswith("#type>") for _, p, _ in got)
+
+
+def test_session_windows_batch_equals_lag_sessionize(spark, turn_files):
+    """Native session_window sessionization == the batch LAG
+    formulation (kgloom/transcripts/training.py) on gap-unambiguous
+    data: same per-conversation multiset of session sizes."""
+    from kgloom.streaming import stream_session_windows
+    from kgloom.transcripts.training import session_summary
+    _, turns = turn_files
+    # inject hour jumps every 5 turns so conversations really split
+    bumped = turns.withColumn(
+        "ts", F.expr("timestampadd(HOUR, CAST(floor(turn_idx / 5) "
+                     "AS INT), ts)"))
+    win = stream_session_windows(bumped, gap="30 minutes")
+    lag = session_summary(bumped, gap_seconds=1800)
+    g = sorted((r.conv_id, r.n_turns, r.n_tool_turns)
+               for r in win.collect())
+    w = sorted((r.conv_id, r.n_turns, r.n_tool_turns)
+               for r in lag.collect())
+    assert g == w
+    assert len(g) > turns.select("conv_id").distinct().count()
+
+
+def test_stream_session_windows_appends_closed_sessions(spark, tmp_path,
+                                                        turn_files):
+    from kgloom.streaming import read_transcript_stream, \
+        stream_session_windows
+    _, turns = turn_files
+    bumped = turns.withColumn(
+        "ts", F.expr("timestampadd(HOUR, CAST(floor(turn_idx / 5) "
+                     "AS INT), ts)"))
+    inp2 = str(tmp_path / "bumped")
+    bumped.repartition(4).write.mode("overwrite").parquet(inp2)
+    stream = read_transcript_stream(spark, inp2)
+    q = (stream_session_windows(stream, gap="30 minutes",
+                                watermark="10 minutes")
+         .writeStream.format("memory").queryName("sess_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_win").collect()
+    truth = {(r.conv_id, r.session_start): (r.n_turns, r.n_tool_turns)
+             for r in stream_session_windows(bumped,
+                                             gap="30 minutes").collect()}
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must match the batch truth
+    assert all(truth.get((r.conv_id, r.session_start))
+               == (r.n_turns, r.n_tool_turns) for r in got)
