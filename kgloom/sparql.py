@@ -2419,6 +2419,28 @@ def _apply_update_op(out: DataFrame, op: str,
                 base.select(*key).distinct(), key, "left_anti")
         return base.unionByName(new, allowMissingColumns=True)
 
+    m = re.match(
+        r"^LOAD\s+(?:SILENT\s+)?<([^>]*)>"
+        r"(?:\s+INTO\s+GRAPH\s+(<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*))?\s*$",
+        op, re.IGNORECASE)
+    if m:
+        # LOAD <path> [INTO GRAPH <g>]: the distributed N-Quads source
+        # (kgloom/exec/rdfsource.py — spark.read.text + codegen regex,
+        # scales to dump-sized files) unioned in with insert set
+        # semantics.  INTO GRAPH retargets every loaded quad (SPARQL
+        # 1.1 Update §3.1.4); without it, N-Quads graph labels are
+        # kept (dropped on a bare triple store).
+        from .exec.rdfsource import read_nquads
+        path = m.group(1)
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        df = read_nquads(spark, path)
+        if m.group(2):
+            need_graph("LOAD INTO GRAPH")
+            df = df.withColumn("graph", F.lit(
+                resolve_graph_iri(m.group(2), "LOAD")).cast("string"))
+        return insert_new(out, df)
+
     m = _GM_CLEAR.match(op)
     if m:
         need_graph(m.group(1).upper())
@@ -2551,7 +2573,9 @@ def sparql_update(quads: DataFrame, update: str) -> DataFrame:
     WHERE {…}`` with either template optional, and — on quad stores —
     the graph-management family ``CLEAR|DROP [SILENT] GRAPH <g> |
     DEFAULT | NAMED | ALL``, ``ADD|COPY|MOVE [SILENT] <g1>|DEFAULT TO
-    <g2>|DEFAULT`` and the ``CREATE GRAPH`` no-op (an empty graph IS
+    <g2>|DEFAULT``, ``LOAD [SILENT] <path-or-file-uri> [INTO GRAPH
+    <g>]`` (the distributed N-Quads source with insert set semantics)
+    and the ``CREATE GRAPH`` no-op (an empty graph IS
     absence in a quad table).  Templates and DATA blocks may contain
     ``GRAPH <iri>|?var { … }`` blocks; ``WITH <g>`` scopes both the
     WHERE matching and any unscoped template triples to ``<g>``.

@@ -1631,3 +1631,28 @@ def test_update_delete_where_graph_block(upd_quads):
         DELETE WHERE {{ GRAPH <{EX}g1> {{ ?s ?p ?o }} }}""")
     assert out.count() == 3
     assert out.where(F.col("graph").isNotNull()).count() == 0
+
+
+def test_update_load_nquads(upd_quads, tmp_path):
+    from kgloom.sparql import sparql_update
+    nq = tmp_path / "dump.nq"
+    nq.write_text(
+        f'<{EX}x> <{EX}p> "1" .\n'
+        f'<{EX}y> <{EX}p> "2" <{EX}gfile> .\n'
+        # already present in the store (null graph) -> suppressed
+        f'<{EX}alice> <{EX}age> "30" .\n')
+    out = sparql_update(upd_quads, f"LOAD <file://{nq}>")
+    added = _quads(out) - _quads(upd_quads)
+    assert added == {(f"<{EX}x>", f"<{EX}p>", '"1"', None),
+                     (f"<{EX}y>", f"<{EX}p>", '"2"', f"<{EX}gfile>")}
+    # INTO GRAPH retargets every loaded quad
+    out2 = sparql_update(upd_quads, f"LOAD <{nq}> INTO GRAPH <{EX}g9>")
+    added2 = _quads(out2) - _quads(upd_quads)
+    assert added2 == {(f"<{EX}x>", f"<{EX}p>", '"1"', f"<{EX}g9>"),
+                      (f"<{EX}y>", f"<{EX}p>", '"2"', f"<{EX}g9>"),
+                      (f"<{EX}alice>", f"<{EX}age>", '"30"', f"<{EX}g9>")}
+    # sequencing: LOAD then query-shaped delete over the loaded data
+    out3 = sparql_update(upd_quads, f"""
+        LOAD <file://{nq}> ;
+        DELETE WHERE {{ ?s <{EX}p> ?o }}""")
+    assert not [r for r in out3.collect() if r.pred == f"<{EX}p>"]
