@@ -1234,6 +1234,34 @@ def _sameas_kg(spark, sf_dir):
     return mentions.unionByName(labels).unionByName(sameas)
 
 
+def q_reason_ifp_sameas(spark, sf_dir):
+    """OWL-Horst rdfp2 identity derivation (round-4,
+    kgloom/ops/reasoning.py:ifp_same_as): documents keyed by their
+    5-token prefix as an owl:InverseFunctionalProperty — subjects
+    sharing the key become owl:sameAs candidates (entity-resolution
+    blocking expressed as OWL semantics; the edges feed same_as_fusion
+    / the streaming fusion directly).  One broadcast-semi-join against
+    the axiom set + one hash self-join on the shared (property, value)
+    key, with the LSH-style group cap guarding placeholder-value skew.
+    The DuckDB oracle replays the self-join on rendered IRIs."""
+    from kgloom.ops.reasoning import (OWL_INV_FUNCTIONAL, RDF_TYPE,
+                                      ifp_same_as)
+    docs = _docs(spark, sf_dir)
+    key = F.concat(
+        F.lit('"'),
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 5), " "),
+        F.lit('"'))
+    triples = docs.select(
+        F.concat(F.lit(f"<{_KGO}doc/"), F.col("doc_id").cast("string"),
+                 F.lit(">")).alias("subj"),
+        F.lit(f"<{_KGO}prefixKey>").alias("pred"),
+        key.alias("obj"))
+    schema = spark.createDataFrame(
+        [(f"<{_KGO}prefixKey>", RDF_TYPE, OWL_INV_FUNCTIONAL)],
+        "subj string, pred string, obj string")
+    return ifp_same_as(triples, schema)
+
+
 def q_reason_sameas_fusion(spark, sf_dir):
     """owl:sameAs fusion over an entity KG with three IRI namespaces
     per entity (kgloom/ops/reasoning.py).  Fusion runs real connected
@@ -1335,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_nps": q_sparql_kg_nps,
         "sparql_kg_describe": q_sparql_kg_describe,
         "reason_rdfs_closure": q_reason_rdfs_closure,
+        "reason_ifp_sameas": q_reason_ifp_sameas,
         "reason_sameas_fusion": q_reason_sameas_fusion,
         "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
@@ -1420,6 +1449,7 @@ sh AS (
 
 def oracle_sql() -> dict[str, str]:
     ex = EX
+    kgo = _KGO
     oracles = {
         "kg_extend_template": f"""
             SELECT DISTINCT * FROM (
@@ -1855,6 +1885,20 @@ def oracle_sql() -> dict[str, str]:
         # so rewriting subj/obj to the component canonical is a direct
         # string rewrite of the mention and label triples, the sameAs
         # triples vanish, and DISTINCT applies set semantics
+        # rdfp2 replay: self-join docs on the 5-token prefix key,
+        # pair order by the RENDERED IRI string (engine node order)
+        "reason_ifp_sameas": f"""
+            WITH k AS (
+              SELECT '<{kgo}doc/' || CAST(doc_id AS VARCHAR) || '>'
+                       AS node,
+                     array_to_string(
+                       string_split(lower(text), ' ')[1:5], ' ') AS key
+              FROM documents)
+            SELECT a.node AS subj,
+                   '<http://www.w3.org/2002/07/owl#sameAs>' AS pred,
+                   b.node AS obj
+            FROM k a JOIN k b ON a.key = b.key AND a.node < b.node
+        """,
         "reason_sameas_fusion": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
             m AS (SELECT DISTINCT conv_id, turn_idx,

@@ -357,6 +357,70 @@ def owl_property_closure(triples: DataFrame, schema: DataFrame,
     return out.distinct()
 
 
+OWL_FUNCTIONAL = "<http://www.w3.org/2002/07/owl#FunctionalProperty>"
+OWL_INV_FUNCTIONAL = \
+    "<http://www.w3.org/2002/07/owl#InverseFunctionalProperty>"
+
+
+def ifp_same_as(triples: DataFrame, schema: DataFrame,
+                max_group: int = 1000) -> DataFrame:
+    """OWL-Horst rules rdfp1/rdfp2 (ter Horst 2005): derive
+    ``owl:sameAs`` edges from functional / inverse-functional property
+    axioms — the OWL-semantics formulation of entity-resolution
+    blocking.  ``p rdf:type owl:InverseFunctionalProperty`` ⇒ two
+    subjects sharing a (p, object) are the same individual (rdfp2);
+    ``p rdf:type owl:FunctionalProperty`` ⇒ two objects of the same
+    (subject, p) are the same (rdfp1, restricted to non-literal
+    objects — sameAs between literals is not a meaningful identity).
+
+    Returns rendered ``(subj, owl:sameAs, obj)`` edges with ``subj <
+    obj`` (each unordered pair once), ready to union into the store
+    and feed :func:`same_as_fusion` / the incremental streaming
+    fusion.
+
+    100-TB shape: each rule is ONE hash self-join keyed on the shared
+    (property, value) pair after a broadcast semi-join against the
+    (tiny) axiom set.  The skew guard mirrors the LSH band-bucket cap
+    (`kgloom/ops/dedup.py`): a key shared by n subjects yields C(n,2)
+    pairs, so keys over ``max_group`` members (a null-ish placeholder
+    value, a default email) are dropped — at that group size the key
+    carries no identity signal anyway.  ``max_group=None`` disables
+    the cap."""
+    def _rule(keyed: DataFrame) -> DataFrame:
+        # keyed: (k1, k2, node) — pairs of nodes sharing the key
+        if max_group is not None:
+            big = (keyed.groupBy("k1", "k2")
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .where(F.col("__n") > max_group)
+                   .drop("__n"))
+            keyed = keyed.join(big, ["k1", "k2"], "left_anti")
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        return (a.join(b, ["k1", "k2"])
+                .where(F.col("a.node") < F.col("b.node"))
+                .select(F.col("a.node").alias("subj"),
+                        F.lit(OWL_SAMEAS).alias("pred"),
+                        F.col("b.node").alias("obj")))
+
+    ifp = (schema.where((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj") == OWL_INV_FUNCTIONAL))
+           .select(F.col("subj").alias("__p")))
+    fp = (schema.where((F.col("pred") == RDF_TYPE)
+                       & (F.col("obj") == OWL_FUNCTIONAL))
+          .select(F.col("subj").alias("__p")))
+    by_obj = (triples.join(F.broadcast(ifp),
+                           triples["pred"] == ifp["__p"], "left_semi")
+              .select(F.col("pred").alias("k1"), F.col("obj").alias("k2"),
+                      F.col("subj").alias("node")).distinct())
+    by_subj = (triples.join(F.broadcast(fp),
+                            triples["pred"] == fp["__p"], "left_semi")
+               .where(~F.col("obj").startswith('"'))
+               .select(F.col("pred").alias("k1"),
+                       F.col("subj").alias("k2"),
+                       F.col("obj").alias("node")).distinct())
+    return _rule(by_obj).unionByName(_rule(by_subj)).distinct()
+
+
 def same_as_components(triples: DataFrame,
                        same_as_pred: str = OWL_SAMEAS) -> DataFrame:
     """(node, canonical) for every node in a non-singleton owl:sameAs

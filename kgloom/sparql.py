@@ -1498,6 +1498,45 @@ def _exec_path_pattern(quads: DataFrame, s: Term, path, o: Term
     return df.select(*cols)
 
 
+def _order_patterns(patterns: list[tuple[Term, Term, Term]]
+                    ) -> list[tuple[Term, Term, Term]]:
+    """Greedy BGP join ordering (inner natural joins are commutative
+    and associative, so any order is semantics-preserving): start from
+    the most selective pattern, then repeatedly take the most
+    selective remaining pattern that SHARES a variable with what is
+    already joined — connected patterns first, so a disconnected
+    written order never forces an avoidable cross join mid-chain.
+    Selectivity is the classic bound-position heuristic (Stocker et
+    al., "SPARQL basic graph pattern optimization", WWW 2008): a bound
+    subject narrows more than a bound object, which narrows more than
+    a bound predicate.  Ties keep written order (stable)."""
+    def score(pat) -> int:
+        s, p, o = pat
+        return ((0 if isinstance(s, Var) else 4)
+                + (0 if isinstance(o, Var) else 2)
+                + (0 if isinstance(p, Var) else 1))
+
+    def pvars(pat) -> set:
+        s, p, o = pat
+        vs = {t.name for t in (s, o) if isinstance(t, Var)}
+        if isinstance(p, Var):
+            vs.add(p.name)
+        return vs
+
+    remaining = list(range(len(patterns)))
+    ordered: list[int] = []
+    bound: set = set()
+    while remaining:
+        pool = [i for i in remaining if pvars(patterns[i]) & bound] \
+            if ordered else remaining
+        pool = pool or remaining
+        best = min(pool, key=lambda i: (-score(patterns[i]), i))
+        ordered.append(best)
+        remaining.remove(best)
+        bound |= pvars(patterns[best])
+    return [patterns[i] for i in ordered]
+
+
 def _exec_bgp(quads: DataFrame,
               patterns: list[tuple[Term, Term, Term]],
               graph_term: Optional[Term] = None
@@ -1513,7 +1552,7 @@ def _exec_bgp(quads: DataFrame,
     elif isinstance(graph_term, Var):
         quads = quads.where(F.col("graph").isNotNull())
     result: Optional[DataFrame] = None
-    for (s, p, o) in patterns:
+    for (s, p, o) in _order_patterns(patterns):
         if isinstance(p, Path):
             if isinstance(graph_term, Var):
                 raise SparqlError(
@@ -2434,6 +2473,12 @@ def _apply_update_op(out: DataFrame, op: str,
         path = m.group(1)
         if path.startswith("file://"):
             path = path[len("file://"):]
+        elif re.match(r"^[a-z][a-z0-9+.-]*://", path):
+            # remote fetches from executors are a different feature
+            # (and an SSRF surface) — local dumps only
+            raise SparqlError(
+                f"unsupported LOAD scheme in <{m.group(1)}> "
+                f"(local paths / file:// only)")
         df = read_nquads(spark, path)
         if m.group(2):
             need_graph("LOAD INTO GRAPH")

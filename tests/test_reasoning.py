@@ -357,3 +357,72 @@ def test_shacl_class_hasvalue_range_constraints(spark):
         ("<t:3>", "minInclusive", '"abc"'),
         ("<t:3>", "maxInclusive", '"abc"'),
     }
+
+
+# ---------------------------------------------------------------------------
+# rdfp1/rdfp2 — functional / inverse-functional sameAs derivation
+# ---------------------------------------------------------------------------
+
+def test_ifp_same_as_matches_naive(spark):
+    from kgloom.ops.reasoning import (OWL_FUNCTIONAL, OWL_INV_FUNCTIONAL,
+                                      ifp_same_as)
+    schema = spark.createDataFrame(
+        [("<p:key>", RDF_TYPE, OWL_INV_FUNCTIONAL),
+         ("<p:spouse>", RDF_TYPE, OWL_FUNCTIONAL)], T)
+    rows = [
+        # rdfp2: a, b, c share <p:key> "k1" -> all pairwise sameAs
+        ("<a>", "<p:key>", '"k1"'),
+        ("<b>", "<p:key>", '"k1"'),
+        ("<c>", "<p:key>", '"k1"'),
+        ("<d>", "<p:key>", '"k2"'),            # alone on its key
+        # rdfp1: x's two spouse values unify
+        ("<x>", "<p:spouse>", "<m>"),
+        ("<x>", "<p:spouse>", "<n>"),
+        # rdfp1 literal objects are excluded
+        ("<y>", "<p:spouse>", '"lit"'),
+        ("<y>", "<p:spouse>", "<o>"),
+        # non-axiom predicate: never generates identity
+        ("<e>", "<p:other>", '"k1"'),
+        ("<f>", "<p:other>", '"k1"'),
+    ]
+    got = {(r.subj, r.obj)
+           for r in ifp_same_as(spark.createDataFrame(rows, T),
+                                schema).collect()}
+    assert got == {("<a>", "<b>"), ("<a>", "<c>"), ("<b>", "<c>"),
+                   ("<m>", "<n>")}
+
+
+def test_ifp_same_as_group_cap(spark):
+    from kgloom.ops.reasoning import OWL_INV_FUNCTIONAL, ifp_same_as
+    schema = spark.createDataFrame(
+        [("<p:key>", RDF_TYPE, OWL_INV_FUNCTIONAL)], T)
+    rows = [(f"<n{i}>", "<p:key>", '"shared"') for i in range(10)] + \
+           [("<a>", "<p:key>", '"rare"'), ("<b>", "<p:key>", '"rare"')]
+    df = spark.createDataFrame(rows, T)
+    # the 10-member placeholder key is dropped by the cap; the genuine
+    # 2-member key survives
+    capped = {(r.subj, r.obj)
+              for r in ifp_same_as(df, schema, max_group=5).collect()}
+    assert capped == {("<a>", "<b>")}
+    full = ifp_same_as(df, schema, max_group=None).count()
+    assert full == 45 + 1
+
+
+def test_ifp_same_as_feeds_fusion(spark):
+    """Derived identity edges compose with same_as_fusion: surface
+    variants sharing an IFP key collapse to one canonical subject."""
+    from kgloom.ops.reasoning import OWL_INV_FUNCTIONAL, ifp_same_as
+    schema = spark.createDataFrame(
+        [("<p:key>", RDF_TYPE, OWL_INV_FUNCTIONAL)], T)
+    rows = [
+        ("<Entity_5>", "<p:key>", '"5"'),
+        ("<entity 5>", "<p:key>", '"5"'),
+        ("<Entity_5>", "<p:seen>", '"c1"'),
+        ("<entity 5>", "<p:seen>", '"c2"'),
+    ]
+    df = spark.createDataFrame(rows, T)
+    fused = same_as_fusion(df.unionByName(ifp_same_as(df, schema)))
+    got = {(r.subj, r.pred, r.obj) for r in fused.collect()}
+    assert got == {("<Entity_5>", "<p:key>", '"5"'),
+                   ("<Entity_5>", "<p:seen>", '"c1"'),
+                   ("<Entity_5>", "<p:seen>", '"c2"')}

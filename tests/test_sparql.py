@@ -1656,3 +1656,48 @@ def test_update_load_nquads(upd_quads, tmp_path):
         LOAD <file://{nq}> ;
         DELETE WHERE {{ ?s <{EX}p> ?o }}""")
     assert not [r for r in out3.collect() if r.pred == f"<{EX}p>"]
+
+
+def test_bgp_join_ordering_avoids_cross_join(spark):
+    """A BGP written in a disconnected order (patterns 1 and 2 share no
+    variable; pattern 3 connects them) must be reordered connected-
+    first: no cartesian product in the plan, same solutions."""
+    from tests.test_plan_quality import explain_str
+    rows = [
+        (f"<{EX}t1>", f"<{EX}partOf>", f"<{EX}c1>", None),
+        (f"<{EX}t2>", f"<{EX}partOf>", f"<{EX}c1>", None),
+        (f"<{EX}t1>", f"<{EX}usedTool>", f"<{EX}grep>", None),
+        (f"<{EX}c1>", f"<{EX}title>", '"conv one"', None),
+        (f"<{EX}c2>", f"<{EX}title>", '"conv two"', None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    q = f"""SELECT ?turn ?title WHERE {{
+        ?turn <{EX}usedTool> <{EX}grep> .
+        ?conv <{EX}title> ?title .
+        ?turn <{EX}partOf> ?conv .
+    }}"""
+    df = sparql_select(quads, q)
+    assert "CartesianProduct" not in explain_str(df)
+    assert [(r.turn, r.title) for r in df.collect()] == \
+        [(f"{EX}t1", "conv one")]
+
+
+def test_bgp_join_ordering_is_semantics_preserving(quads):
+    """Every permutation of a 3-pattern BGP yields the same solution
+    multiset (inner natural joins commute; ordering is an optimization
+    only)."""
+    import itertools
+    pats = [f"?a <{EX}knows> ?b .",
+            f"?a <{EX}age> ?x .",
+            f"?b <{EX}age> ?y ."]
+    want = None
+    for perm in itertools.permutations(pats):
+        df = sparql_select(quads,
+                           "SELECT ?a ?b ?x ?y WHERE { %s }"
+                           % " ".join(perm))
+        got = sorted(map(tuple, df.collect()))
+        if want is None:
+            want = got
+        assert got == want
+    assert want
