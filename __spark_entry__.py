@@ -323,6 +323,16 @@ def q_transcripts_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("conv_id").alias("n_convs")))
 
 
+def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key skew histogram (round-4, kgloom/ops/skew.py): log10
+    magnitudes of per-conversation turn counts — the dashboard row the
+    pipeline logs before choosing shuffle strategy (hot conversations
+    are THE skew surface the north rule names).  Two hash aggregates,
+    no key-space sort; DuckDB replays the same floor(log10) rollup."""
+    from kgloom.ops.skew import skew_report
+    return skew_report(transcripts_from_events(spark, sf_dir), "conv_id")
+
+
 def q_transcripts_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-gap sessionization rollup (round-4,
     kgloom/transcripts/training.py): conversations split at >6h
@@ -1341,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vertical_store": q_kg_vertical_store,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
+        "stats_key_skew": q_stats_key_skew,
         "transcripts_sessions": q_transcripts_sessions,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "sparql_kg_select": q_sparql_kg_select,
@@ -1548,6 +1559,18 @@ def oracle_sql() -> dict[str, str]:
         # exactly the norm_key groups and the canonical is the group's
         # min surface (both the driver union-find and the distributed
         # CC use the same min-label rule)
+        # skew histogram replay: per-key count -> floor(log10) rollup
+        "stats_key_skew": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            c AS (SELECT conv_id, COUNT(*) AS n FROM tr
+                  WHERE conv_id IS NOT NULL GROUP BY conv_id)
+            SELECT CAST(FLOOR(LOG10(n)) AS INTEGER) AS magnitude,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_count,
+                   MIN(conv_id) AS example_key
+            FROM c GROUP BY 1
+        """,
         # sessionization replay: LAG boundary in exact microseconds,
         # running-sum session index, per-session rollup
         "transcripts_sessions": f"""
