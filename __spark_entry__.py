@@ -801,6 +801,29 @@ def q_text_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
 
+def q_text_quality_logit(spark, sf_dir):
+    """Model-shaped quality filter (round-4, kgloom/ops/textstats.py
+    quality_logit): a deterministic linear classifier over the
+    quality_score integer signals — ``bias + Σ wᵢ·xᵢ`` folded in
+    sorted feature order with plain double ops, so the DuckDB oracle
+    reproduces the logit bit-for-bit.  Pure Catalyst: one select over
+    the signal projection, no shuffle."""
+    return T.quality_logit(_docs(spark, sf_dir))
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """KG-embedding negative sampling (round-4,
+    kgloom/ops/negatives.py): ``n_neg`` object-corrupted copies per
+    positive triple over the nation/region fragment KG — vocabulary
+    densely indexed by a pure-Catalyst two-phase md5-bucket rank (no
+    single-partition global sort), replacement entity by an
+    engine-portable md5 draw, collisions with true triples flagged
+    via a (subj, pred) → object-set membership join.  The DuckDB twin
+    replays the identical index and draw."""
+    from kgloom.ops.negatives import negative_samples
+    return negative_samples(q_kg_fragment_multi(spark, sf_dir), n_neg=20)
+
+
 def q_text_chunks(spark, sf_dir):
     """Sliding-window chunking with overlap (round-4,
     kgloom/ops/textstats.py:chunk_text): 32-token chunks, 8-token
@@ -1394,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_chunks": q_text_chunks,
         "text_quality": q_text_quality,
+        "text_quality_logit": q_text_quality_logit,
+        "kg_negative_samples": q_kg_negative_samples,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
@@ -2425,6 +2450,78 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        # linear-quality replay: same integer signals, the fold in
+        # SORTED feature-name order (n_digits, n_punct, n_stopwords,
+        # n_tokens) with every constant cast to DOUBLE (a bare DuckDB
+        # decimal literal would compute in DECIMAL, not IEEE double)
+        "text_quality_logit": """
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(lower(text), ' ')) AS n_tokens,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('the','of','and','to','in')))
+                       AS n_stopwords,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS n_digits,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       AS n_punct
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     ((((CAST(-0.1 AS DOUBLE))
+                        + n_digits * CAST(-0.02 AS DOUBLE))
+                       + n_punct * CAST(-0.01 AS DOUBLE))
+                      + n_stopwords * CAST(0.05 AS DOUBLE))
+                     + n_tokens * CAST(0.01 AS DOUBLE) AS logit
+              FROM q)
+            SELECT doc_id, logit, logit > 0 AS keep FROM l
+        """,
+        # negative-sampling replay: identical md5-bucket two-phase
+        # vocabulary index (ORDER BY bucket, entity == per-bucket rank
+        # + offsets), identical md5 draw, EXISTS collision flag
+        "kg_negative_samples": f"""
+            WITH tri AS (
+              SELECT DISTINCT * FROM (
+                SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>'
+                         AS subj,
+                       '<{ex}ontology/name>' AS pred,
+                       '"' || n_name || '"' AS obj
+                FROM nation
+                UNION ALL
+                SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>',
+                       '<{ex}ontology/inRegion>',
+                       '<{ex}region/' || CAST(n_regionkey AS VARCHAR) || '>'
+                FROM nation)),
+            ents AS (
+              SELECT DISTINCT entity FROM (
+                SELECT subj AS entity FROM tri
+                UNION ALL
+                SELECT obj FROM tri WHERE obj NOT LIKE '"%')),
+            idx AS (
+              SELECT entity,
+                     ROW_NUMBER() OVER (ORDER BY
+                       CAST('0x' || substr(md5(entity), 1, 4) AS BIGINT)
+                         % 256,
+                       entity) - 1 AS idx
+              FROM ents),
+            n AS (SELECT COUNT(*) AS n FROM ents),
+            expanded AS (
+              SELECT t.subj, t.pred, t.obj, g.i AS neg_idx
+              FROM tri t CROSS JOIN (
+                SELECT UNNEST(range(0, 20)) AS i) g),
+            drawn AS (
+              SELECT e.*,
+                     CAST('0x' || substr(md5(e.subj || e.pred || e.obj ||
+                       CAST(e.neg_idx AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM n) AS slot
+              FROM expanded e)
+            SELECT d.subj, d.pred, d.obj, d.neg_idx,
+                   x.entity AS neg_obj,
+                   EXISTS (SELECT 1 FROM tri t
+                           WHERE t.subj = d.subj AND t.pred = d.pred
+                             AND t.obj = x.entity) AS is_positive
+            FROM drawn d JOIN idx x ON d.slot = x.idx
         """,
         # bigram repetition replay: the same start-offset windows
         # (DuckDB range() is stop-exclusive; list slices are 1-based

@@ -296,3 +296,36 @@ def chunk_text(docs: DataFrame, chunk_tokens: int = 256,
         "doc_id", "chunk_idx",
         F.array_join(sliced, " ").alias("chunk"),
         F.size(sliced).alias("n_tokens"))
+
+
+#: public default weights for quality_logit — a fastText-style linear
+#: proxy over the integer quality signals (positive weight on stopword
+#: density and length, negative on digit/punctuation load), chosen so
+#: natural prose scores above 0 and digit/symbol soup below
+QUALITY_WEIGHTS = {"n_tokens": 0.01, "n_stopwords": 0.05,
+                   "n_digits": -0.02, "n_punct": -0.01}
+
+
+def quality_logit(docs: DataFrame,
+                  weights: dict[str, float] | None = None,
+                  bias: float = -0.1) -> DataFrame:
+    """(doc_id, logit, keep): a deterministic linear quality classifier
+    over the :func:`quality_score` integer signals — the model-shaped
+    quality filter slot (swap the public default weights for trained
+    ones; the plumbing is the point).
+
+    Drift-free by construction: the logit folds ``bias + Σ wᵢ·xᵢ`` in
+    SORTED feature order with plain double multiply/add — IEEE ops
+    with a fixed association, so any engine reproduces the value
+    bit-for-bit (no exp/sigmoid in the gate; ``keep`` is ``logit >
+    0``, and P(keep) is monotone in the logit anyway)."""
+    w = dict(QUALITY_WEIGHTS if weights is None else weights)
+    feats = quality_score(docs)
+    missing = set(w) - set(feats.columns)
+    if missing:
+        raise ValueError(f"unknown quality features: {sorted(missing)}")
+    logit = F.lit(float(bias))
+    for name in sorted(w):
+        logit = logit + F.col(name) * F.lit(float(w[name]))
+    return feats.select("doc_id", logit.alias("logit")) \
+        .withColumn("keep", F.col("logit") > 0)

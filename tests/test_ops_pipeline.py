@@ -307,3 +307,53 @@ def test_chunk_text_validates_params(spark):
         chunk_text(docs, chunk_tokens=8, overlap_tokens=8)
     with _pt.raises(ValueError):
         chunk_text(docs, chunk_tokens=8, overlap_tokens=-1)
+
+
+# --- quality logit + negative sampling ---------------------------------------
+
+def test_quality_logit_default_weights(spark):
+    from kgloom.ops.textstats import quality_logit
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog of the day"),
+         (2, "1234 5678 9012 3456 7890 1234 5678 9012,,,;;;!!!")],
+        "doc_id int, text string")
+    got = {r.doc_id: (round(r.logit, 10), r.keep)
+           for r in quality_logit(docs).collect()}
+    # doc 1: 11 tokens, 5 stopwords (the x2, and, of, the) + length;
+    # recompute the fold exactly
+    assert got[1][1] is True and got[2][1] is False
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quality_logit(docs, weights={"nope": 1.0})
+
+
+def test_negative_samples_deterministic_and_flagged(spark):
+    from kgloom.ops.negatives import entity_index, negative_samples
+    T = "subj string, pred string, obj string"
+    triples = spark.createDataFrame(
+        [("<a>", "<p>", "<b>"), ("<b>", "<p>", "<c>"),
+         ("<a>", "<q>", '"lit"')], T)
+    ents = {r.entity: r.idx for r in entity_index(triples).collect()}
+    # literals never enter the vocabulary; indexing is dense 0..n-1
+    assert set(ents) == {"<a>", "<b>", "<c>"}
+    assert sorted(ents.values()) == [0, 1, 2]
+    # (md5-bucket, entity) order — recompute the two-phase rank
+    import hashlib as _hl
+    order = sorted(ents, key=lambda e: (
+        int(_hl.md5(e.encode()).hexdigest()[:4], 16) % 256, e))
+    assert ents == {e: i for i, e in enumerate(order)}
+    out1 = sorted(map(tuple, negative_samples(triples, 2).collect()))
+    out2 = sorted(map(tuple, negative_samples(triples, 2).collect()))
+    assert out1 == out2                      # rerun-stable
+    assert len(out1) == 3 * 2                # n_neg per positive
+    # replacement entity matches the md5 draw
+    import hashlib
+    inv = {v: k for k, v in ents.items()}
+    for (subj, pred, obj, neg_idx, neg_obj, is_pos) in out1:
+        slot = int(hashlib.md5(
+            f"{subj}{pred}{obj}{neg_idx}".encode()).hexdigest()[:8],
+            16) % 3
+        assert neg_obj == inv[slot]
+        truth = {("<a>", "<p>", "<b>"), ("<b>", "<p>", "<c>"),
+                 ("<a>", "<q>", '"lit"')}
+        assert is_pos == ((subj, pred, neg_obj) in truth)
