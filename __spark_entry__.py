@@ -824,6 +824,30 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(q_kg_fragment_multi(spark, sf_dir), n_neg=20)
 
 
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (round-4, kgloom/ops/retrieval.py rrf_fuse):
+    BM25 keyword top-50 fused with embedding-cosine top-50 by
+    reciprocal-rank fusion (score = Σ 1/(60+rank)).  Both retrievers
+    bound their lists BEFORE fusion (TakeOrderedAndProject / broadcast
+    scored scan), so fusion cost is O(k), not O(corpus); the DuckDB
+    twin replays both rankings and the coalesced double sum exactly."""
+    from kgloom.ops.retrieval import hybrid_rrf
+    return hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                      "spark join merge window data", query_vec_id=7,
+                      k_each=50)
+
+
+def q_ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (round-4,
+    kgloom/ops/similarity.py hard_negative_pairs): per query vector,
+    the top-5 neighbors with cosine in [0.25, 0.95) — informative
+    negatives below the near-duplicate ceiling.  Band filter runs
+    before the per-query window so out-of-band pairs never shuffle."""
+    from kgloom.ops.similarity import hard_negative_pairs
+    return hard_negative_pairs(_emb(spark, sf_dir), lo=0.25, hi=0.95,
+                               k=5, query_ids=list(range(10)))
+
+
 def q_text_chunks(spark, sf_dir):
     """Sliding-window chunking with overlap (round-4,
     kgloom/ops/textstats.py:chunk_text): 32-token chunks, 8-token
@@ -1419,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_logit": q_text_quality_logit,
         "kg_negative_samples": q_kg_negative_samples,
+        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
+        "ann_hard_negatives": q_ann_hard_negatives,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
@@ -2702,6 +2728,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfreq f USING (term)
             JOIN dl d USING (doc_id), stats s
             GROUP BY p.doc_id
+        """,
+        # hybrid RRF replay: the bm25 ranking above + the cosine
+        # ranking, fused as COALESCE(1/(60+r), 0) sums in list order
+        # (bm25 first), every constant cast to DOUBLE
+        "retrieval_hybrid_rrf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            postings AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN ('data', 'join', 'merge', 'spark', 'window')
+              GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM postings
+                      GROUP BY term),
+            dl AS (SELECT doc_id,
+                          len(string_split(lower(text), ' ')) AS dl
+                   FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            bm AS (
+              SELECT p.doc_id,
+                     SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * CAST(p.tf AS DOUBLE) * 2.2
+                         / (CAST(p.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                       AS score
+              FROM postings p
+              JOIN dfreq f USING (term)
+              JOIN dl d USING (doc_id), stats s
+              GROUP BY p.doc_id),
+            bmtop AS (
+              SELECT doc_id, score FROM bm
+              ORDER BY score DESC, doc_id LIMIT 50),
+            bmrank AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM bmtop),
+            cosscored AS (
+              SELECT c.vec_id AS doc_id,
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) AS sim
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id != c.vec_id
+              WHERE q.vec_id = 7),
+            cosrank AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                       AS rank
+              FROM cosscored
+              QUALIFY rank <= 50),
+            fused AS (
+              SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                     COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank),
+                              CAST(0 AS DOUBLE))
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + c.rank),
+                                CAST(0 AS DOUBLE)) AS rrf_score
+              FROM bmrank b FULL OUTER JOIN cosrank c
+                ON b.doc_id = c.doc_id)
+            SELECT doc_id, rrf_score,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+            FROM fused
+        """,
+        # hard-negative replay: brute cosine band [0.25, 0.95) then
+        # per-query top-5 (dot/sqrt(sq*se) — the engine's exact form)
+        "ann_hard_negatives": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v)
+                       / sqrt(list_dot_product(q.v, q.v)
+                              * list_dot_product(c.v, c.v)) AS sim
+              FROM e q JOIN e c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10),
+            banded AS (
+              SELECT * FROM scored
+              WHERE sim >= 0.25 AND sim < 0.95),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM banded)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         # PageRank replay: the KG's IRI→IRI edges (partOf + usedTool),
         # 3 unrolled power-iteration rounds

@@ -104,3 +104,62 @@ def bm25_topk(docs: DataFrame, query: str, k: int,
     return (bm25_scores(docs, query, k1=k1, b=b)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def rrf_fuse(rankings: list[DataFrame], rrf_k: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """(id_col, rrf_score, rank): reciprocal-rank fusion of N ranked
+    lists — ``score(d) = Σᵢ 1/(rrf_k + rankᵢ(d))``, the standard
+    parameter-free hybrid-retrieval combiner (Cormack et al., SIGIR
+    2009; rrf_k=60 is the canonical constant).
+
+    Each input must carry ``(id_col, rank)``; documents absent from a
+    list contribute 0 from it.  The fold is a fixed left-to-right
+    chain of full outer joins + one coalesced sum in list order, so
+    the double is reproducible in any engine that adds in the same
+    order.  100-TB shape: inputs are top-N lists (bounded by
+    construction — TakeOrderedAndProject / windowed top-k), so the
+    fusion joins touch at most N×len(rankings) rows regardless of
+    corpus size; the final rank is a window over that bounded set."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql.window import Window
+    fused = None
+    contribs = []
+    for i, r in enumerate(rankings):
+        c = f"__c{i}"
+        contribs.append(c)
+        ri = r.select(F.col(id_col),
+                      (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank")))
+                      .alias(c))
+        fused = ri if fused is None else fused.join(ri, id_col, "outer")
+    score = F.coalesce(F.col(contribs[0]), F.lit(0.0))
+    for c in contribs[1:]:
+        score = score + F.coalesce(F.col(c), F.lit(0.0))
+    w = Window.orderBy(F.desc("rrf_score"), id_col)
+    return (fused.select(id_col, score.alias("rrf_score"))
+            .withColumn("rank", F.row_number().over(w)))
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame, query_text: str,
+               query_vec_id: int, k_each: int = 50,
+               rrf_k: int = 60) -> DataFrame:
+    """(doc_id, rrf_score, rank): hybrid retrieval — BM25 keyword
+    ranks fused with embedding-cosine ranks (query = the embedding of
+    ``query_vec_id``) by :func:`rrf_fuse`.  ``vec_id`` is the
+    embedding table's key for the same documents (the synthetic
+    corpus aligns them 1:1).
+
+    Both retrievers produce bounded top-``k_each`` lists before any
+    fusion work: BM25 via TakeOrderedAndProject, cosine via the
+    broadcast-query scored scan — so fusion cost is O(k_each), not
+    O(corpus)."""
+    from pyspark.sql.window import Window
+    from .similarity import cosine_topk
+    bm = bm25_topk(docs, query_text, k_each)
+    bm_ranked = bm.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id")))) \
+        .select("doc_id", "rank")
+    cos = cosine_topk(emb, k=k_each, query_ids=[query_vec_id])
+    cos_ranked = cos.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm_ranked, cos_ranked], rrf_k=rrf_k)

@@ -306,3 +306,37 @@ def quantized_topk(emb: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "qdot"))
+
+
+def hard_negative_pairs(emb: DataFrame, lo: float = 0.25,
+                        hi: float = 0.95, k: int = 5,
+                        query_ids: list[int] | None = None) -> DataFrame:
+    """(query_id, neighbor_id, rank): per query, the top-``k`` most
+    similar corpus vectors whose cosine falls in ``[lo, hi)`` — the
+    hard-negative band for contrastive training (similar enough to be
+    informative, below the near-duplicate ceiling that would make the
+    "negative" a false one).
+
+    Same scored-scan shape as :func:`cosine_topk` (hoisted self-dots,
+    broadcast query side), with the band filter applied BEFORE the
+    per-query window so out-of-band pairs never reach the shuffle.
+    Composes with IVF cell pruning at scale exactly like the top-k
+    path; this brute variant is the verification baseline."""
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("q"),
+                         self_dot(F.col("embedding")).alias("sq"))
+    if query_ids is not None:
+        queries = queries.where(F.col("query_id").isin(query_ids))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("e"),
+                        self_dot(F.col("embedding")).alias("se"))
+    scored = (F.broadcast(queries).crossJoin(corpus)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", cosine_from(
+                  pair_dot(F.col("q"), F.col("e")),
+                  F.col("sq"), F.col("se")))
+              .where((F.col("sim") >= lo) & (F.col("sim") < hi)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

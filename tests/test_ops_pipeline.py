@@ -357,3 +357,32 @@ def test_negative_samples_deterministic_and_flagged(spark):
         truth = {("<a>", "<p>", "<b>"), ("<b>", "<p>", "<c>"),
                  ("<a>", "<q>", '"lit"')}
         assert is_pos == ((subj, pred, neg_obj) in truth)
+
+
+def test_rrf_fuse_math_and_validation(spark):
+    from kgloom.ops.retrieval import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id int, rank int")
+    got = {r.doc_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([a, b], rrf_k=60).collect()}
+    # doc 2 appears in both lists: 1/62 + 1/61; docs 1/3 in one each
+    assert got[2][0] == 1.0 / 62 + 1.0 / 61 and got[2][1] == 1
+    assert got[1][0] == 1.0 / 61 and got[3][0] == 1.0 / 62
+    assert got[1][1] == 2 and got[3][1] == 3   # tie-broken by score
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hard_negative_pairs_band(spark):
+    from kgloom.ops.similarity import hard_negative_pairs
+    # axis-aligned vectors: cos(v0,v1)=0.8, cos(v0,v2)=1.0 (dup),
+    # cos(v0,v3)=0.0 — only v1 sits in the [0.25, 0.95) band
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [2.0, 0.0]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got = [(r.query_id, r.neighbor_id, r.rank)
+           for r in hard_negative_pairs(emb, lo=0.25, hi=0.95, k=5,
+                                        query_ids=[0]).collect()]
+    assert got == [(0, 1, 1)]
