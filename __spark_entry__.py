@@ -824,6 +824,18 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(q_kg_fragment_multi(spark, sf_dir), n_neg=20)
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Perplexity-proxy quality scoring (round-4, kgloom/ops/lm.py):
+    add-k smoothed bigram log-likelihood of each document under the
+    corpus's own bigram LM — the KenLM-style filtering slot.  Counts
+    are hash aggregates; the per-doc sum is an ORDERED fold (sort by
+    gram position + sequential F.aggregate), never a partition-order
+    SUM, so the DuckDB twin (list(lp ORDER BY pos) + list_reduce)
+    reproduces the double bit-for-bit."""
+    from kgloom.ops.lm import bigram_lm_scores
+    return bigram_lm_scores(_docs(spark, sf_dir), k_smooth=0.5)
+
+
 def q_retrieval_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (round-4, kgloom/ops/retrieval.py rrf_fuse):
     BM25 keyword top-50 fused with embedding-cosine top-50 by
@@ -1445,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         "ann_hard_negatives": q_ann_hard_negatives,
+        "text_bigram_lm": q_text_bigram_lm,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
@@ -2728,6 +2741,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfreq f USING (term)
             JOIN dl d USING (doc_id), stats s
             GROUP BY p.doc_id
+        """,
+        # bigram-LM replay: same context counts and add-k ratio, the
+        # per-doc sum as list(lp ORDER BY pos) + sequential
+        # list_reduce (0.0-seeded fold == first-element fold since ln
+        # never returns -0.0), constants cast to DOUBLE
+        "text_bigram_lm": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+              FROM t, UNNEST(range(1, len(toks))) u(i)),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+                    SELECT unnest(toks) AS w FROM t)),
+            lpg AS (
+              SELECT bg.doc_id, bg.pos,
+                     ln((c2.c2 + CAST(0.5 AS DOUBLE))
+                        / (c1.c1 + CAST(0.5 AS DOUBLE) * v.v)) AS lp
+              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     list(lp ORDER BY pos) AS lps
+              FROM lpg GROUP BY doc_id)
+            SELECT doc_id, n_grams,
+                   list_reduce(lps, (a, b) -> a + b) AS logprob,
+                   list_reduce(lps, (a, b) -> a + b) / n_grams
+                     AS avg_logprob
+            FROM agg
         """,
         # hybrid RRF replay: the bm25 ranking above + the cosine
         # ranking, fused as COALESCE(1/(60+r), 0) sums in list order

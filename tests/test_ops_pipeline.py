@@ -386,3 +386,27 @@ def test_hard_negative_pairs_band(spark):
            for r in hard_negative_pairs(emb, lo=0.25, hi=0.95, k=5,
                                         query_ids=[0]).collect()]
     assert got == [(0, 1, 1)]
+
+
+def test_bigram_lm_scores_exact(spark):
+    from kgloom.ops.lm import bigram_lm_scores
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id int, text string")
+    # corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b),(b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a·=3, b·=2 ; V=4 (a,b,c,x)
+    k, V = 0.5, 4
+    lp_ab = math.log((3 + k) / (3 + k * V))
+    lp_ba = math.log((1 + k) / (2 + k * V))
+    lp_bc = math.log((1 + k) / (2 + k * V))
+    got = {r.doc_id: (r.n_grams, r.logprob, r.avg_logprob)
+           for r in bigram_lm_scores(docs, k_smooth=k).collect()}
+    assert set(got) == {1, 2}            # doc 3 has no bigrams
+    exp1 = ((0.0 + lp_ab) + lp_ba) + lp_ab
+    assert got[1] == (3, exp1, exp1 / 3)
+    exp2 = (0.0 + lp_ab) + lp_bc
+    assert got[2] == (2, exp2, exp2 / 2)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bigram_lm_scores(docs, k_smooth=0)
