@@ -381,6 +381,25 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the constructed KG's IRI→IRI edges (round-4,
+    kgloom/ops/graph.py:k_core): iterative degree peeling to the
+    fixpoint — the cohesion filter separating the well-connected
+    backbone from peripheral nodes.  The partOf/usedTool graph peels
+    in a genuine cascade (degree-1 turns fall first, their removal
+    drags conversation degrees down, and so on).  Each round is one
+    hash-aggregate + two semi-joins with localCheckpoint lineage
+    truncation; the DuckDB twin unrolls MORE peel rounds than the
+    graph's peeling depth (the peel is idempotent at fixpoint, so
+    extra rounds are no-ops)."""
+    from kgloom.ops.graph import k_core
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return k_core(edges, k=2)
+
+
 def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT over the engine's own constructed KG: build the
     turn triples, then answer a two-pattern BGP (join on ?turn) with a
@@ -1469,12 +1488,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_kg_profile": q_graph_kg_profile,
         "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peeling as chained CTEs (DuckDB has no loop
+    construct) — the relational replay of kgloom.ops.graph.k_core.
+    ``rounds`` must be >= the graph's peeling depth; extra rounds are
+    no-ops because the peel is idempotent at the fixpoint (the engine
+    runs to the fixpoint, the oracle just overshoots it)."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous round 3x, so inlined CTEs would expand 3^rounds scans
+    ctes = [f"""ec AS MATERIALIZED ({edges_cte}),
+e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+       WHERE u != v)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{p} e
+  JOIN (SELECT u FROM e{p} GROUP BY u HAVING COUNT(*) >= {k}) ku
+    ON e.u = ku.u
+  JOIN (SELECT u FROM e{p} GROUP BY u HAVING COUNT(*) >= {k}) kv
+    ON e.v = kv.u)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u AS node, COUNT(*) AS degree"
+              f" FROM e{rounds} GROUP BY u")
 
 
 def _pagerank_sql(edges_cte: str, damping: float = 0.85,
@@ -1718,6 +1763,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
             FROM deg LEFT JOIN cnt USING (node)
         """,
+        # k-core replay: same partOf/usedTool KG edges as pagerank,
+        # peel unrolled past the graph's peeling depth (idempotent at
+        # the fixpoint, so overshooting is safe)
+        "graph_kcore": _kcore_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                   '<http://kg.example/conv/' || conv_id || '>' AS v
+            FROM tr
+            UNION
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>',
+                   '<http://kg.example/tool/' || tool || '>'
+            FROM tr WHERE tool IS NOT NULL
+        """, k=2, rounds=12),
         "transcripts_entity_degree": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
             m AS (

@@ -172,3 +172,47 @@ def degree_summary(edges: DataFrame, src: str = "src",
             .select("node",
                     F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
                     F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", max_rounds: int = 64) -> DataFrame:
+    """(node, degree): the k-core of the undirected graph — the
+    maximal subgraph where every node keeps degree >= k — with each
+    survivor's degree INSIDE the core.  The density/cohesion filter a
+    KG pipeline uses to separate the well-connected entity backbone
+    from peripheral noise.
+
+    Classic peeling, run distributed: each round drops every node
+    whose current degree is below ``k`` and recomputes degrees on the
+    induced subgraph; the loop stops at the fixpoint (no node
+    dropped).  Rounds needed = the graph's peeling depth for this
+    ``k`` (typically small); each round is one hash-aggregate plus
+    one semi-join — no Python, nothing collected except the one-row
+    convergence count; ``localCheckpoint`` truncates the iterative
+    lineage like the PageRank loop above.  Raises RuntimeError if
+    ``max_rounds`` is exhausted before the fixpoint — a silent
+    partial peel would be an incorrect core, not an approximation."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # undirected: symmetrize once, dedup; self-loops dropped (a
+    # self-loop inflates its node's degree by 2 in either convention)
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint())
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k)
+        pruned = (e.join(keep.select("u"), "u", "semi")
+                  .join(keep.select(F.col("u").alias("v")), "v", "semi")
+                  .localCheckpoint())
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            return (pruned.groupBy(F.col("u").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("degree")))
+        e, n_edges = pruned, n_pruned
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds")

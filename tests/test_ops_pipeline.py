@@ -410,3 +410,21 @@ def test_bigram_lm_scores_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bigram_lm_scores(docs, k_smooth=0)
+
+
+def test_k_core_peeling(spark):
+    from kgloom.ops.graph import k_core
+    import pytest as _pt
+    # triangle a-b-c plus a tail c-d-e: 2-core = the triangle only,
+    # and peeling needs TWO rounds (e drops first, then d)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    got = {r.node: r.degree for r in k_core(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3 peels everything: empty core, still converges
+    assert k_core(edges, k=3).count() == 0
+    with _pt.raises(ValueError):
+        k_core(edges, k=0)
+    with _pt.raises(RuntimeError):
+        k_core(edges, k=2, max_rounds=1)
