@@ -838,9 +838,14 @@ def q_kg_negative_samples(spark, sf_dir):
     single-partition global sort), replacement entity by an
     engine-portable md5 draw, collisions with true triples flagged
     via a (subj, pred) → object-set membership join.  The DuckDB twin
-    replays the identical index and draw."""
+    replays the identical index and draw.  The input triples are
+    persisted first: the sampler references them from three plan
+    branches (expansion, vocabulary, truth sets), and re-running the
+    whole construction plan per branch tripled the exchange count."""
+    from kgloom.ops.cache import tracked_persist
     from kgloom.ops.negatives import negative_samples
-    return negative_samples(q_kg_fragment_multi(spark, sf_dir), n_neg=20)
+    tri = tracked_persist(q_kg_fragment_multi(spark, sf_dir))
+    return negative_samples(tri, n_neg=20)
 
 
 def q_text_bigram_lm(spark, sf_dir):

@@ -173,3 +173,40 @@ def test_triangle_count_jvm_only_no_cartesian(spark):
     plan = explain_str(triangle_count(e))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_ops_family_jvm_only(spark):
+    """Round-4 training-data ops stay on the JVM: negative sampling,
+    quality logit, RRF fusion, hard negatives, and the bigram LM show
+    no Python evaluation nodes; the quality logit is map-only (zero
+    exchanges — the signal projection and the fold fuse into the
+    scan stage)."""
+    import __spark_entry__ as em
+    q = em.queries()
+    for name in ("kg_negative_samples", "text_quality_logit",
+                 "retrieval_hybrid_rrf", "ann_hard_negatives",
+                 "text_bigram_lm", "graph_kcore"):
+        plan = explain_str(q[name](spark, SF))
+        assert "EvalPython" not in plan, name
+    logit_plan = explain_str(q["text_quality_logit"](spark, SF))
+    assert "Exchange" not in logit_plan
+
+
+def test_hard_negative_band_filters_before_window(spark):
+    """The cosine band must prune pairs BEFORE the per-query ranking
+    window: the physical plan's Window node sits above a Filter that
+    carries the band predicate, and the only join is the broadcast
+    query-side cross join (no shuffled join of the corpus)."""
+    from kgloom.ops.similarity import hard_negative_pairs
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    df = hard_negative_pairs(emb, lo=0.25, hi=0.95, k=5)
+    plan = explain_str(df)
+    # the band predicate is folded into the broadcast join condition
+    # itself — evaluated per candidate pair, before anything shuffles
+    bnl_detail = plan.split("BroadcastNestedLoopJoin")[-1]
+    assert "0.25" in bnl_detail and "0.95" in bnl_detail
+    # Spark 4 pushes the rank<=k limit into the window sort
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
