@@ -400,6 +400,52 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2)
 
 
+def q_graph_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI edge weighting for the co-mention graph (round-4,
+    kgloom/ops/graph.py:pmi_pairs): conversation-level entity
+    co-occurrence scored ln((n_ab·N)/(n_a·n_b)) — the statistical
+    confidence that prunes coincidental co-mention edges before KG
+    entry.  Count arithmetic plus one ln per pair; no float sums, so
+    the DuckDB twin is exact."""
+    from kgloom.transcripts.er import canonical_map
+    from kgloom.ops.graph import pmi_pairs
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    inc = (m.join(cmap, "surface")
+           .select("conv_id", "canonical").distinct())
+    return pmi_pairs(inc, bag="conv_id", item="canonical")
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction scores (round-4,
+    kgloom/ops/graph.py:adamic_adar) over the partOf/usedTool KG
+    edges: non-adjacent pairs scored Σ 1/ln(deg) across common
+    neighbors — the non-embedding KG-completion baseline that pairs
+    with the negative sampler's training data.  Hub wedge centers
+    above degree 100 are dropped before the self-join (the O(deg²)
+    guard; their per-wedge weight 1/ln(deg) is the minimum possible);
+    the per-pair sum is the same ordered-fold discipline as the
+    bigram LM, so the DuckDB twin matches bit-for-bit."""
+    from kgloom.ops.graph import adamic_adar
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return adamic_adar(edges, max_center_degree=100)
+
+
+def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile (round-4,
+    kgloom/ops/graph.py:predicate_profile): triple/subject/object
+    counts, max in/out degree, and observed functional /
+    inverse-functional flags — construction QA that doubles as OWL
+    axiom suggestion.  Two hash aggregates per direction, integers
+    only."""
+    from kgloom.ops.graph import predicate_profile
+    return predicate_profile(q_transcripts_turn_triples(spark, sf_dir))
+
+
 def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT over the engine's own constructed KG: build the
     turn triples, then answer a two-pattern BGP (join on ?turn) with a
@@ -1494,6 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kg_profile": q_graph_kg_profile,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "kg_predicate_profile": q_kg_predicate_profile,
+        "graph_pmi": q_graph_pmi,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1785,6 +1834,109 @@ def oracle_sql() -> dict[str, str]:
                    '<http://kg.example/tool/' || tool || '>'
             FROM tr WHERE tool IS NOT NULL
         """, k=2, rounds=12),
+        # Adamic-Adar replay: same symmetrized edges, same <=100
+        # center cap, wedge self-join, anti-join against edges, and
+        # the ordered-fold weight sum (list ORDER BY center +
+        # sequential list_reduce) — AS MATERIALIZED so the 3 edge
+        # references don't re-expand the transcript scan
+        "graph_adamic_adar": f"""
+            WITH ec AS MATERIALIZED (
+              WITH tr AS ({TRANSCRIPTS_SQL})
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                     '<http://kg.example/conv/' || conv_id || '>' AS v
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL),
+            e AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+              WHERE u != v),
+            deg AS (SELECT u AS w, COUNT(*) AS deg_w FROM e GROUP BY u),
+            centers AS (SELECT * FROM deg WHERE deg_w <= 100),
+            adj AS MATERIALIZED (
+              SELECT e.u AS w, e.v AS x,
+                     CAST(1 AS DOUBLE) / ln(CAST(c.deg_w AS DOUBLE))
+                       AS wt
+              FROM e JOIN centers c ON e.u = c.w),
+            wedges AS (
+              SELECT a.w, a.x AS u, b.x AS v, a.wt
+              FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x),
+            nonedges AS (
+              SELECT wd.* FROM wedges wd
+              LEFT JOIN e ON wd.u = e.u AND wd.v = e.v
+              WHERE e.u IS NULL),
+            g AS (
+              SELECT u, v, COUNT(*) AS n_common,
+                     list(wt ORDER BY w) AS wts
+              FROM nonedges GROUP BY u, v)
+            SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+                   list_reduce(wts, (a, b) -> a + b) AS aa_score
+            FROM g WHERE n_common >= 1
+        """,
+        # PMI replay: distinct incidence, bag self-join pair counts,
+        # item counts, one ln with the engine's exact operand shape
+        "graph_pmi": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1) AS norm_key
+              FROM tr),
+            canon AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            inc AS MATERIALIZED (
+              SELECT DISTINCT m.conv_id AS bg, c.canonical AS i
+              FROM m JOIN canon c USING (norm_key)),
+            nb AS (SELECT COUNT(DISTINCT bg) AS n_bags FROM inc),
+            cnt AS (SELECT i, COUNT(*) AS n_i FROM inc GROUP BY i),
+            pairs AS (
+              SELECT x.i AS a, y.i AS b, COUNT(*) AS n_ab
+              FROM inc x JOIN inc y ON x.bg = y.bg AND x.i < y.i
+              GROUP BY 1, 2)
+            SELECT p.a, p.b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(ca.n_i AS BIGINT) AS n_a,
+                   CAST(cb.n_i AS BIGINT) AS n_b,
+                   CAST(nb.n_bags AS BIGINT) AS n_bags,
+                   ln((CAST(n_ab AS DOUBLE) * nb.n_bags)
+                      / (CAST(ca.n_i AS DOUBLE) * cb.n_i)) AS pmi
+            FROM pairs p
+            JOIN cnt ca ON p.a = ca.i
+            JOIN cnt cb ON p.b = cb.i, nb
+        """,
+        # predicate-profile replay: per-direction degree aggregates,
+        # SUM cast to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+        "kg_predicate_profile": f"""
+            WITH tri AS (
+              WITH tr AS ({TRANSCRIPTS_SQL})
+              SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+            od AS (SELECT pred, subj, COUNT(*) AS d FROM tri
+                   GROUP BY 1, 2),
+            idg AS (SELECT pred, obj, COUNT(*) AS d FROM tri
+                    GROUP BY 1, 2),
+            outs AS (SELECT pred, SUM(d) AS n_triples,
+                            COUNT(*) AS n_subj, MAX(d) AS max_out
+                     FROM od GROUP BY pred),
+            ins AS (SELECT pred, COUNT(*) AS n_obj, MAX(d) AS max_in
+                    FROM idg GROUP BY pred)
+            SELECT pred, CAST(n_triples AS BIGINT) AS n_triples,
+                   CAST(n_subj AS BIGINT) AS n_subj,
+                   CAST(n_obj AS BIGINT) AS n_obj,
+                   CAST(max_out AS BIGINT) AS max_out,
+                   CAST(max_in AS BIGINT) AS max_in,
+                   max_out = 1 AS functional,
+                   max_in = 1 AS inverse_functional
+            FROM outs JOIN ins USING (pred)
+        """,
         "transcripts_entity_degree": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
             m AS (

@@ -216,3 +216,118 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
         e, n_edges = pruned, n_pruned
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds")
+
+
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                min_common: int = 1,
+                max_center_degree: int | None = None) -> DataFrame:
+    """(u, v, n_common, aa_score): Adamic–Adar link-prediction scores
+    for NON-adjacent node pairs (u < v) sharing at least
+    ``min_common`` neighbors — ``Σ_w 1/ln(deg(w))`` over the common
+    neighbors ``w``.  The classic non-embedding KG-completion
+    baseline, and the candidate generator an embedding ranker is
+    evaluated against.
+
+    Shape: one wedge self-join through the center node (each
+    candidate pair is generated once per common neighbor), an
+    anti-join against the edge set to keep non-edges only, then one
+    grouped ORDERED fold (sort by center id + sequential
+    ``F.aggregate``) so the double sum is engine-reproducible — the
+    same determinism rule as the bigram LM.
+
+    ``max_center_degree`` optionally drops hub centers from wedge
+    generation BEFORE the self-join — the O(deg²) fan-out guard for
+    skewed graphs, principled here because a hub's AA contribution is
+    the minimum possible (1/ln(deg) vanishes as deg grows).  None
+    means exact."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    deg = e.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg_w"))
+    centers = deg if max_center_degree is None else deg.where(
+        F.col("deg_w") <= max_center_degree)
+    # (w, x) adjacency restricted to surviving centers, weight attached
+    adj = (e.select(F.col("u").alias("w"), F.col("v").alias("x"))
+           .join(centers, "w")
+           .withColumn("wt", F.lit(1.0) / F.log(F.col("deg_w")
+                                                .cast("double"))))
+    a = adj.select("w", F.col("x").alias("u"), "wt")
+    b = adj.select("w", F.col("x").alias("v"))
+    wedges = (a.join(b, "w")
+              .where(F.col("u") < F.col("v")))
+    non_edges = wedges.join(
+        e.select(F.col("u").alias("__eu"), F.col("v").alias("__ev")),
+        (F.col("u") == F.col("__eu")) & (F.col("v") == F.col("__ev")),
+        "left_anti")
+    arr = F.sort_array(F.collect_list(F.struct("w", "wt")))
+    folded = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["wt"])
+    return (non_edges.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 folded.alias("aa_score"))
+            .where(F.col("n_common") >= min_common))
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_subj, n_obj, max_out, max_in, functional,
+    inverse_functional): per-predicate cardinality profile of a triple
+    table — the construction-QA report that also feeds OWL axiom
+    suggestion (max_out == 1 everywhere observed → candidate
+    owl:FunctionalProperty; max_in == 1 → candidate
+    InverseFunctionalProperty).
+
+    Two hash aggregates per direction plus one per-predicate rollup —
+    integers only, no joins against the triple table itself."""
+    out_deg = (triples.groupBy("pred", "subj")
+               .agg(F.count(F.lit(1)).alias("d")))
+    in_deg = (triples.groupBy("pred", "obj")
+              .agg(F.count(F.lit(1)).alias("d")))
+    outs = out_deg.groupBy("pred").agg(
+        F.sum("d").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_subj"),
+        F.max("d").alias("max_out"))
+    ins = in_deg.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_obj"),
+        F.max("d").alias("max_in"))
+    return (outs.join(ins, "pred")
+            .select("pred", "n_triples", "n_subj", "n_obj",
+                    "max_out", "max_in",
+                    (F.col("max_out") == 1).alias("functional"),
+                    (F.col("max_in") == 1).alias("inverse_functional")))
+
+
+def pmi_pairs(incidence: DataFrame, bag: str = "bag",
+              item: str = "item", min_count: int = 1) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, n_bags, pmi): pointwise mutual
+    information of item pairs co-occurring in bags —
+    ``ln((n_ab · N) / (n_a · n_b))`` — the statistical edge-confidence
+    weight a co-occurrence KG uses to prune coincidental links before
+    they enter the graph (positive = above-chance association).
+
+    Pure count arithmetic plus ONE ln per pair, so any engine replays
+    the double exactly (no sums of floats anywhere).  Shape: dedup the
+    incidence, one self-join on the bag key (fan-out bounded by bag
+    size, the same wedge shape as the co-mention edge builder), two
+    broadcast-friendly joins against the item counts, one broadcast
+    1-row bag total."""
+    inc = incidence.select(F.col(bag).alias("b"),
+                           F.col(item).alias("i")).distinct()
+    n_bags = inc.agg(F.count_distinct("b").alias("n_bags"))
+    cnt = inc.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    lhs = inc.select("b", F.col("i").alias("a"))
+    rhs = inc.select("b", F.col("i").alias("bb"))
+    pairs = (lhs.join(rhs, "b")
+             .where(F.col("a") < F.col("bb"))
+             .groupBy(F.col("a"), F.col("bb").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_count))
+    ca = cnt.select(F.col("i").alias("a"), F.col("n_i").alias("n_a"))
+    cb = cnt.select(F.col("i").alias("b"), F.col("n_i").alias("n_b"))
+    pmi = F.log((F.col("n_ab").cast("double") * F.col("n_bags"))
+                / (F.col("n_a").cast("double") * F.col("n_b")))
+    return (pairs.join(ca, "a").join(cb, "b")
+            .crossJoin(F.broadcast(n_bags))
+            .select("a", "b", "n_ab", "n_a", "n_b", "n_bags",
+                    pmi.alias("pmi")))

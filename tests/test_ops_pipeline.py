@@ -428,3 +428,55 @@ def test_k_core_peeling(spark):
         k_core(edges, k=0)
     with _pt.raises(RuntimeError):
         k_core(edges, k=2, max_rounds=1)
+
+
+def test_adamic_adar_exact(spark):
+    from kgloom.ops.graph import adamic_adar
+    import math
+    # 4-cycle a-b-c-d: non-adjacent pairs (a,c) and (b,d), each with
+    # two common neighbors of degree 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string")
+    x = 1.0 / math.log(2.0)
+    exp = (0.0 + x) + x
+    got = {(r.u, r.v): (r.n_common, r.aa_score)
+           for r in adamic_adar(edges).collect()}
+    assert got == {("a", "c"): (2, exp), ("b", "d"): (2, exp)}
+    assert adamic_adar(edges, min_common=3).count() == 0
+    assert adamic_adar(edges, max_center_degree=1).count() == 0
+
+
+def test_predicate_profile_flags(spark):
+    from kgloom.ops.graph import predicate_profile
+    tri = spark.createDataFrame(
+        [("<s1>", "<p>", "<o1>"), ("<s1>", "<p>", "<o2>"),
+         ("<s2>", "<p>", "<o2>"), ("<s1>", "<q>", "<o9>")],
+        "subj string, pred string, obj string")
+    got = {r.pred: r for r in predicate_profile(tri).collect()}
+    p, q = got["<p>"], got["<q>"]
+    assert (p.n_triples, p.n_subj, p.n_obj, p.max_out, p.max_in) \
+        == (3, 2, 2, 2, 2)
+    assert not p.functional and not p.inverse_functional
+    assert (q.n_triples, q.max_out, q.max_in) == (1, 1, 1)
+    assert q.functional and q.inverse_functional
+
+
+def test_pmi_pairs_exact(spark):
+    from kgloom.ops.graph import pmi_pairs
+    import math
+    inc = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+         (3, "z")],  # duplicate incidence rows are deduped
+        "bag int, item string")
+    got = {(r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.n_bags, r.pmi)
+           for r in pmi_pairs(inc, "bag", "item").collect()}
+    # x in 3 bags, y in 2, z in 1; (x,y) together twice of N=3
+    assert got[("x", "y")][:4] == (2, 3, 2, 3)
+    assert got[("x", "y")][4] == math.log((2.0 * 3) / (3.0 * 2))
+    assert got[("x", "z")][:4] == (1, 3, 1, 3)
+    assert got[("x", "z")][4] == math.log((1.0 * 3) / (3.0 * 1))
+    assert ("y", "z") not in got
+    assert {(r.a, r.b) for r in
+            pmi_pairs(inc, "bag", "item", min_count=2).collect()} \
+        == {("x", "y")}
