@@ -400,6 +400,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2)
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (round-4,
+    kgloom/ops/graph.py:random_walks) over the undirected
+    partOf/usedTool KG: 2 walks × 3 steps from every node, each step
+    chosen by md5(start|walk|step|cur) mod degree over the
+    id-ordered adjacency — the DeepWalk/node2vec sequence generator
+    with NO RNG state, so reruns and the DuckDB twin walk identical
+    paths.  Per step: one join to the degree table for the slot draw
+    (staged conv, the Spark 4.1.2 fused-expression hazard) and one
+    equi-join on (source, rank) — no hub fan-out."""
+    from kgloom.ops.graph import random_walks
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return random_walks(edges, n_walks=2, walk_len=3)
+
+
 def q_graph_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI edge weighting for the co-mention graph (round-4,
     kgloom/ops/graph.py:pmi_pairs): conversation-level entity
@@ -1543,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "kg_predicate_profile": q_kg_predicate_profile,
         "graph_pmi": q_graph_pmi,
+        "graph_random_walks": q_graph_random_walks,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1878,6 +1897,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
                    list_reduce(wts, (a, b) -> a + b) AS aa_score
             FROM g WHERE n_common >= 1
+        """,
+        # random-walk replay: same symmetrized adjacency, same
+        # id-ordered ranks, same md5 slot draw per unrolled step
+        "graph_random_walks": f"""
+            WITH ec AS MATERIALIZED (
+              WITH tr AS ({TRANSCRIPTS_SQL})
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                     '<http://kg.example/conv/' || conv_id || '>' AS v
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL),
+            e AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+              WHERE u != v),
+            nbr AS MATERIALIZED (
+              SELECT u AS ns, v AS nd,
+                     ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                       AS rank,
+                     COUNT(*) OVER (PARTITION BY u) AS deg
+              FROM e),
+            nodes AS (
+              SELECT DISTINCT u AS node FROM (
+                SELECT u FROM e UNION ALL SELECT v FROM e)),
+            s0 AS MATERIALIZED (
+              SELECT node AS start, w AS walk_id, 0 AS step, node
+              FROM nodes CROSS JOIN (SELECT UNNEST(range(0, 2)) AS w)),
+            s1 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 1 AS step, n.nd AS node
+              FROM s0 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|0|' || s.node),
+                 1, 8) AS BIGINT) % n.deg),
+            s2 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 2 AS step, n.nd AS node
+              FROM s1 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|1|' || s.node),
+                 1, 8) AS BIGINT) % n.deg),
+            s3 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 3 AS step, n.nd AS node
+              FROM s2 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|2|' || s.node),
+                 1, 8) AS BIGINT) % n.deg)
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         """,
         # PMI replay: distinct incidence, bag self-join pair counts,
         # item counts, one ln with the engine's exact operand shape

@@ -331,3 +331,68 @@ def pmi_pairs(incidence: DataFrame, bag: str = "bag",
             .crossJoin(F.broadcast(n_bags))
             .select("a", "b", "n_ab", "n_a", "n_b", "n_bags",
                     pmi.alias("pmi")))
+
+
+def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
+                 src: str = "src", dst: str = "dst",
+                 directed: bool = False) -> DataFrame:
+    """(start, walk_id, step, node): ``n_walks`` random walks of up to
+    ``walk_len`` steps from every node — the DeepWalk/node2vec
+    training-sequence generator, made fully DETERMINISTIC: step ``i``
+    of walk ``w`` from ``start`` standing at ``cur`` moves to the
+    neighbor whose per-source rank (neighbors ordered by node id)
+    equals ``md5(start|w|i|cur) mod deg(cur)``.  Reruns, resumed jobs
+    and the DuckDB oracle all walk the SAME paths — no RNG state, no
+    seed plumbing.
+
+    Per step: one broadcast-friendly join against the degree table to
+    draw the slot, then one EQUI-join on (source, rank) — the walker
+    never fans out over a hub's full adjacency.  The md5→int draw is
+    staged through named columns (the Spark 4.1.2 fused-conv hazard,
+    see kgloom/ops/negatives.py).  Walks stop early at sinks
+    (directed mode) — no row is emitted rather than a self-stall."""
+    if n_walks < 1 or walk_len < 1:
+        raise ValueError("n_walks and walk_len must be >= 1")
+    from pyspark.sql.window import Window
+
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = fwd if directed else fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.where(F.col("s") != F.col("d")).distinct()
+    # fresh column names per derived table: nbr and deg share e's
+    # lineage, and a later join of both trips Spark's ambiguous-
+    # self-join analysis if they expose the same attribute
+    nbr = e.withColumn("rank", F.row_number().over(
+        Window.partitionBy("s").orderBy("d")) - 1) \
+        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")) \
+        .select(F.col("s").alias("dn"), "deg")
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    cur = (nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+        .alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("node").alias("node")).localCheckpoint())
+    out = cur
+    for i in range(walk_len):
+        hex8 = F.substring(F.md5(F.concat_ws(
+            "|", "start", F.col("walk_id").cast("string"),
+            F.lit(str(i)), "node")), 1, 8)
+        drawn = (cur.join(deg, cur["node"] == deg["dn"])
+                 .withColumn("__hex8", hex8)
+                 .withColumn("__draw",
+                             F.conv("__hex8", 16, 10).cast("long"))
+                 .withColumn("__slot", F.col("__draw") % F.col("deg")))
+        stepped = (drawn.join(
+            nbr, (drawn["node"] == nbr["ns"])
+            & (drawn["__slot"] == nbr["rank"]))
+            .select("start", "walk_id",
+                    (F.col("step") + 1).alias("step"),
+                    F.col("nd").alias("node"))
+            .localCheckpoint())
+        out = out.unionByName(stepped)
+        cur = stepped
+    return out

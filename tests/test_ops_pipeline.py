@@ -480,3 +480,36 @@ def test_pmi_pairs_exact(spark):
     assert {(r.a, r.b) for r in
             pmi_pairs(inc, "bag", "item", min_count=2).collect()} \
         == {("x", "y")}
+
+
+def test_random_walks_deterministic_md5_paths(spark):
+    from kgloom.ops.graph import random_walks
+    import hashlib
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string")
+    out = random_walks(edges, n_walks=2, walk_len=3)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(map(tuple, random_walks(
+        edges, n_walks=2, walk_len=3).collect()))   # rerun-stable
+    # replay every step in python over the symmetrized adjacency
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b", "d"],
+           "d": ["c"]}
+    expected = []
+    for start in adj:
+        for w in range(2):
+            node = start
+            expected.append((start, w, 0, node))
+            for i in range(3):
+                d = int(hashlib.md5(
+                    f"{start}|{w}|{i}|{node}".encode()).hexdigest()[:8],
+                    16) % len(adj[node])
+                node = adj[node][d]
+                expected.append((start, w, i + 1, node))
+    assert rows == sorted(expected)
+    # directed mode: walks stop at sinks instead of emitting rows
+    directed = random_walks(spark.createDataFrame(
+        [("a", "b")], "src string, dst string"),
+        n_walks=1, walk_len=2, directed=True)
+    assert sorted(map(tuple, directed.collect())) == [
+        ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("b", 0, 0, "b")]
