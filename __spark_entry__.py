@@ -418,6 +418,17 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, n_walks=2, walk_len=3)
 
 
+def q_graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walks (round-4,
+    kgloom/ops/graph.py:skipgram_pairs): every (center, context) node
+    pair within 2 steps on the same walk — the word2vec-style input a
+    node-embedding trainer consumes.  One self-join keyed on walk
+    identity; per-row fan-out bounded by 2·window regardless of graph
+    shape."""
+    from kgloom.ops.graph import skipgram_pairs
+    return skipgram_pairs(q_graph_random_walks(spark, sf_dir), window=2)
+
+
 def q_graph_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI edge weighting for the co-mention graph (round-4,
     kgloom/ops/graph.py:pmi_pairs): conversation-level entity
@@ -1562,12 +1573,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_kg_predicate_profile,
         "graph_pmi": q_graph_pmi,
         "graph_random_walks": q_graph_random_walks,
+        "graph_skipgram_pairs": q_graph_skipgram_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+_RANDOM_WALKS_SQL = f"""
+            WITH ec AS MATERIALIZED (
+              WITH tr AS ({TRANSCRIPTS_SQL})
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                     '<http://kg.example/conv/' || conv_id || '>' AS v
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL),
+            e AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+              WHERE u != v),
+            nbr AS MATERIALIZED (
+              SELECT u AS ns, v AS nd,
+                     ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                       AS rank,
+                     COUNT(*) OVER (PARTITION BY u) AS deg
+              FROM e),
+            nodes AS (
+              SELECT DISTINCT u AS node FROM (
+                SELECT u FROM e UNION ALL SELECT v FROM e)),
+            s0 AS MATERIALIZED (
+              SELECT node AS start, w AS walk_id, 0 AS step, node
+              FROM nodes CROSS JOIN (SELECT UNNEST(range(0, 2)) AS w)),
+            s1 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 1 AS step, n.nd AS node
+              FROM s0 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|0|' || s.node),
+                 1, 8) AS BIGINT) % n.deg),
+            s2 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 2 AS step, n.nd AS node
+              FROM s1 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|1|' || s.node),
+                 1, 8) AS BIGINT) % n.deg),
+            s3 AS MATERIALIZED (
+              SELECT s.start, s.walk_id, 3 AS step, n.nd AS node
+              FROM s2 s JOIN nbr n ON s.node = n.ns
+               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
+                 || CAST(s.walk_id AS VARCHAR) || '|2|' || s.node),
+                 1, 8) AS BIGINT) % n.deg)
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        """
 
 
 def _kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
@@ -1900,56 +1965,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # random-walk replay: same symmetrized adjacency, same
         # id-ordered ranks, same md5 slot draw per unrolled step
-        "graph_random_walks": f"""
-            WITH ec AS MATERIALIZED (
-              WITH tr AS ({TRANSCRIPTS_SQL})
-              SELECT DISTINCT
-                     '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>' AS u,
-                     '<http://kg.example/conv/' || conv_id || '>' AS v
-              FROM tr
-              UNION
-              SELECT DISTINCT
-                     '<http://kg.example/conv/' || conv_id || '/turn/'
-                       || CAST(turn_idx AS VARCHAR) || '>',
-                     '<http://kg.example/tool/' || tool || '>'
-              FROM tr WHERE tool IS NOT NULL),
-            e AS MATERIALIZED (
-              SELECT DISTINCT u, v FROM (
-                SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
-              WHERE u != v),
-            nbr AS MATERIALIZED (
-              SELECT u AS ns, v AS nd,
-                     ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
-                       AS rank,
-                     COUNT(*) OVER (PARTITION BY u) AS deg
-              FROM e),
-            nodes AS (
-              SELECT DISTINCT u AS node FROM (
-                SELECT u FROM e UNION ALL SELECT v FROM e)),
-            s0 AS MATERIALIZED (
-              SELECT node AS start, w AS walk_id, 0 AS step, node
-              FROM nodes CROSS JOIN (SELECT UNNEST(range(0, 2)) AS w)),
-            s1 AS MATERIALIZED (
-              SELECT s.start, s.walk_id, 1 AS step, n.nd AS node
-              FROM s0 s JOIN nbr n ON s.node = n.ns
-               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
-                 || CAST(s.walk_id AS VARCHAR) || '|0|' || s.node),
-                 1, 8) AS BIGINT) % n.deg),
-            s2 AS MATERIALIZED (
-              SELECT s.start, s.walk_id, 2 AS step, n.nd AS node
-              FROM s1 s JOIN nbr n ON s.node = n.ns
-               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
-                 || CAST(s.walk_id AS VARCHAR) || '|1|' || s.node),
-                 1, 8) AS BIGINT) % n.deg),
-            s3 AS MATERIALIZED (
-              SELECT s.start, s.walk_id, 3 AS step, n.nd AS node
-              FROM s2 s JOIN nbr n ON s.node = n.ns
-               AND n.rank = CAST('0x' || substr(md5(s.start || '|'
-                 || CAST(s.walk_id AS VARCHAR) || '|2|' || s.node),
-                 1, 8) AS BIGINT) % n.deg)
-            SELECT * FROM s0 UNION ALL SELECT * FROM s1
-            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        "graph_random_walks": _RANDOM_WALKS_SQL,
+        # skip-gram replay: the walks CTE + one self-join on the walk
+        # identity with the bounded step-offset band
+        "graph_skipgram_pairs": f"""
+            WITH walks AS MATERIALIZED ({_RANDOM_WALKS_SQL})
+            SELECT a.node AS center, b.node AS context,
+                   CAST(b.step - a.step AS INTEGER) AS offset
+            FROM walks a JOIN walks b
+              ON a.start = b.start AND a.walk_id = b.walk_id
+             AND a.step != b.step AND abs(b.step - a.step) <= 2
         """,
         # PMI replay: distinct incidence, bag self-join pair counts,
         # item counts, one ln with the engine's exact operand shape

@@ -396,3 +396,30 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
         out = out.unionByName(stepped)
         cur = stepped
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, offset): word2vec-style skip-gram training
+    pairs from walk sequences — every ordered pair of nodes within
+    ``window`` steps of each other on the same walk (offset =
+    context_step − center_step, never 0).  The step after
+    :func:`random_walks` in a node-embedding pipeline.
+
+    One self-join keyed on the walk identity with a bounded
+    step-range predicate — fan-out per row is at most ``2·window``,
+    independent of graph shape."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(F.col("start").alias("__s"),
+                     F.col("walk_id").alias("__w"),
+                     F.col("step").alias("__i"),
+                     F.col("node").alias("center"))
+    b = walks.select(F.col("start").alias("__s"),
+                     F.col("walk_id").alias("__w"),
+                     F.col("step").alias("__j"),
+                     F.col("node").alias("context"))
+    return (a.join(b, ["__s", "__w"])
+            .where((F.col("__i") != F.col("__j"))
+                   & (F.abs(F.col("__j") - F.col("__i")) <= window))
+            .select("center", "context",
+                    (F.col("__j") - F.col("__i")).alias("offset")))

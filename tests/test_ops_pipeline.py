@@ -513,3 +513,21 @@ def test_random_walks_deterministic_md5_paths(spark):
         n_walks=1, walk_len=2, directed=True)
     assert sorted(map(tuple, directed.collect())) == [
         ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("b", 0, 0, "b")]
+
+
+def test_skipgram_pairs_window(spark):
+    from kgloom.ops.graph import skipgram_pairs
+    import pytest as _pt
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+         ("a", 0, 3, "d"), ("z", 1, 0, "z")],
+        "start string, walk_id int, step int, node string")
+    got = sorted((r.center, r.context, r.offset)
+                 for r in skipgram_pairs(walks, window=1).collect())
+    assert got == sorted([
+        ("a", "b", 1), ("b", "a", -1), ("b", "c", 1), ("c", "b", -1),
+        ("c", "d", 1), ("d", "c", -1)])
+    # window=2 adds the distance-2 pairs; the singleton walk adds none
+    assert skipgram_pairs(walks, window=2).count() == 10
+    with _pt.raises(ValueError):
+        skipgram_pairs(walks, window=0)
