@@ -762,6 +762,29 @@ def q_sparql_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 dataset clauses (round-4, kgloom/sparql.py §13.2):
+    ``FROM`` merges graphs into the active default graph (their names
+    become invisible to GRAPH patterns — RDF merge semantics) while
+    ``FROM NAMED`` is the only scope GRAPH patterns may match.  Over
+    the two-named-graph KG: names enter via FROM (matched by the
+    default BGP), topology stays named-only (matched by GRAPH ?g) —
+    the same solution requires both scopes to be partitioned
+    correctly.  One filtered union over the quad table; scoping is a
+    pushed graph-column predicate, no Python."""
+    from kgloom.sparql import sparql_select
+    quads = _two_graph_quads(spark, sf_dir)
+    return sparql_select(quads, f"""
+        SELECT DISTINCT ?n ?r ?g
+        FROM <{EX}graph/names>
+        FROM NAMED <{EX}graph/topology>
+        WHERE {{
+          ?s <{EX}ontology/name> ?n .
+          GRAPH ?g {{ ?s <{EX}ontology/inRegion> ?r }}
+        }}
+    """)
+
+
 def q_sparql_kg_update_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-scoped SPARQL 1.1 Update (round-4, kgloom/sparql.py): over
     the two-named-graph KG, a three-operation script — MOVE renames the
@@ -1526,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_update_graphs": q_sparql_kg_update_graphs,
         "sparql_kg_functions": q_sparql_kg_functions,
         "sparql_kg_graph": q_sparql_kg_graph,
+        "sparql_kg_dataset": q_sparql_kg_dataset,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
@@ -2127,6 +2151,17 @@ def oracle_sql() -> dict[str, str]:
         # only in graph/topology, so the cross-graph join is a plain
         # nation-row projection and ?g always binds graph/topology
         "sparql_kg_graph": f"""
+            SELECT DISTINCT n_name AS n,
+                   '{ex}region/' || CAST(n_regionkey AS VARCHAR) AS r,
+                   '{ex}graph/topology' AS g
+            FROM nation
+        """,
+        # dataset-clause replay: FROM <names> merges into the default
+        # graph (default BGP sees names only), FROM NAMED <topology>
+        # is the only graph GRAPH ?g may bind — the solution set is
+        # the same names x topology join, reached through the
+        # dataset-partitioned scopes instead of explicit GRAPH IRIs
+        "sparql_kg_dataset": f"""
             SELECT DISTINCT n_name AS n,
                    '{ex}region/' || CAST(n_regionkey AS VARCHAR) AS r,
                    '{ex}graph/topology' AS g

@@ -22,7 +22,10 @@ implementation-defined spec points), basic graph patterns with ``;`` predicate l
 and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
 { ... }``, nested ``{}`` groups, ``GRAPH ?g|<iri> { ... }`` named-graph
 scoping (the default BGP matches the union of all graphs; a GRAPH
-scope propagates to nested groups), ``MINUS`` (anti join on the shared
+scope propagates to nested groups), ``FROM <g>`` / ``FROM NAMED <g>``
+dataset clauses (§13.2: FROM graphs merge into the active default
+graph and lose their names; GRAPH patterns match only FROM NAMED
+graphs), ``MINUS`` (anti join on the shared
 variables; no shared variables removes nothing, §8.3), ``FILTER
 [NOT] EXISTS`` (semi/anti join, sees all of the group's bindings),
 ``BIND(expr AS ?v)`` and scalar select expressions ``(expr AS ?v)``
@@ -223,6 +226,12 @@ class SelectQuery:
     #: Extend, applied after grouping (so they may reference aggregate
     #: aliases) and before ORDER BY (so sort keys may reference them)
     select_exprs: list[tuple[str, Expr]] = field(default_factory=list)
+    #: dataset clause (§13.2): ``FROM <g>`` graphs merge into the
+    #: active default graph; ``FROM NAMED <g>`` graphs are the only
+    #: ones GRAPH patterns may match.  Rendered IRIs; both empty =
+    #: no dataset clause (union-default-graph reading).
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
     # root-level convenience views (back-compat for callers that only
     # deal in flat BGPs)
@@ -311,6 +320,15 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
 
 _UNSUPPORTED = re.compile(
     r"\b(SERVICE)\b", re.IGNORECASE)
+
+
+class _DefaultGraphOnly:
+    """graph_term sentinel: a dataset clause is active and this scope
+    is the DEFAULT graph — match only rows whose graph was nulled by
+    the dataset rewrite (FROM-merged triples), never named graphs."""
+
+
+_DEFAULT_ONLY = _DefaultGraphOnly()
 
 
 def _tok_at(toks: list, i: int):
@@ -1253,6 +1271,16 @@ def parse_sparql(text: str,
         prefixes[m.group(1) or ""] = m.group(2)
     text = re.sub(r"PREFIX\s+[\w-]*:\s*<[^>]*>", "", text, flags=re.IGNORECASE)
 
+    # dataset clause (top-level only, §13.2) — pulled out before the
+    # SELECT regex so FROM lines never reach the projection parser
+    from_named = [f"<{g}>" for g in re.findall(
+        r"\bFROM\s+NAMED\s+<([^>]*)>", text, re.IGNORECASE)]
+    text = re.sub(r"\bFROM\s+NAMED\s+<[^>]*>", " ", text,
+                  flags=re.IGNORECASE)
+    from_graphs = [f"<{g}>" for g in re.findall(
+        r"\bFROM\s+<([^>]*)>", text, re.IGNORECASE)]
+    text = re.sub(r"\bFROM\s+<[^>]*>", " ", text, flags=re.IGNORECASE)
+
     m = re.search(r"SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}(.*)$",
                   text, re.IGNORECASE | re.DOTALL)
     if m is None:
@@ -1311,7 +1339,8 @@ def parse_sparql(text: str,
                        offset=offset, prefixes=prefixes,
                        aggregates=aggregates,
                        group_by=group_by, having=having,
-                       select_exprs=select_exprs)
+                       select_exprs=select_exprs,
+                       from_graphs=from_graphs, from_named=from_named)
 
 
 #: lexical form of a rendered term: IRIs lose <>, literals lose quotes
@@ -1551,6 +1580,10 @@ def _exec_bgp(quads: DataFrame,
         quads = quads.where(F.col("graph") == F.lit(graph_term))
     elif isinstance(graph_term, Var):
         quads = quads.where(F.col("graph").isNotNull())
+    elif isinstance(graph_term, _DefaultGraphOnly):
+        # dataset rewrite nulled the graph of FROM-merged rows; the
+        # default-graph scope matches exactly those
+        quads = quads.where(F.col("graph").isNull())
     result: Optional[DataFrame] = None
     for (s, p, o) in _order_patterns(patterns):
         if isinstance(p, Path):
@@ -1968,6 +2001,27 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
     joins enclosing patterns; ``graph_term`` propagates an active
     GRAPH scope into the subquery's group, §13.3)."""
     from dataclasses import replace as _dc_replace
+
+    if q.from_graphs or q.from_named:
+        if "graph" not in quads.columns:
+            raise SparqlError(
+                "FROM/FROM NAMED need a graph column on the input")
+        g = F.col("graph")
+        parts = []
+        if q.from_graphs:
+            # FROM graphs merge into the default graph: strip their
+            # names so GRAPH patterns cannot see them (RDF merge)
+            parts.append(quads.where(g.isin(q.from_graphs))
+                         .withColumn("graph",
+                                     F.lit(None).cast("string")))
+        if q.from_named:
+            parts.append(quads.where(g.isin(q.from_named)))
+        view = parts[0]
+        for p in parts[1:]:
+            view = view.unionByName(p)
+        quads = view
+        if graph_term is None:
+            graph_term = _DEFAULT_ONLY
 
     result = _exec_group(quads, q.group, q.prefixes, graph_term)
 

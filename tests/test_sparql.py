@@ -1701,3 +1701,51 @@ def test_bgp_join_ordering_is_semantics_preserving(quads):
             want = got
         assert got == want
     assert want
+
+
+# --- dataset clauses (FROM / FROM NAMED, §13.2) -------------------------------
+
+def _dataset_quads(spark):
+    return spark.createDataFrame(
+        [("<s1>", "<p>", '"a"', "<g1>"),
+         ("<s2>", "<p>", '"b"', "<g2>"),
+         ("<s3>", "<p>", '"c"', "<g3>")],
+        "subj string, pred string, obj string, graph string")
+
+
+def test_from_merges_default_graph(spark):
+    from kgloom.sparql import sparql_select
+    out = sparql_select(_dataset_quads(spark), """
+        SELECT ?s ?o FROM <g1> FROM <g2> WHERE { ?s <p> ?o }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("s1", "a"), ("s2", "b")]
+
+
+def test_from_named_scopes_graph_patterns(spark):
+    from kgloom.sparql import sparql_select
+    # g2 is named-only: invisible to the default BGP, visible to GRAPH
+    out = sparql_select(_dataset_quads(spark), """
+        SELECT ?s ?g FROM <g1> FROM NAMED <g2>
+        WHERE { GRAPH ?g { ?s <p> ?o } }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("s2", "g2")]
+    # and the default BGP sees only the FROM merge
+    out2 = sparql_select(_dataset_quads(spark), """
+        SELECT ?s FROM <g1> FROM NAMED <g2> WHERE { ?s <p> ?o }
+    """)
+    assert [tuple(r) for r in out2.collect()] == [("s1",)]
+
+
+def test_from_named_only_empty_default(spark):
+    from kgloom.sparql import sparql_select
+    out = sparql_select(_dataset_quads(spark), """
+        SELECT ?s FROM NAMED <g1> WHERE { ?s <p> ?o }
+    """)
+    assert out.count() == 0
+
+
+def test_no_dataset_clause_keeps_union_default(spark):
+    from kgloom.sparql import sparql_select
+    out = sparql_select(_dataset_quads(spark),
+                        "SELECT ?s WHERE { ?s <p> ?o }")
+    assert out.count() == 3
