@@ -418,6 +418,23 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, n_walks=2, walk_len=3)
 
 
+def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks (round-4,
+    kgloom/ops/graph.py:biased_walks) over the undirected
+    partOf/usedTool KG: return weight 1/p, BFS weight 1, DFS weight
+    1/q, the successor picked where the cumulative weight first
+    exceeds md5(start|w|i|prev|cur)/2³²·total.  p and q are powers of
+    two so every cumulative sum is an EXACT double — the pick
+    compares identically in any engine regardless of summation order,
+    which is what makes a biased sampler oracle-replayable."""
+    from kgloom.ops.graph import biased_walks
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return biased_walks(edges, p=4.0, q=0.25, n_walks=1, walk_len=3)
+
+
 def q_graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram training pairs from the deterministic walks (round-4,
     kgloom/ops/graph.py:skipgram_pairs): every (center, context) node
@@ -1598,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pmi": q_graph_pmi,
         "graph_random_walks": q_graph_random_walks,
         "graph_skipgram_pairs": q_graph_skipgram_pairs,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1657,6 +1675,64 @@ _RANDOM_WALKS_SQL = f"""
             SELECT * FROM s0 UNION ALL SELECT * FROM s1
             UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         """
+
+
+def _node2vec_sql(edges_cte: str, walk_len: int = 3) -> str:
+    """Unrolled node2vec biased-walk replay (p=4, q=0.25, n_walks=1) —
+    the relational twin of kgloom.ops.graph.biased_walks.  Weights are
+    exact binary fractions, so the cumulative-sum pick compares
+    identically no matter how either engine associates the additions;
+    every float literal is cast to DOUBLE (DuckDB decimals otherwise)."""
+    ctes = [f"""ec AS MATERIALIZED ({edges_cte}),
+e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+  WHERE u != v),
+nbr AS MATERIALIZED (
+  SELECT u AS ns, v AS nd,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rank
+  FROM e),
+deg AS (SELECT u AS dn, COUNT(*) AS deg FROM e GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM (
+            SELECT u FROM e UNION ALL SELECT v FROM e)),
+s0 AS (SELECT node AS start, 0 AS walk_id, 0 AS step,
+              CAST(NULL AS VARCHAR) AS prev, node FROM nodes),
+s1 AS MATERIALIZED (
+  SELECT s.start, s.walk_id, 1 AS step, s.node AS prev, n.nd AS node
+  FROM s0 s
+  JOIN deg d ON s.node = d.dn
+  JOIN nbr n ON s.node = n.ns
+   AND n.rank - 1 = CAST('0x' || substr(md5(s.start || '|0|0|'
+     || s.node), 1, 8) AS BIGINT) % d.deg)"""]
+    for i in range(1, walk_len):
+        ctes.append(f"""c{i + 1} AS (
+  SELECT s.start, s.walk_id, s.prev, s.node, n.nd AS x, n.rank,
+         CASE WHEN n.nd = s.prev THEN CAST(0.25 AS DOUBLE)
+              WHEN EXISTS (SELECT 1 FROM e
+                           WHERE e.u = s.prev AND e.v = n.nd)
+                THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(4.0 AS DOUBLE) END AS alpha
+  FROM s{i} s JOIN nbr n ON s.node = n.ns),
+w{i + 1} AS (
+  SELECT *,
+         SUM(alpha) OVER (PARTITION BY start, walk_id ORDER BY rank
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(alpha) OVER (PARTITION BY start, walk_id) AS total,
+         CAST(CAST('0x' || substr(md5(start || '|'
+           || CAST(walk_id AS VARCHAR) || '|{i}|' || prev || '|'
+           || node), 1, 8) AS BIGINT) AS DOUBLE)
+           / CAST(4294967296.0 AS DOUBLE) AS u01
+  FROM c{i + 1}),
+s{i + 1} AS MATERIALIZED (
+  SELECT start, walk_id, {i + 1} AS step, node AS prev, x AS node
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY start, walk_id
+                                     ORDER BY rank) AS pick
+        FROM w{i + 1} WHERE cum > u01 * total)
+  WHERE pick = 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT start, walk_id, step, node FROM s{j}"
+        for j in range(walk_len + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
 def _kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
@@ -1990,6 +2066,21 @@ def oracle_sql() -> dict[str, str]:
         # random-walk replay: same symmetrized adjacency, same
         # id-ordered ranks, same md5 slot draw per unrolled step
         "graph_random_walks": _RANDOM_WALKS_SQL,
+        # node2vec replay: unrolled biased steps, exact-binary weights
+        "graph_node2vec_walks": _node2vec_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                   '<http://kg.example/conv/' || conv_id || '>' AS v
+            FROM tr
+            UNION
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>',
+                   '<http://kg.example/tool/' || tool || '>'
+            FROM tr WHERE tool IS NOT NULL
+        """, walk_len=3),
         # skip-gram replay: the walks CTE + one self-join on the walk
         # identity with the bounded step-offset band
         "graph_skipgram_pairs": f"""

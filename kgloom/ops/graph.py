@@ -423,3 +423,116 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
                    & (F.abs(F.col("__j") - F.col("__i")) <= window))
             .select("center", "context",
                     (F.col("__j") - F.col("__i")).alias("offset")))
+
+
+def biased_walks(edges: DataFrame, p: float = 4.0, q: float = 0.25,
+                 n_walks: int = 1, walk_len: int = 3,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """(start, walk_id, step, node): node2vec second-order biased
+    walks over the undirected graph, fully deterministic.  From
+    ``prev → cur``, neighbor ``x`` of ``cur`` is weighted ``1/p`` if
+    ``x == prev`` (return), ``1`` if ``x`` is also a neighbor of
+    ``prev`` (BFS-ish), else ``1/q`` (DFS-ish); the walker picks the
+    first id-ordered neighbor whose cumulative weight exceeds
+    ``md5(start|w|i|prev|cur)/2³² · total``.  Step 1 has no ``prev``
+    and draws uniformly (the :func:`random_walks` rule).
+
+    ``p`` and ``q`` MUST be powers of two: every weight is then an
+    exact binary fraction, so cumulative sums are EXACT doubles and
+    the pick threshold compares identically in any engine regardless
+    of summation association — the float-determinism trick that makes
+    a biased sampler oracle-replayable (the draw·total product stays
+    ≤ 52 significand bits).
+
+    Per step: the walker joins its current node's adjacency (fan-out
+    = deg(cur) — inherent to second-order biasing, every neighbor
+    needs a weight), one left join against the edge set marks
+    BFS neighbors, one cumulative window per walker picks the
+    successor; ``localCheckpoint`` truncates the iterative lineage."""
+    import math
+    for name, val in (("p", p), ("q", q)):
+        if val <= 0 or 2.0 ** round(math.log2(val)) != val:
+            raise ValueError(f"{name} must be a power of two, got {val}")
+    if n_walks < 1 or walk_len < 1:
+        raise ValueError("n_walks and walk_len must be >= 1")
+    from pyspark.sql.window import Window
+
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (fwd.unionByName(fwd.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+         .where(F.col("s") != F.col("d")).distinct())
+    nbr = e.withColumn("rank", F.row_number().over(
+        Window.partitionBy("s").orderBy("d"))) \
+        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")) \
+        .select(F.col("s").alias("dn"), "deg")
+    eset = e.select(F.col("s").alias("es"), F.col("d").alias("ed"))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    cur = (nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+        .alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("node").alias("node")).localCheckpoint())
+    out = cur.select("start", "walk_id", "step", "node")
+
+    def _hex_draw(df, salt_cols):
+        return (df.withColumn("__hex8", F.substring(F.md5(
+                    F.concat_ws("|", *salt_cols)), 1, 8))
+                .withColumn("__draw",
+                            F.conv("__hex8", 16, 10).cast("long")))
+
+    # step 1: uniform first-order move (no prev to bias against)
+    drawn = _hex_draw(cur.join(deg, cur["node"] == deg["dn"]),
+                      ["start", F.col("walk_id").cast("string"),
+                       F.lit("0"), "node"])
+    drawn = drawn.withColumn("__slot", F.col("__draw") % F.col("deg"))
+    cur = (drawn.join(nbr, (drawn["node"] == nbr["ns"])
+                      & (drawn["__slot"] == nbr["rank"] - 1))
+           .select("start", "walk_id", F.lit(1).alias("step"),
+                   F.col("node").alias("prev"),
+                   F.col("nd").alias("node"))
+           .localCheckpoint())
+    out = out.unionByName(cur.select("start", "walk_id", "step", "node"))
+
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    for i in range(1, walk_len):
+        cand = (cur.join(nbr, cur["node"] == nbr["ns"])
+                .withColumnRenamed("nd", "x"))
+        cand = (cand.join(
+            eset, (cand["prev"] == eset["es"]) & (cand["x"] == eset["ed"]),
+            "left")
+            .withColumn("__alpha", F.when(
+                F.col("x") == F.col("prev"), F.lit(inv_p))
+                .when(F.col("es").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(inv_q)))
+            .drop("es", "ed"))
+        wk = ["start", "walk_id"]
+        wspec = Window.partitionBy(*wk)
+        worder = wspec.orderBy("rank")
+        cand = (cand
+                .withColumn("__cum", F.sum("__alpha").over(
+                    worder.rowsBetween(Window.unboundedPreceding, 0)))
+                .withColumn("__total", F.sum("__alpha").over(wspec)))
+        cand = _hex_draw(cand, ["start",
+                                F.col("walk_id").cast("string"),
+                                F.lit(str(i)), "prev", "node"])
+        # t = draw/2^32 * total — exact binary arithmetic throughout
+        cand = cand.withColumn(
+            "__t", F.col("__draw").cast("double")
+            / F.lit(4294967296.0) * F.col("__total"))
+        picked = (cand.where(F.col("__cum") > F.col("__t"))
+                  .withColumn("__pick", F.row_number().over(
+                      wspec.orderBy("rank")))
+                  .where(F.col("__pick") == 1))
+        cur = (picked.select("start", "walk_id",
+                             F.lit(i + 1).alias("step"),
+                             F.col("node").alias("prev"),
+                             F.col("x").alias("node"))
+               .localCheckpoint())
+        out = out.unionByName(
+            cur.select("start", "walk_id", "step", "node"))
+    return out

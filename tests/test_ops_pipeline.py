@@ -531,3 +531,51 @@ def test_skipgram_pairs_window(spark):
     assert skipgram_pairs(walks, window=2).count() == 10
     with _pt.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def test_biased_walks_node2vec_replay(spark):
+    from kgloom.ops.graph import biased_walks
+    import hashlib
+    import pytest as _pt
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b", "d"],
+           "d": ["c", "e"], "e": ["d"]}
+    p, q = 4.0, 0.25
+    got = sorted(map(tuple, biased_walks(
+        edges, p=p, q=q, n_walks=2, walk_len=3).collect()))
+    assert got == sorted(map(tuple, biased_walks(
+        edges, p=p, q=q, n_walks=2, walk_len=3).collect()))
+    exp = []
+    for start in adj:
+        for w in range(2):
+            node = start
+            exp.append((start, w, 0, node))
+            d = int(hashlib.md5(f"{start}|{w}|0|{node}".encode())
+                    .hexdigest()[:8], 16) % len(adj[node])
+            prev, node = node, adj[node][d]
+            exp.append((start, w, 1, node))
+            for i in (1, 2):
+                alphas = []
+                for x in adj[node]:
+                    if x == prev:
+                        alphas.append(1.0 / p)
+                    elif x in adj[prev]:
+                        alphas.append(1.0)
+                    else:
+                        alphas.append(1.0 / q)
+                draw = int(hashlib.md5(
+                    f"{start}|{w}|{i}|{prev}|{node}".encode())
+                    .hexdigest()[:8], 16)
+                t = draw / 4294967296.0 * sum(alphas)
+                cum = 0.0
+                for x, a in zip(adj[node], alphas):
+                    cum += a
+                    if cum > t:
+                        prev, node = node, x
+                        break
+                exp.append((start, w, i + 1, node))
+    assert got == sorted(exp)
+    with _pt.raises(ValueError):
+        biased_walks(edges, p=3.0)          # not a power of two
