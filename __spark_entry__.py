@@ -463,6 +463,46 @@ def q_graph_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(inc, bag="conv_id", item="canonical")
 
 
+def q_graph_linkpred_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation harness (round-4,
+    kgloom/ops/graph.py:link_prediction_ranks): hold out 20% of
+    canonical KG edges by the md5 hex-rank split, score the training
+    graph with Adamic-Adar (hub centers capped at 100), and report
+    each held-out edge's rank among its source's candidates —
+    per-edge integers instead of cross-row float metric sums, so the
+    DuckDB twin is exact and MRR/Hits@k are one aggregate away.
+    Runs on the co-mention graph, where a held-out edge keeps many
+    common neighbors in the training half and the ranks are
+    informative (on the tree-like turn→conv KG nothing is reachable
+    at distance 2, so every rank would be null)."""
+    from kgloom.transcripts.er import canonical_map
+    from kgloom.ops.graph import link_prediction_ranks
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    ents = (m.join(cmap, "surface")
+            .select("conv_id", "canonical").distinct())
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "conv_id")
+             .where(F.col("a.canonical") < F.col("b.canonical"))
+             .select(F.col("a.canonical").alias("src"),
+                     F.col("b.canonical").alias("dst")))
+    return link_prediction_ranks(edges, test_fraction=0.2, salt="lp",
+                                 max_center_degree=100000)
+
+
+def q_kg_negative_samples_subj(spark, sf_dir):
+    """Subject-side corruption twin of kg_negative_samples (round-4,
+    kgloom/ops/negatives.py): the same vocabulary and md5 draw
+    replace the SUBJECT, collisions flagged via an (obj, pred) →
+    subject-set membership join — TransE-style training corrupts both
+    sides, so the pair of queries is the full protocol."""
+    from kgloom.ops.cache import tracked_persist
+    from kgloom.ops.negatives import negative_samples
+    tri = tracked_persist(q_kg_fragment_multi(spark, sf_dir))
+    return negative_samples(tri, n_neg=20, corrupt="subj")
+
+
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link-prediction scores (round-4,
     kgloom/ops/graph.py:adamic_adar) over the partOf/usedTool KG
@@ -1611,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_linkpred_ranks": q_graph_linkpred_ranks,
+        "kg_negative_samples_subj": q_kg_negative_samples_subj,
         "kg_predicate_profile": q_kg_predicate_profile,
         "graph_pmi": q_graph_pmi,
         "graph_random_walks": q_graph_random_walks,
@@ -1675,6 +1717,56 @@ _RANDOM_WALKS_SQL = f"""
             SELECT * FROM s0 UNION ALL SELECT * FROM s1
             UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         """
+
+
+def _linkpred_sql(edges_cte: str, cap: int, thresh_hex: str) -> str:
+    """Link-prediction replay: canonical edges, md5 hex-rank split at
+    ``thresh_hex``, Adamic-Adar over the TRAIN half (same capped-
+    center, ordered-fold shape as the graph_adamic_adar oracle), then
+    each TEST edge's rank among its source's candidates."""
+    return f"""
+        WITH ec AS MATERIALIZED ({edges_cte}),
+        canon AS MATERIALIZED (
+          SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+          FROM ec WHERE u != v),
+        tagged AS MATERIALIZED (
+          SELECT u, v,
+                 substr(md5(u || '|' || v || '|lp'), 1, 8)
+                   < '{thresh_hex}' AS is_test
+          FROM canon),
+        train AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT u, v FROM tagged WHERE NOT is_test
+            UNION ALL
+            SELECT v, u FROM tagged WHERE NOT is_test)
+          WHERE u != v),
+        deg AS (SELECT u AS w, COUNT(*) AS deg_w FROM train GROUP BY u),
+        centers AS (SELECT * FROM deg WHERE deg_w <= {cap}),
+        adj AS MATERIALIZED (
+          SELECT t.u AS w, t.v AS x,
+                 CAST(1 AS DOUBLE) / ln(CAST(c.deg_w AS DOUBLE)) AS wt
+          FROM train t JOIN centers c ON t.u = c.w),
+        wedges AS (
+          SELECT a.w, a.x AS u, b.x AS v, a.wt
+          FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x),
+        nonedges AS (
+          SELECT wd.* FROM wedges wd
+          LEFT JOIN train t ON wd.u = t.u AND wd.v = t.v
+          WHERE t.u IS NULL),
+        aa AS (
+          SELECT u, v, list_reduce(list(wt ORDER BY w),
+                                   (a, b) -> a + b) AS aa_score
+          FROM nonedges GROUP BY u, v),
+        ranked AS (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u
+                                    ORDER BY aa_score DESC, v) AS rank
+          FROM aa)
+        SELECT t.u, t.v, CAST(r.rank AS INTEGER) AS rank,
+               r.rank IS NOT NULL AS found
+        FROM tagged t LEFT JOIN ranked r ON t.u = r.u AND t.v = r.v
+        WHERE t.is_test
+    """
 
 
 def _node2vec_sql(edges_cte: str, walk_len: int = 3) -> str:
@@ -2957,6 +3049,74 @@ def oracle_sql() -> dict[str, str]:
                      + n_tokens * CAST(0.01 AS DOUBLE) AS logit
               FROM q)
             SELECT doc_id, logit, logit > 0 AS keep FROM l
+        """,
+        # linkpred replay: hex split at 0.2 (0x33333333), AA over the
+        # train half, per-test-edge candidate rank
+        "graph_linkpred_ranks": _linkpred_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1)
+                       AS norm_key
+              FROM tr),
+            canon0 AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            ents AS (
+              SELECT DISTINCT m.conv_id, c.canonical AS ent
+              FROM m JOIN canon0 c USING (norm_key))
+            SELECT DISTINCT a.ent AS u, b.ent AS v
+            FROM ents a JOIN ents b
+              ON a.conv_id = b.conv_id AND a.ent < b.ent
+        """, cap=100000, thresh_hex="33333333"),
+        # subject-corruption replay: same vocabulary/draw, collision
+        # EXISTS on the corrupted-subject side
+        "kg_negative_samples_subj": f"""
+            WITH tri AS (
+              SELECT DISTINCT * FROM (
+                SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>'
+                         AS subj,
+                       '<{ex}ontology/name>' AS pred,
+                       '"' || n_name || '"' AS obj
+                FROM nation
+                UNION ALL
+                SELECT '<{ex}nation/' || CAST(n_nationkey AS VARCHAR) || '>',
+                       '<{ex}ontology/inRegion>',
+                       '<{ex}region/' || CAST(n_regionkey AS VARCHAR) || '>'
+                FROM nation)),
+            ents AS (
+              SELECT DISTINCT entity FROM (
+                SELECT subj AS entity FROM tri
+                UNION ALL
+                SELECT obj FROM tri WHERE obj NOT LIKE '"%')),
+            idx AS (
+              SELECT entity,
+                     ROW_NUMBER() OVER (ORDER BY
+                       CAST('0x' || substr(md5(entity), 1, 4) AS BIGINT)
+                         % 256,
+                       entity) - 1 AS idx
+              FROM ents),
+            n AS (SELECT COUNT(*) AS n FROM ents),
+            expanded AS (
+              SELECT t.subj, t.pred, t.obj, g.i AS neg_idx
+              FROM tri t CROSS JOIN (
+                SELECT UNNEST(range(0, 20)) AS i) g),
+            drawn AS (
+              SELECT e.*,
+                     CAST('0x' || substr(md5(e.subj || e.pred || e.obj ||
+                       CAST(e.neg_idx AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM n) AS slot
+              FROM expanded e)
+            SELECT d.subj, d.pred, d.obj, d.neg_idx,
+                   x.entity AS neg_subj,
+                   EXISTS (SELECT 1 FROM tri t
+                           WHERE t.subj = x.entity AND t.pred = d.pred
+                             AND t.obj = d.obj) AS is_positive
+            FROM drawn d JOIN idx x ON d.slot = x.idx
         """,
         # negative-sampling replay: identical md5-bucket two-phase
         # vocabulary index (ORDER BY bucket, entity == per-bucket rank

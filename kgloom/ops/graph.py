@@ -536,3 +536,41 @@ def biased_walks(edges: DataFrame, p: float = 4.0, q: float = 0.25,
         out = out.unionByName(
             cur.select("start", "walk_id", "step", "node"))
     return out
+
+
+def link_prediction_ranks(edges: DataFrame, test_fraction: float = 0.2,
+                          salt: str = "lp",
+                          src: str = "src", dst: str = "dst",
+                          max_center_degree: int | None = None
+                          ) -> DataFrame:
+    """(u, v, rank, found): the link-prediction evaluation harness —
+    hold out a deterministic ``test_fraction`` of canonical edges
+    (md5 hex-rank split, same rule as the dataset splitters in
+    kgloom/ops/curate.py), score the remaining graph with
+    :func:`adamic_adar`, and report where each held-out edge ranks
+    among its source's candidates (1 = best; ``found=false`` when the
+    edge isn't reachable at distance 2 in the training graph).
+    MRR / Hits@k are one trivial aggregate downstream — emitting
+    per-edge ranks instead keeps every output an exact integer (no
+    cross-row float sums to reproduce) and gives the per-edge
+    diagnostics an eval report actually wants."""
+    from .curate import _hex_threshold
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    canon = (fwd.select(F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+    hexr = F.substring(F.md5(F.concat_ws("|", "u", "v", F.lit(salt))),
+                       1, 8)
+    tagged = canon.withColumn(
+        "__test", hexr < F.lit(_hex_threshold(test_fraction)))
+    train = tagged.where(~F.col("__test")).select("u", "v")
+    test = tagged.where(F.col("__test")).select("u", "v")
+    aa = adamic_adar(train, src="u", dst="v",
+                     max_center_degree=max_center_degree)
+    from pyspark.sql.window import Window
+    ranked = aa.withColumn("rank", F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("aa_score"), "v")))
+    return (test.join(ranked.select("u", "v", "rank"), ["u", "v"],
+                      "left")
+            .select("u", "v", "rank",
+                    F.col("rank").isNotNull().alias("found")))

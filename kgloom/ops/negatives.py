@@ -70,14 +70,23 @@ def entity_index(triples: DataFrame) -> DataFrame:
                     .cast("long").alias("idx")))
 
 
-def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
-    """(subj, pred, obj, neg_idx, neg_obj, is_positive): ``n_neg``
-    object-corrupted negatives per positive triple.  The draw for copy
-    ``i`` is ``int(md5(subj‖pred‖obj‖i)[:8hex]) mod |entities|``;
-    ``is_positive`` marks corruptions that collide with a true triple
-    (filter them for the classic "filtered" protocol)."""
+def negative_samples(triples: DataFrame, n_neg: int = 2,
+                     corrupt: str = "obj") -> DataFrame:
+    """(subj, pred, obj, neg_idx, neg_obj|neg_subj, is_positive):
+    ``n_neg`` corrupted negatives per positive triple, replacing the
+    ``corrupt`` side ("obj" — the default — or "subj"; TransE-style
+    training corrupts both, so call twice and union).  The draw for
+    copy ``i`` is ``int(md5(subj‖pred‖obj‖i)[:8hex]) mod |entities|``
+    (side-corruption uses the same draw — the two sides are separate
+    calls with separate collision joins); ``is_positive`` marks
+    corruptions that collide with a true triple (filter them for the
+    classic "filtered" protocol)."""
     if n_neg < 1:
         raise ValueError("n_neg must be >= 1")
+    if corrupt not in ("obj", "subj"):
+        raise ValueError("corrupt must be 'obj' or 'subj'")
+    if corrupt == "subj":
+        return _negative_samples_subj(triples, n_neg)
     ents = entity_index(triples)
     n_df = ents.agg(F.count(F.lit(1)).alias("__n_ent"))
     expanded = (triples.select("subj", "pred", "obj")
@@ -113,4 +122,34 @@ def negative_samples(triples: DataFrame, n_neg: int = 2) -> DataFrame:
         .select("subj", "pred", "obj", "neg_idx",
                 F.col("entity").alias("neg_obj"),
                 F.coalesce(F.array_contains("__objs", F.col("entity")),
+                           F.lit(False)).alias("is_positive")))
+
+
+def _negative_samples_subj(triples: DataFrame, n_neg: int) -> DataFrame:
+    """Subject-side corruption: same vocabulary, same draw, collision
+    flag via an (obj, pred) → subject-set membership join."""
+    ents = entity_index(triples)
+    n_df = ents.agg(F.count(F.lit(1)).alias("__n_ent"))
+    expanded = (triples.select("subj", "pred", "obj")
+                .distinct()
+                .select("*", F.explode(F.sequence(
+                    F.lit(0), F.lit(n_neg - 1))).alias("neg_idx")))
+    drawn = (expanded.crossJoin(F.broadcast(n_df))
+             .withColumn("__hex8", F.substring(F.md5(F.concat_ws(
+                 "", "subj", "pred", "obj",
+                 F.col("neg_idx").cast("string"))), 1, 8))
+             .withColumn("__draw",
+                         F.conv("__hex8", 16, 10).cast("long"))
+             .withColumn("__slot", F.col("__draw") % F.col("__n_ent"))
+             .drop("__n_ent"))
+    joined = drawn.join(ents, drawn["__slot"] == ents["idx"])
+    truth = (triples.groupBy(F.col("obj").alias("__to"),
+                             F.col("pred").alias("__tp"))
+             .agg(F.collect_set("subj").alias("__subjs")))
+    return (joined.join(
+        truth, (joined["obj"] == truth["__to"])
+        & (joined["pred"] == truth["__tp"]), "left")
+        .select("subj", "pred", "obj", "neg_idx",
+                F.col("entity").alias("neg_subj"),
+                F.coalesce(F.array_contains("__subjs", F.col("entity")),
                            F.lit(False)).alias("is_positive")))

@@ -579,3 +579,46 @@ def test_biased_walks_node2vec_replay(spark):
     assert got == sorted(exp)
     with _pt.raises(ValueError):
         biased_walks(edges, p=3.0)          # not a power of two
+
+
+def test_negative_samples_subject_side(spark):
+    from kgloom.ops.negatives import entity_index, negative_samples
+    import hashlib
+    import pytest as _pt
+    T = "subj string, pred string, obj string"
+    triples = spark.createDataFrame(
+        [("<a>", "<p>", "<b>"), ("<b>", "<p>", "<c>"),
+         ("<a>", "<q>", '"lit"')], T)
+    ents = {r.entity: r.idx for r in entity_index(triples).collect()}
+    inv = {v: k for k, v in ents.items()}
+    out = sorted(map(tuple, negative_samples(
+        triples, 2, corrupt="subj").collect()))
+    assert len(out) == 6
+    truth = {("<a>", "<p>", "<b>"), ("<b>", "<p>", "<c>"),
+             ("<a>", "<q>", '"lit"')}
+    for (subj, pred, obj, neg_idx, neg_subj, is_pos) in out:
+        slot = int(hashlib.md5(
+            f"{subj}{pred}{obj}{neg_idx}".encode()).hexdigest()[:8],
+            16) % 3
+        assert neg_subj == inv[slot]
+        assert is_pos == ((neg_subj, pred, obj) in truth)
+    with _pt.raises(ValueError):
+        negative_samples(triples, 2, corrupt="pred")
+
+
+def test_link_prediction_ranks(spark):
+    from kgloom.ops.graph import link_prediction_ranks
+    # dense-ish graph so held-out edges stay predictable at distance 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+         ("b", "d"), ("d", "e"), ("e", "a")],
+        "src string, dst string")
+    out = link_prediction_ranks(edges, test_fraction=0.3, salt="t")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(map(tuple, link_prediction_ranks(
+        edges, test_fraction=0.3, salt="t").collect()))  # rerun-stable
+    assert 0 < len(rows) < 8            # the split held something out
+    for (u, v, rank, found) in rows:
+        assert found == (rank is not None)
+        if found:
+            assert rank >= 1
