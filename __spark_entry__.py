@@ -426,12 +426,24 @@ def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds md5(start|w|i|prev|cur)/2³²·total.  p and q are powers of
     two so every cumulative sum is an EXACT double — the pick
     compares identically in any engine regardless of summation order,
-    which is what makes a biased sampler oracle-replayable."""
+    which is what makes a biased sampler oracle-replayable.  Runs on
+    the co-mention graph: second-order biasing inherently weighs a
+    node's FULL adjacency per step (fan-out = deg(cur)), so the
+    hub-heavy turn→tool KG (tool degree ~30k at sf0.1) would explode
+    the candidate set — the bounded-degree entity graph is the honest
+    demonstration surface for this operator."""
+    from kgloom.transcripts.er import canonical_map
     from kgloom.ops.graph import biased_walks
-    triples = q_transcripts_turn_triples(spark, sf_dir)
-    edges = (triples.where(F.col("obj").startswith("<"))
-             .select(F.col("subj").alias("src"),
-                     F.col("obj").alias("dst")))
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    ents = (m.join(cmap, "surface")
+            .select("conv_id", "canonical").distinct())
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "conv_id")
+             .where(F.col("a.canonical") < F.col("b.canonical"))
+             .select(F.col("a.canonical").alias("src"),
+                     F.col("b.canonical").alias("dst")))
     return biased_walks(edges, p=4.0, q=0.25, n_walks=1, walk_len=3)
 
 
@@ -2160,18 +2172,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walks": _RANDOM_WALKS_SQL,
         # node2vec replay: unrolled biased steps, exact-binary weights
         "graph_node2vec_walks": _node2vec_sql(f"""
-            WITH tr AS ({TRANSCRIPTS_SQL})
-            SELECT DISTINCT
-                   '<http://kg.example/conv/' || conv_id || '/turn/'
-                     || CAST(turn_idx AS VARCHAR) || '>' AS u,
-                   '<http://kg.example/conv/' || conv_id || '>' AS v
-            FROM tr
-            UNION
-            SELECT DISTINCT
-                   '<http://kg.example/conv/' || conv_id || '/turn/'
-                     || CAST(turn_idx AS VARCHAR) || '>',
-                   '<http://kg.example/tool/' || tool || '>'
-            FROM tr WHERE tool IS NOT NULL
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1)
+                       AS norm_key
+              FROM tr),
+            canon0 AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            ents AS (
+              SELECT DISTINCT m.conv_id, c.canonical AS ent
+              FROM m JOIN canon0 c USING (norm_key))
+            SELECT DISTINCT a.ent AS u, b.ent AS v
+            FROM ents a JOIN ents b
+              ON a.conv_id = b.conv_id AND a.ent < b.ent
         """, walk_len=3),
         # skip-gram replay: the walks CTE + one self-join on the walk
         # identity with the bounded step-offset band
