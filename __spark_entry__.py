@@ -400,6 +400,53 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the constructed KG's IRI→IRI edges
+    (round-4, kgloom/ops/graph.py:hits): 2 unnormalized power-
+    iteration rounds — the scores stay exact INTEGER path counts
+    (auth₁ = in-degree, hub₂ = Σ over successors of their weighted
+    in-degrees), so the DuckDB twin (the same rounds unrolled as
+    chained CTEs) must agree bit-for-bit with no float-normalization
+    drift.  Per round: two hash joins + two hash aggregates, the same
+    shuffle profile as one PageRank iteration."""
+    from kgloom.ops.graph import hits
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return hits(edges, iterations=2)
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministically SPARSIFIED
+    co-mention graph (round-4, kgloom/transcripts/er.py:
+    connected_components with the driver gate forced OFF, so the
+    DISTRIBUTED pointer-jump path — neighbor-min propagation + label
+    pointer jumping, O(log diameter) rounds — is what the oracle
+    gates).  The full co-mention graph is one near-clique component
+    (every entity pair sharing a conversation), so edges are sampled
+    by md5(src|dst) prefix (≈1.2% keep) — an engine-replayable
+    Bernoulli thinning that fragments the graph into non-trivial
+    components.  The DuckDB twin computes min-reachable-node per node
+    via a recursive reachability CTE; component labels (the minimal
+    member) are canonical, so both engines must agree exactly."""
+    from kgloom.transcripts.er import canonical_map, connected_components
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    cmap = canonical_map(m)
+    ents = (m.join(cmap, "surface")
+            .select("conv_id", "canonical").distinct())
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "conv_id")
+             .where(F.col("a.canonical") < F.col("b.canonical"))
+             .select(F.col("a.canonical").alias("src"),
+                     F.col("b.canonical").alias("dst"))
+             .distinct()
+             .where(F.substring(F.md5(F.concat_ws("|", "src", "dst")),
+                                1, 2) <= "02"))
+    return connected_components(edges, driver_max_edges=0)
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (round-4,
     kgloom/ops/graph.py:random_walks) over the undirected
@@ -1662,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kg_profile": q_graph_kg_profile,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        "graph_hits": q_graph_hits,
+        "graph_components": q_graph_components,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_linkpred_ranks": q_graph_linkpred_ranks,
         "kg_negative_samples_subj": q_kg_negative_samples_subj,
@@ -1862,6 +1911,30 @@ e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT u AS node, COUNT(*) AS degree"
               f" FROM e{rounds} GROUP BY u")
+
+
+def _hits_sql(edges_cte: str, iterations: int = 2) -> str:
+    """Unrolled unnormalized HITS as chained CTEs — the relational
+    replay of kgloom.ops.graph.hits.  All-integer arithmetic (BIGINT
+    sums of BIGINT counts), so the replay is exact by construction."""
+    ctes = [f"""e AS (SELECT DISTINCT s, d FROM ({edges_cte})),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(f"""a{i} AS (
+  SELECT n.node, CAST(COALESCE(x.v, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, SUM(h.hub) AS v
+    FROM e JOIN h{p} h ON e.s = h.node GROUP BY e.d) x USING (node))""")
+        ctes.append(f"""h{i} AS (
+  SELECT n.node, CAST(COALESCE(x.v, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.s AS node, SUM(a.auth) AS v
+    FROM e JOIN a{i} a ON e.d = a.node GROUP BY e.s) x USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT h.node AS node, h.hub AS hub, a.auth AS auth"
+              f"\nFROM h{iterations} h JOIN a{iterations} a USING (node)")
 
 
 def _pagerank_sql(edges_cte: str, damping: float = 0.85,
@@ -2104,6 +2177,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT deg.node AS node,
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
             FROM deg LEFT JOIN cnt USING (node)
+        """,
+        # HITS replay: same partOf/usedTool KG edges, 2 unrolled
+        # rounds of all-integer hub/authority sums (exact by
+        # construction — no float normalization anywhere)
+        "graph_hits": _hits_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>' AS s,
+                   '<http://kg.example/conv/' || conv_id || '>' AS d
+            FROM tr
+            UNION
+            SELECT DISTINCT
+                   '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>',
+                   '<http://kg.example/tool/' || tool || '>'
+            FROM tr WHERE tool IS NOT NULL""", iterations=2),
+        # connected-components replay: same md5-thinned co-mention
+        # edges, then min-reachable-node per node via a recursive
+        # reachability CTE (component labels are canonical minima,
+        # independent of the engine's propagation order)
+        "graph_components": f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1) AS norm_key
+              FROM tr),
+            canon AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            ents AS (
+              SELECT DISTINCT m.conv_id, c.canonical AS ent
+              FROM m JOIN canon c USING (norm_key)),
+            e0 AS (
+              SELECT DISTINCT a.ent AS u, b.ent AS v
+              FROM ents a JOIN ents b
+                ON a.conv_id = b.conv_id AND a.ent < b.ent),
+            e AS (
+              SELECT u, v FROM e0
+              WHERE substring(md5(u || '|' || v), 1, 2) <= '02'),
+            bi AS (
+              SELECT u AS a, v AS b FROM e
+              UNION SELECT v, u FROM e),
+            reach(node, r) AS (
+              SELECT a, a FROM bi
+              UNION
+              SELECT reach.node, bi.b
+              FROM reach JOIN bi ON reach.r = bi.a)
+            SELECT node, MIN(r) AS component
+            FROM reach GROUP BY node
         """,
         # k-core replay: same partOf/usedTool KG edges as pagerank,
         # peel unrolled past the graph's peeling depth (idempotent at

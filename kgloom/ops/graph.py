@@ -157,6 +157,56 @@ def triangle_count(edges: DataFrame, src: str = "src",
                     .alias("n_triangles")))
 
 
+def hits(edges: DataFrame, iterations: int = 2,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, hub, auth): Kleinberg HITS after ``iterations``
+    UNNORMALIZED power-iteration rounds over the directed edge set —
+    hub/authority importance for the KG's link structure (authorities
+    = heavily-referenced targets, hubs = nodes referencing strong
+    authorities).
+
+    Unnormalized scores after k rounds are exact INTEGER path counts
+    (auth₁ = in-degree, hub₁ = Σ in-degrees of successors, …), so the
+    result is engine-exact and oracle-replayable with no float
+    normalization drift — the same integers-over-floats determinism
+    rule as quality_score / adamic_adar's ordered fold; callers
+    normalize downstream if they need the classic unit-norm scores.
+
+    Shape at scale: per round, two hash joins + two hash aggregates
+    (edges ⋈ scores grouped by the opposite endpoint) — identical
+    shuffle profile to one PageRank iteration; the plan stays lazy
+    (no eager checkpoints) since ``iterations`` is small and fixed."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # e and nodes are each referenced twice PER ROUND; persisting
+    # them keeps the upstream (e.g. the triple-construction pipeline)
+    # to one computation instead of 4k rescans (tracked — release via
+    # kgloom.ops.cache.unpersist_tracked)
+    e = tracked_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct())
+    nodes = tracked_persist(
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct())
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        auth = (e.join(hub.withColumnRenamed("node", "s"), "s")
+                .groupBy("d").agg(F.sum("hub").alias("__a"))
+                .withColumnRenamed("d", "node"))
+        auth = nodes.join(auth, "node", "left").select(
+            "node",
+            F.coalesce("__a", F.lit(0)).cast("long").alias("auth"))
+        hub = (e.join(auth.withColumnRenamed("node", "d"), "d")
+               .groupBy("s").agg(F.sum("auth").alias("__h"))
+               .withColumnRenamed("s", "node"))
+        hub = nodes.join(hub, "node", "left").select(
+            "node",
+            F.coalesce("__h", F.lit(0)).cast("long").alias("hub"))
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
 def degree_summary(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree) over the distinct edge set —

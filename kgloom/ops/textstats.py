@@ -96,27 +96,33 @@ def ngram_commonness(docs: DataFrame, n: int = 2,
     """
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    from .cache import tracked_persist
     t = tokens()
-    per_doc = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_ngrams(t, n))).alias("__g"))
+    # tokenize ONCE into a compact per-doc distinct-gram array and
+    # persist it: the exploded gram table feeds both the DF aggregate
+    # and the join-back, and Catalyst does not CSE across join arms —
+    # unpersisted, the regexp tokenization pass would run three times
+    # (tracked — release via kgloom.ops.cache.unpersist_tracked)
+    grams = tracked_persist(docs.select(
+        "doc_id", F.array_distinct(_ngrams(t, n)).alias("__gs")))
+    # explode_outer keeps zero-gram docs (null gram row) so one
+    # aggregate recovers every doc; n_distinct rides along the explode
+    per_doc = grams.select(
+        "doc_id", F.size("__gs").alias("__nd"),
+        F.explode_outer("__gs").alias("__g"))
     # each (doc, gram) appears once, so count(*) per gram = document
     # frequency; partial (map-side) aggregation applies before the
     # shuffle on gram
-    common = (per_doc.groupBy("__g")
+    common = (per_doc.where(F.col("__g").isNotNull())
+              .groupBy("__g")
               .agg(F.count(F.lit(1)).alias("__df"))
               .where(F.col("__df") >= min_df)
-              .select("__g"))
-    n_common = (per_doc.join(common, "__g")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_common_ngrams")))
-    totals = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(_ngrams(t, n))).alias("n_distinct_ngrams"))
-    return (totals.join(n_common, "doc_id", "left")
-            .select("doc_id", "n_distinct_ngrams",
-                    F.coalesce("n_common_ngrams", F.lit(0))
-                     .cast("long").alias("n_common_ngrams")))
+              .select("__g", F.lit(1).alias("__c")))
+    return (per_doc.join(common, "__g", "left")
+            .groupBy("doc_id")
+            .agg(F.first("__nd").alias("n_distinct_ngrams"),
+                 F.sum(F.coalesce("__c", F.lit(0)))
+                  .cast("long").alias("n_common_ngrams")))
 
 
 def quality_score(docs: DataFrame,

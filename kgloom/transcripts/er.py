@@ -136,10 +136,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     returning wrong labels silently.
     """
     spark = edges.sparkSession
+    # materialize BEFORE the size probe: the probe count() and the
+    # first consumer would otherwise each recompute the full upstream
+    # edge pipeline (mention detection + canonicalization when fed
+    # from the transcript path)
     bidirected = (edges.select("src", "dst")
                   .unionByName(edges.select(F.col("dst").alias("src"),
                                             F.col("src").alias("dst")))
-                  .distinct())
+                  .distinct()
+                  .localCheckpoint())
     n_edges = bidirected.count()
     if n_edges <= driver_max_edges:
         # Arrow both ways: toPandas() fetches columnar batches (a
@@ -164,6 +169,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     parts = max(1, min(int(spark.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 500_000 + 1))
     bidirected = bidirected.repartition(parts, "src").localCheckpoint()
+    # (reads the checkpoint above, not the raw upstream)
     nodes = (bidirected.select(F.col("src").alias("node")).distinct())
     labels = nodes.withColumn("label", F.col("node")) \
         .repartition(parts, "node")

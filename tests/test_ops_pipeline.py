@@ -1,5 +1,6 @@
 """Composed curation chain + multimodal resize plumbing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgloom.ops.curate import curate
@@ -428,6 +429,22 @@ def test_k_core_peeling(spark):
         k_core(edges, k=0)
     with _pt.raises(RuntimeError):
         k_core(edges, k=2, max_rounds=1)
+
+
+def test_hits_integer_path_counts(spark):
+    # a→b, a→c, b→c, d→c; hand-unrolled two unnormalized rounds:
+    # auth₁ = in-degree (b:1, c:3); hub₁(a)=1+3, hub₁(b)=hub₁(d)=3;
+    # auth₂(b)=hub₁(a)=4, auth₂(c)=4+3+3=10; hub₂(a)=4+10, …
+    from kgloom.ops.graph import hits
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")],
+        "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iterations=2).collect()}
+    assert got == {"a": (14, 0), "b": (10, 4),
+                   "c": (0, 10), "d": (10, 0)}
+    with pytest.raises(ValueError):
+        hits(edges, iterations=0)
 
 
 def test_adamic_adar_exact(spark):
