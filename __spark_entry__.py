@@ -1168,6 +1168,40 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (round-4, kgloom/ops/graph.py:
+    personalized_pagerank): random-walk-with-restart to the TOOL
+    nodes over the symmetrized KG edges — ranks every turn and
+    conversation by proximity to tool usage, the entity-relatedness
+    query a KG serves after construction.  Seeds are a DataFrame
+    (the tool IRIs), restart mass uniform over them; 3 rounds, one
+    shuffle each, dangling mass teleports to the seeds (zero here —
+    symmetrized graphs have no sinks — which the oracle replays
+    identically).  DuckDB twin: unrolled restart-damped CTE rounds."""
+    from kgloom.ops.graph import personalized_pagerank
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    fwd = (triples.where(F.col("obj").startswith("<"))
+           .select(F.col("subj").alias("src"),
+                   F.col("obj").alias("dst")))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (fwd.select(F.col("dst").alias("node"))
+             .where(F.col("node").startswith("<http://kg.example/tool/"))
+             .distinct())
+    return personalized_pagerank(edges, seeds, damping=0.85,
+                                 iterations=3)
+
+
+def q_ann_rp_sketch(spark, sf_dir):
+    """±1 random-projection sketch of int8-quantized embeddings
+    (round-4, kgloom/ops/similarity.py:rp_sketch): 64 floats → 16
+    exact BIGINT sums via a deterministic Rademacher matrix shared
+    with the DuckDB twin — the Johnson–Lindenstrauss front of an ANN
+    prefilter.  All-integer, so no ordered-fold machinery is needed;
+    per-row projection pipelines inside the scan (no shuffle)."""
+    return S.rp_sketch(_emb(spark, sf_dir), out_dim=16, in_dim=64)
+
+
 def q_graph_kg_profile(spark, sf_dir):
     """Per-predicate KG profile over the RDFS-closed turn KG
     (kgloom/ops/graph.py): triple counts, distinct subjects/objects,
@@ -1706,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_bm25": q_text_bm25,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
+        "ann_rp_sketch": q_ann_rp_sketch,
         "graph_kg_profile": q_graph_kg_profile,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
@@ -1911,6 +1947,80 @@ e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT u AS node, COUNT(*) AS degree"
               f" FROM e{rounds} GROUP BY u")
+
+
+def _ppr_sql(edges_cte: str, seeds_cte: str, damping: float = 0.85,
+             iterations: int = 3) -> str:
+    """Unrolled personalized PageRank (restart-to-seeds) as chained
+    CTEs — the relational replay of
+    kgloom.ops.graph.personalized_pagerank, dangling-mass teleport to
+    the seeds included."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [f"""edges AS ({edges_cte}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+seeds AS (SELECT DISTINCT node FROM ({seeds_cte})
+          WHERE node IN (SELECT node FROM nodes)),
+kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+sv AS (SELECT n.node,
+              CASE WHEN s.node IS NOT NULL
+                   THEN 1.0 / (SELECT k FROM kk) ELSE 0.0 END AS s
+       FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+r0 AS (SELECT node, s AS rank FROM sv)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        # ordered sequential folds mirror the engine's sort-by-source
+        # left-to-right accumulation (seed nodes sum hundreds of
+        # contributions; plain SUM drifts in the last ulp)
+        ctes.append(f"""r{i} AS (
+  SELECT sv.node,
+         {one_minus_d} * sv.s
+         + {d} * (COALESCE(c.contrib, 0.0)
+                  + (SELECT list_reduce(
+                       list_prepend(0.0, list(r.rank ORDER BY r.node)),
+                       (acc, x) -> acc + x) FROM r{p} r
+                     LEFT JOIN deg ON r.node = deg.src
+                     WHERE deg.src IS NULL) * sv.s) AS rank
+  FROM sv
+  LEFT JOIN (SELECT e.dst AS node,
+                    list_reduce(
+                      list_prepend(0.0, list(r.rank / d.od
+                                             ORDER BY e.src)),
+                      (acc, x) -> acc + x) AS contrib
+             FROM r{p} r JOIN edges e ON r.node = e.src
+             JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) c ON sv.node = c.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM r{iterations}")
+
+
+def _rp_sketch_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """The rp_sketch DuckDB twin: the SAME Python-generated Rademacher
+    sign matrix inlined as list literals, quantization replayed as in
+    the ann_quantized_topk oracle, each sketch component an exact
+    integer dot (|values| ≤ 127·in_dim ≪ 2^53, so the double
+    list_dot_product is exact)."""
+    signs = S.rademacher_signs(out_dim, in_dim)
+    comps = ",\n                   ".join(
+        "CAST(list_dot_product(qv, ["
+        + ", ".join(f"{float(s)!r}" for s in signs[j])
+        + "]) AS BIGINT)"
+        for j in range(out_dim))
+    return f"""
+            WITH ma AS (
+              SELECT 127.0 / MAX(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS s
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> round(x * s)) AS qv
+              FROM embeddings, ma)
+            SELECT vec_id,
+                   [{comps}] AS sketch
+            FROM q
+        """
 
 
 def _hits_sql(edges_cte: str, iterations: int = 2) -> str:
@@ -2178,6 +2288,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
             FROM deg LEFT JOIN cnt USING (node)
         """,
+        # personalized-PageRank replay: symmetrized partOf/usedTool
+        # edges, restart mass uniform over the tool IRIs, 3 unrolled
+        # restart-damped rounds
+        "graph_ppr": _ppr_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            fwd AS (
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS src,
+                     '<http://kg.example/conv/' || conv_id || '>' AS dst
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL)
+            SELECT src, dst FROM fwd
+            UNION SELECT dst, src FROM fwd""", f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT DISTINCT '<http://kg.example/tool/' || tool || '>'
+                     AS node
+            FROM tr WHERE tool IS NOT NULL""",
+            damping=0.85, iterations=3),
+        # quantize + Rademacher projection: all-integer, the sign
+        # matrix generated once in Python and inlined in both plans
+        "ann_rp_sketch": _rp_sketch_sql(out_dim=16, in_dim=64),
         # HITS replay: same partOf/usedTool KG edges, 2 unrolled
         # rounds of all-integer hub/authority sums (exact by
         # construction — no float normalization anywhere)

@@ -44,7 +44,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct())
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # outdeg feeds the per-round dangling anti-join — persisted, or
+    # every round recomputes the full upstream edge pipeline
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")))
     ew = tracked_persist(e.join(outdeg, "src"))   # (src, dst, out_deg)
 
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
@@ -72,6 +75,107 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                          .alias("rank")))
         # truncate the iterative lineage; without this, round i's plan
         # contains rounds 0..i-1 and optimization time grows superlinearly
+        ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          damping: float = 0.85, iterations: int = 3,
+                          src: str = "src", dst: str = "dst"
+                          ) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of random-walk-with-
+    restart to the SEED set — the entity-relatedness ranker (how close
+    is every node to this tool / this conversation / this entity
+    cluster), the personalized counterpart of :func:`pagerank`:
+
+    rank'(v) = (1-d)·s(v) + d · (Σ_{u→v} rank(u)/outdeg(u)
+                                 + dangling·s(v))
+
+    where ``s`` is uniform over the seed nodes (restart vector) and
+    ``dangling`` is the rank mass on out-degree-0 nodes, which
+    teleports back to the seeds.  ``seeds`` is a one-column DataFrame
+    (any column name; seeds outside the graph are ignored) — a
+    DataFrame rather than a list because at KG scale a seed set (all
+    tool IRIs, one entity's sameAs cluster) is itself query output.
+    Ranks sum to 1 over the graph.  Same per-round shuffle shape and
+    lineage truncation as :func:`pagerank`."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct())
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct())
+    # outdeg feeds the per-round dangling anti-join — persisted, or
+    # every round recomputes the full upstream edge pipeline
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")))
+    ew = tracked_persist(e.join(outdeg, "src"))   # (src, dst, out_deg)
+
+    seed_nodes = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+                  .distinct().join(nodes, "node"))
+    k_df = seed_nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("n_seeds"))
+    # restart vector s(v), persisted: referenced every round twice
+    sv = tracked_persist(
+        nodes.join(seed_nodes.withColumn("__is_seed", F.lit(1)),
+                   "node", "left")
+        .crossJoin(F.broadcast(k_df))
+        .select("node",
+                F.when(F.col("__is_seed").isNotNull(),
+                       F.lit(1.0) / F.col("n_seeds"))
+                .otherwise(F.lit(0.0)).alias("s")))
+    # the dangling SET is static (out-degree-0 membership does not
+    # change across rounds) — probe once against the persisted
+    # tables; symmetrized graphs have none, which skips one
+    # anti-join + scalar aggregate job per round
+    has_dangling = (nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti")
+        .limit(1).count() > 0)
+
+    ranks = sv.select("node", F.col("s").alias("rank"))
+    for _ in range(iterations):
+        # ORDERED sequential folds instead of F.sum: seed nodes
+        # accumulate hundreds of in-contributions, and associative-
+        # order float sums differ in the last ulp across engines —
+        # sort by the contributing node and fold left-to-right (the
+        # adamic_adar / bigram-LM determinism rule).  collect_list is
+        # bounded by max in-degree per group; at extreme hub degrees
+        # trade exact replay for F.sum.
+        contrib = (ranks.join(ew, ranks["node"] == ew["src"])
+                   .select(F.col("dst").alias("node"),
+                           F.struct(
+                               F.col("src").alias("s"),
+                               (F.col("rank") / F.col("out_deg"))
+                               .alias("c")).alias("sc"))
+                   .groupBy("node")
+                   .agg(F.aggregate(
+                       F.sort_array(F.collect_list("sc")),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["c"]).alias("contrib")))
+        stepped = sv.join(contrib, "node", "left")
+        if has_dangling:
+            dangling = (ranks.join(outdeg,
+                                   ranks["node"] == outdeg["src"],
+                                   "left_anti")
+                        .agg(F.aggregate(
+                            F.sort_array(F.collect_list(
+                                F.struct(F.col("node").alias("n"),
+                                         F.col("rank").alias("r")))),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x["r"])
+                            .alias("dangling")))
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            dmass = F.col("dangling")
+        else:
+            dmass = F.lit(0.0)
+        ranks = (stepped
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("s")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + dmass * F.col("s")))
+                         .alias("rank")))
         ranks = ranks.localCheckpoint()
     return ranks
 

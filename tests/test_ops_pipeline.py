@@ -431,6 +431,51 @@ def test_k_core_peeling(spark):
         k_core(edges, k=2, max_rounds=1)
 
 
+def test_personalized_pagerank_restart_semantics(spark):
+    from kgloom.ops.graph import personalized_pagerank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"),
+         ("d", "c")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("zzz-not-in-graph",)],
+                                  "node string")
+    # the bidirected chain is BIPARTITE, so power iteration
+    # oscillates with residual damping^k — damping 0.6 over 16
+    # rounds leaves ~3e-4 against converged gaps of ~0.16
+    # (solved by hand: a≈0.501, b≈0.338, c≈0.124, d≈0.037)
+    pr = {r["node"]: r["rank"]
+          for r in personalized_pagerank(
+              edges, seeds, damping=0.6, iterations=16).collect()}
+    assert set(pr) == {"a", "b", "c", "d"}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9     # mass conserved
+    assert pr["a"] > pr["b"] > pr["c"] > pr["d"]
+    assert abs(pr["a"] - 0.5014) < 0.01
+    # damping 0 → the restart vector itself (all mass on the seed)
+    pr0 = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               edges, seeds, damping=0.0, iterations=2).collect()}
+    assert pr0 == {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0}
+
+
+def test_rp_sketch_python_replay(spark):
+    from kgloom.ops.similarity import rademacher_signs, rp_sketch
+    rows = [(0, [1.0, -2.0, 0.5, 4.0]), (1, [-4.0, 0.0, 2.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: list(r["sketch"])
+           for r in rp_sketch(emb, out_dim=3, in_dim=4).collect()}
+    # replay: global scale 127/4, round-half-up like Spark F.round
+    from decimal import Decimal, ROUND_HALF_UP
+    scale = 127.0 / 4.0
+    signs = rademacher_signs(3, 4)
+    for vid, vec in rows:
+        q = [int(Decimal(x * scale).quantize(0, ROUND_HALF_UP))
+             for x in vec]
+        want = [sum(s * v for s, v in zip(signs[j], q)) for j in range(3)]
+        assert out[vid] == want, (vid, out[vid], want)
+    with pytest.raises(ValueError):
+        rp_sketch(emb, out_dim=0)
+
+
 def test_hits_integer_path_counts(spark):
     # a→b, a→c, b→c, d→c; hand-unrolled two unnormalized rounds:
     # auth₁ = in-degree (b:1, c:3); hub₁(a)=1+3, hub₁(b)=hub₁(d)=3;
