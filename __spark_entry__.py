@@ -447,6 +447,32 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, driver_max_edges=0)
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (round-4,
+    kgloom/ops/graph.py:label_propagation) over the md5-thinned
+    co-mention graph (denser thinning than graph_components — ≈4.3%
+    keep — so communities are sub-component structure, not just
+    components).  Deterministic: integer neighbor-label votes, ties
+    to the smallest label, fixed 3 synchronous rounds; the DuckDB
+    twin unrolls the same rounds and must agree exactly."""
+    from kgloom.ops.graph import label_propagation
+    turns = transcripts_from_events(spark, sf_dir)
+    m = detect_mentions(turns)
+    from kgloom.transcripts.er import canonical_map
+    cmap = canonical_map(m)
+    ents = (m.join(cmap, "surface")
+            .select("conv_id", "canonical").distinct())
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "conv_id")
+             .where(F.col("a.canonical") < F.col("b.canonical"))
+             .select(F.col("a.canonical").alias("src"),
+                     F.col("b.canonical").alias("dst"))
+             .distinct()
+             .where(F.substring(F.md5(F.concat_ws("|", "src", "dst")),
+                                1, 2) <= "0a"))
+    return label_propagation(edges, rounds=3)
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (round-4,
     kgloom/ops/graph.py:random_walks) over the undirected
@@ -1747,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
+        "graph_communities": q_graph_communities,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_linkpred_ranks": q_graph_linkpred_ranks,
         "kg_negative_samples_subj": q_kg_negative_samples_subj,
@@ -2021,6 +2048,37 @@ def _rp_sketch_sql(out_dim: int = 16, in_dim: int = 64) -> str:
                    [{comps}] AS sketch
             FROM q
         """
+
+
+def _lpa_sql(edges_cte: str, rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation as chained CTEs — the
+    relational replay of kgloom.ops.graph.label_propagation (integer
+    votes, smallest-label tie-break; exact by construction).
+    ``edges_cte`` must yield columns (u, v); symmetrization happens
+    here, mirroring the engine."""
+    ctes = [f"""e0 AS ({edges_cte}),
+bi AS (SELECT u AS a, v AS b FROM e0 WHERE u != v
+       UNION SELECT v, u FROM e0 WHERE u != v),
+nodes AS (SELECT DISTINCT a AS node FROM bi),
+l0 AS (SELECT node, node AS community FROM nodes)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS (
+  SELECT node, community FROM (
+    SELECT bi.a AS node, l.community, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY bi.a
+                              ORDER BY COUNT(*) DESC, l.community)
+             AS rn
+    FROM bi JOIN l{p} l ON bi.b = l.node
+    GROUP BY bi.a, l.community)
+  WHERE rn = 1),
+l{i} AS (
+  SELECT n.node, COALESCE(p.community, l.community) AS community
+  FROM nodes n
+  LEFT JOIN p{i} p ON n.node = p.node
+  JOIN l{p} l ON n.node = l.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, community FROM l{rounds}")
 
 
 def _hits_sql(edges_cte: str, iterations: int = 2) -> str:
@@ -2331,6 +2389,32 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(turn_idx AS VARCHAR) || '>',
                    '<http://kg.example/tool/' || tool || '>'
             FROM tr WHERE tool IS NOT NULL""", iterations=2),
+        # label-propagation replay: same md5-thinned co-mention edges
+        # (4.3% keep), 3 unrolled synchronous vote rounds — integer
+        # counts + smallest-label tie-break, exact by construction
+        "graph_communities": _lpa_sql(f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id,
+                     'Entity_' || CAST(
+                       CAST(regexp_extract(text, 'Entity_([0-9]+)', 1)
+                            AS BIGINT) AS VARCHAR) AS surface,
+                     regexp_extract(text, 'Entity_([0-9]+)', 1) AS norm_key
+              FROM tr),
+            canon AS (
+              SELECT norm_key, MIN(surface) AS canonical
+              FROM (SELECT DISTINCT surface, norm_key FROM m)
+              GROUP BY norm_key),
+            ents AS (
+              SELECT DISTINCT m.conv_id, c.canonical AS ent
+              FROM m JOIN canon c USING (norm_key)),
+            e1 AS (
+              SELECT DISTINCT a.ent AS u, b.ent AS v
+              FROM ents a JOIN ents b
+                ON a.conv_id = b.conv_id AND a.ent < b.ent)
+            SELECT u, v FROM e1
+            WHERE substring(md5(u || '|' || v), 1, 2) <= '0a'""",
+            rounds=3),
         # connected-components replay: same md5-thinned co-mention
         # edges, then min-reachable-node per node via a recursive
         # reachability CTE (component labels are canonical minima,

@@ -199,6 +199,51 @@ def kg_profile(triples: DataFrame) -> DataFrame:
         F.sum(obj.startswith("_:").cast("long")).alias("n_bnode_obj")))
 
 
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, community): SYNCHRONOUS label propagation over the
+    undirected graph — community detection, the clustering coarser
+    than connected components and cheaper than modularity methods.
+    Fully deterministic and engine-exact: every node starts as its
+    own label; each round every node adopts the label that the MOST
+    neighbors currently carry, ties broken by the lexicographically
+    smallest label.  Votes are integer counts and the tie-break is
+    total, so there is no RNG and no float anywhere — the DuckDB twin
+    (the same rounds unrolled) must agree exactly.  Synchronous
+    updates can oscillate on bipartite structure, which a FIXED round
+    count turns into a deterministic, replayable output rather than a
+    convergence hazard.
+
+    Per round: one join (labels onto the neighbor side) + one count
+    aggregate + one per-node argmax window — two shuffles, both keyed
+    by node; ``localCheckpoint`` truncates the iterative lineage."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql.window import Window
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bi = tracked_persist(
+        fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b")).distinct())
+    nodes = tracked_persist(
+        bi.select(F.col("a").alias("node")).distinct())
+    labels = nodes.withColumn("community", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "community")
+    for _ in range(rounds):
+        votes = (bi.join(labels.withColumnRenamed("node", "b"), "b")
+                 .groupBy(F.col("a").alias("node"), "community")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        pick = (votes.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("node", F.col("community").alias("__new")))
+        labels = (labels.join(pick, "node", "left")
+                  .select("node",
+                          F.coalesce("__new", "community")
+                          .alias("community"))
+                  .localCheckpoint())
+    return labels
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """(node, n_triangles) over the undirected simple graph induced by

@@ -476,6 +476,22 @@ def test_rp_sketch_python_replay(spark):
         rp_sketch(emb, out_dim=0)
 
 
+def test_label_propagation_two_triangles(spark):
+    # two triangles bridged by c—x; hand-traced 3 synchronous rounds
+    # (integer votes, min-label ties) settle on one label per triangle
+    from kgloom.ops.graph import label_propagation
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+        "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, rounds=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "c", "y": "c", "z": "c"}
+    with pytest.raises(ValueError):
+        label_propagation(edges, rounds=0)
+
+
 def test_hits_integer_path_counts(spark):
     # a→b, a→c, b→c, d→c; hand-unrolled two unnormalized rounds:
     # auth₁ = in-degree (b:1, c:3); hub₁(a)=1+3, hub₁(b)=hub₁(d)=3;
