@@ -606,6 +606,23 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges, max_center_degree=100)
 
 
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (round-4,
+    kgloom/ops/graph.py:jaccard_pairs) over the partOf/usedTool KG
+    edges: |N(u)∩N(v)| / |N(u)∪N(v)| for non-adjacent pairs — the
+    set-overlap baseline next to Adamic–Adar, kept engine-exact by
+    construction (integer wedge counts + true degrees; the score is
+    ONE division of exact integers, no cross-row float sums).  Same
+    degree-100 hub-center wedge guard as graph_adamic_adar, mirrored
+    by the DuckDB twin."""
+    from kgloom.ops.graph import jaccard_pairs
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return jaccard_pairs(edges, max_center_degree=100)
+
+
 def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate cardinality profile (round-4,
     kgloom/ops/graph.py:predicate_profile): triple/subject/object
@@ -1775,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_jaccard": q_graph_jaccard,
         "graph_linkpred_ranks": q_graph_linkpred_ranks,
         "kg_negative_samples_subj": q_kg_negative_samples_subj,
         "kg_predicate_profile": q_kg_predicate_profile,
@@ -2475,6 +2493,49 @@ def oracle_sql() -> dict[str, str]:
         # the ordered-fold weight sum (list ORDER BY center +
         # sequential list_reduce) — AS MATERIALIZED so the 3 edge
         # references don't re-expand the transcript scan
+        # Jaccard replay: same symmetrized edges + center cap as the
+        # AA twin; all-integer wedge counts and degrees, one division
+        "graph_jaccard": f"""
+            WITH ec AS MATERIALIZED (
+              WITH tr AS ({TRANSCRIPTS_SQL})
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS u,
+                     '<http://kg.example/conv/' || conv_id || '>' AS v
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL),
+            e AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec)
+              WHERE u != v),
+            deg AS (SELECT u AS w, COUNT(*) AS deg_w FROM e GROUP BY u),
+            adj AS MATERIALIZED (
+              SELECT e.u AS w, e.v AS x
+              FROM e JOIN deg d ON e.u = d.w
+              WHERE d.deg_w >= 2 AND d.deg_w <= 100),
+            wed AS (
+              SELECT a.x AS u, b.x AS v, COUNT(*) AS n_common
+              FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x
+              GROUP BY a.x, b.x),
+            ne AS (
+              SELECT wed.u, wed.v, wed.n_common
+              FROM wed LEFT JOIN e ON wed.u = e.u AND wed.v = e.v
+              WHERE e.u IS NULL)
+            SELECT ne.u AS u, ne.v AS v,
+                   CAST(ne.n_common AS BIGINT) AS n_common,
+                   CAST(du.deg_w AS BIGINT) AS deg_u,
+                   CAST(dv.deg_w AS BIGINT) AS deg_v,
+                   CAST(ne.n_common AS DOUBLE)
+                     / CAST(du.deg_w + dv.deg_w - ne.n_common
+                            AS DOUBLE) AS jaccard
+            FROM ne JOIN deg du ON ne.u = du.w
+            JOIN deg dv ON ne.v = dv.w
+        """,
         "graph_adamic_adar": f"""
             WITH ec AS MATERIALIZED (
               WITH tr AS ({TRANSCRIPTS_SQL})

@@ -474,6 +474,55 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
             .where(F.col("n_common") >= min_common))
 
 
+def jaccard_pairs(edges: DataFrame, src: str = "src", dst: str = "dst",
+                  min_common: int = 1,
+                  max_center_degree: int | None = None) -> DataFrame:
+    """(u, v, n_common, deg_u, deg_v, jaccard): neighborhood-Jaccard
+    link-prediction scores for NON-adjacent pairs (u < v) —
+    ``|N(u)∩N(v)| / |N(u)∪N(v)|``, the set-overlap counterpart of
+    :func:`adamic_adar` (which down-weights hub neighbors; Jaccard
+    normalizes by neighborhood size instead).
+
+    Everything upstream of the final ratio is an exact INTEGER
+    (common-neighbor count via the wedge self-join, true degrees
+    joined per endpoint); ``jaccard`` is the single division
+    n∩/(deg_u+deg_v−n∩) of exact integers — one float op, no
+    cross-row float sums, so no ordered-fold machinery is needed for
+    engine-exact replay.  ``max_center_degree`` drops hub CENTERS
+    from wedge generation only (the O(deg²) guard, mirrored by the
+    oracle); endpoint degrees stay exact."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    deg = e.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg_w"))
+    centers = deg.where(F.col("deg_w") >= 2)
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg_w") <= max_center_degree)
+    adj = (e.select(F.col("u").alias("w"), F.col("v").alias("x"))
+           .join(centers.select("w"), "w"))
+    a = adj.select("w", F.col("x").alias("u"))
+    b = adj.select("w", F.col("x").alias("v"))
+    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
+    non_edges = wedges.join(
+        e.select(F.col("u").alias("__eu"), F.col("v").alias("__ev")),
+        (F.col("u") == F.col("__eu")) & (F.col("v") == F.col("__ev")),
+        "left_anti")
+    pairs = (non_edges.groupBy("u", "v")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .where(F.col("n_common") >= min_common))
+    du = deg.select(F.col("w").alias("u"), F.col("deg_w").alias("deg_u"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
+    return (pairs.join(du, "u").join(dv, "v")
+            .select("u", "v", "n_common", "deg_u", "deg_v",
+                    (F.col("n_common").cast("double")
+                     / (F.col("deg_u") + F.col("deg_v")
+                        - F.col("n_common")).cast("double"))
+                    .alias("jaccard")))
+
+
 def predicate_profile(triples: DataFrame) -> DataFrame:
     """(pred, n_triples, n_subj, n_obj, max_out, max_in, functional,
     inverse_functional): per-predicate cardinality profile of a triple

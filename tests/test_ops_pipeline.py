@@ -476,6 +476,28 @@ def test_rp_sketch_python_replay(spark):
         rp_sketch(emb, out_dim=0)
 
 
+def test_jaccard_pairs_exact(spark):
+    # square a-b-c-d-a: non-adjacent diagonals (a,c) and (b,d) share
+    # exactly their 2 common neighbors; all degrees 2 → jaccard = 1.0
+    from kgloom.ops.graph import jaccard_pairs
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    got = {(r["u"], r["v"]): (r["n_common"], r["deg_u"], r["deg_v"],
+                              r["jaccard"])
+           for r in jaccard_pairs(edges).collect()}
+    assert got == {("a", "c"): (2, 2, 2, 1.0),
+                   ("b", "d"): (2, 2, 2, 1.0)}
+    # star center e with leaves: leaves pairwise share only e
+    star = spark.createDataFrame(
+        [("e", "p"), ("e", "q"), ("e", "r")], "src string, dst string")
+    got2 = {(r["u"], r["v"]): (r["n_common"], r["jaccard"])
+            for r in jaccard_pairs(star).collect()}
+    assert got2 == {("p", "q"): (1, 1.0), ("p", "r"): (1, 1.0),
+                    ("q", "r"): (1, 1.0)}
+    assert jaccard_pairs(star, max_center_degree=2).count() == 0
+
+
 def test_label_propagation_two_triangles(spark):
     # two triangles bridged by c—x; hand-traced 3 synchronous rounds
     # (integer votes, min-label ties) settle on one label per triangle
