@@ -400,6 +400,19 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2)
 
 
+def q_transcripts_tool_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (round-4, kgloom/streaming/pipeline.py:
+    stream_tool_attribution run in batch mode — the SAME function
+    powers the watermarked stream-stream join, tested stream==batch
+    in tests/test_streaming.py): each tool turn joined to every
+    candidate triggering assistant turn in the same conversation with
+    tool_ts ∈ (assistant_ts, assistant_ts + 24h].  The DuckDB twin is
+    the identical interval predicate."""
+    from kgloom.streaming import stream_tool_attribution
+    turns = transcripts_from_events(spark, sf_dir)
+    return stream_tool_attribution(turns, max_gap="24 hours")
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the constructed KG's IRI→IRI edges
     (round-4, kgloom/ops/graph.py:hits): 2 unnormalized power-
@@ -1727,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "stats_key_skew": q_stats_key_skew,
         "transcripts_sessions": q_transcripts_sessions,
+        "transcripts_tool_attr": q_transcripts_tool_attr,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "sparql_kg_select": q_sparql_kg_select,
         "sparql_kg_optional": q_sparql_kg_optional,
@@ -2283,6 +2297,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sessionization replay: LAG boundary in exact microseconds,
         # running-sum session index, per-session rollup
+        # interval-join replay: identical event-time predicate
+        "transcripts_tool_attr": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            a AS (SELECT conv_id, turn_idx AS assistant_idx,
+                         ts AS assistant_ts
+                  FROM tr WHERE role = 'assistant'),
+            t AS (SELECT conv_id, turn_idx AS tool_idx, tool,
+                         ts AS tool_ts
+                  FROM tr WHERE role = 'tool')
+            SELECT a.conv_id AS conv_id, a.assistant_idx,
+                   a.assistant_ts, t.tool_idx, t.tool, t.tool_ts
+            FROM a JOIN t ON a.conv_id = t.conv_id
+              AND t.tool_ts > a.assistant_ts
+              AND t.tool_ts <= a.assistant_ts + INTERVAL 24 HOUR
+        """,
         "transcripts_sessions": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
             l AS (

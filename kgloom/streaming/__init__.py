@@ -20,5 +20,6 @@ from .pipeline import (  # noqa: F401
     stream_mention_window_counts,
     stream_session_state,
     stream_session_windows,
+    stream_tool_attribution,
     stream_turn_triples,
 )

@@ -146,6 +146,45 @@ def stream_session_windows(turns: DataFrame, gap: str = "6 hours",
                     "n_turns", "n_tool_turns"))
 
 
+def stream_tool_attribution(turns: DataFrame,
+                            max_gap: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Stream-STREAM event-time interval join: every tool turn joined
+    to each candidate triggering assistant turn — same conversation,
+    tool timestamp in ``(assistant_ts, assistant_ts + max_gap]``.
+    The remaining core Structured Streaming pattern next to the
+    windowed/stateful ops: BOTH sides watermarked and the join range
+    bounded by the interval condition, so each side's buffered state
+    is O(watermark · arrival rate) and rows are dropped exactly when
+    the watermark passes their joinable horizon — the shape that runs
+    unbounded on a 10^12-turn feed.
+
+    Works on batch and streaming inputs alike (watermarks applied
+    only when streaming), so the stream==batch equivalence is
+    testable directly; inner join, a tool turn with no assistant turn
+    inside the gap emits nothing."""
+    a = turns.where(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_idx").alias("assistant_idx"),
+        F.col("ts").alias("assistant_ts"))
+    t = turns.where(F.col("role") == "tool").select(
+        F.col("conv_id").alias("__tc"),
+        F.col("turn_idx").alias("tool_idx"),
+        "tool",
+        F.col("ts").alias("tool_ts"))
+    if turns.isStreaming:
+        a = a.withWatermark("assistant_ts", watermark)
+        t = t.withWatermark("tool_ts", watermark)
+    return (a.join(
+        t,
+        (F.col("conv_id") == F.col("__tc"))
+        & (F.col("tool_ts") > F.col("assistant_ts"))
+        & (F.col("tool_ts") <= F.col("assistant_ts")
+           + F.expr(f"INTERVAL {max_gap}")))
+        .select("conv_id", "assistant_idx", "assistant_ts",
+                "tool_idx", "tool", "tool_ts"))
+
+
 _SESSION_SCHEMA = StructType([
     StructField("conv_id", StringType()),
     StructField("n_turns", LongType()),

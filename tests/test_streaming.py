@@ -143,3 +143,24 @@ def test_stream_session_windows_appends_closed_sessions(spark, tmp_path,
     # session must match the batch truth
     assert all(truth.get((r.conv_id, r.session_start))
                == (r.n_turns, r.n_tool_turns) for r in got)
+
+
+def test_stream_tool_attribution_equals_batch(spark, tmp_path, turn_files):
+    # stream-stream interval join == the same join run in batch
+    from kgloom.streaming import read_transcript_stream, stream_tool_attribution
+    inp, turns = turn_files
+    stream = read_transcript_stream(spark, inp)
+    joined = stream_tool_attribution(stream, max_gap="30 seconds")
+    q = (joined.writeStream.format("memory").queryName("tool_attr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM tool_attr").collect()))
+    want = sorted(map(tuple, stream_tool_attribution(
+        turns, max_gap="30 seconds").collect()))
+    assert got == want and len(got) > 0
+    # every pair obeys the interval contract
+    bad = spark.sql("""
+        SELECT * FROM tool_attr
+        WHERE tool_ts <= assistant_ts
+           OR tool_ts > assistant_ts + INTERVAL 30 seconds""").count()
+    assert bad == 0
