@@ -357,6 +357,20 @@ def q_transcripts_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_examples(turns, max_context_turns=3)
 
 
+def q_transcripts_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with loss-mask spans (round-4,
+    kgloom/transcripts/training.py:chat_render): each conversation
+    becomes one training string plus the [start,end) character
+    offsets of every assistant turn's text — the template-and-mask
+    step before tokenization in an SFT pipeline.  Integer offset
+    arithmetic over the deterministic turn order (windowed length
+    sums), exact in any engine; the DuckDB twin replays the same
+    window + ordered aggregation."""
+    from kgloom.transcripts.training import chat_render
+    turns = transcripts_from_events(spark, sf_dir)
+    return chat_render(turns)
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts over the co-mention graph (round-4,
     kgloom/ops/graph.py:triangle_count — degree-ordered node-iterator,
@@ -411,6 +425,25 @@ def q_transcripts_tool_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgloom.streaming import stream_tool_attribution
     turns = transcripts_from_events(spark, sf_dir)
     return stream_tool_attribution(turns, max_gap="24 hours")
+
+
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded BFS levels (round-4, kgloom/ops/graph.py:bfs_levels):
+    minimum hop distance of every KG node from the TOOL node set over
+    the symmetrized partOf/usedTool graph — frontier iteration doing
+    O(reached edges) work per level (tool-using turns land at level
+    1, their conversations at 2, sibling turns at 3, …).  The DuckDB
+    twin is a recursive reachability CTE with MIN(level); integer
+    levels, exact by construction."""
+    from kgloom.ops.graph import bfs_levels
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    edges = (triples.where(F.col("obj").startswith("<"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    seeds = (edges.select(F.col("dst").alias("node"))
+             .where(F.col("node").startswith("<http://kg.example/tool/"))
+             .distinct())
+    return bfs_levels(edges, seeds, max_depth=8, directed=False)
 
 
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_key_skew": q_stats_key_skew,
         "transcripts_sessions": q_transcripts_sessions,
         "transcripts_tool_attr": q_transcripts_tool_attr,
+        "transcripts_chat_render": q_transcripts_chat_render,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "sparql_kg_select": q_sparql_kg_select,
         "sparql_kg_optional": q_sparql_kg_optional,
@@ -1805,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
+        "graph_bfs_levels": q_graph_bfs_levels,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_jaccard": q_graph_jaccard,
         "graph_linkpred_ranks": q_graph_linkpred_ranks,
@@ -2297,6 +2332,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sessionization replay: LAG boundary in exact microseconds,
         # running-sum session index, per-session rollup
+        # chat-render replay: same template, windowed length sums for
+        # the mask offsets, ordered string/list aggregation
+        "transcripts_chat_render": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            r AS (
+              SELECT conv_id, turn_idx, role, text,
+                     '<|' || role || '|>' || text || '<|end|>' AS rt
+              FROM tr),
+            o AS (
+              SELECT conv_id, turn_idx, role, text, rt,
+                     COALESCE(SUM(length(rt) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                     + length('<|' || role || '|>') AS ts
+              FROM r)
+            SELECT conv_id,
+                   string_agg(rt, chr(10) ORDER BY turn_idx)
+                     AS rendered,
+                   COALESCE(list(CAST(ts AS BIGINT) ORDER BY turn_idx)
+                              FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS mask_starts,
+                   COALESCE(list(CAST(ts + length(text) AS BIGINT)
+                                 ORDER BY turn_idx)
+                              FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS mask_ends
+            FROM o GROUP BY conv_id
+        """,
         # interval-join replay: identical event-time predicate
         "transcripts_tool_attr": f"""
             WITH tr AS ({TRANSCRIPTS_SQL}),
@@ -2420,6 +2483,36 @@ def oracle_sql() -> dict[str, str]:
         # quantize + Rademacher projection: all-integer, the sign
         # matrix generated once in Python and inlined in both plans
         "ann_rp_sketch": _rp_sketch_sql(out_dim=16, in_dim=64),
+        # BFS-levels replay: recursive reachability with MIN(level)
+        # over the symmetrized KG edges, seeded at the tool IRIs
+        "graph_bfs_levels": f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            fwd AS (
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>' AS a,
+                     '<http://kg.example/conv/' || conv_id || '>' AS b
+              FROM tr
+              UNION
+              SELECT DISTINCT
+                     '<http://kg.example/conv/' || conv_id || '/turn/'
+                       || CAST(turn_idx AS VARCHAR) || '>',
+                     '<http://kg.example/tool/' || tool || '>'
+              FROM tr WHERE tool IS NOT NULL),
+            bi AS (SELECT a, b FROM fwd WHERE a != b
+                   UNION SELECT b, a FROM fwd WHERE a != b),
+            seeds AS (
+              SELECT DISTINCT b AS node FROM fwd
+              WHERE b LIKE '<http://kg.example/tool/%'),
+            reach(node, lvl) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT bi.b, reach.lvl + 1
+              FROM reach JOIN bi ON reach.node = bi.a
+              WHERE reach.lvl < 8)
+            SELECT node, CAST(MIN(lvl) AS INTEGER) AS level
+            FROM reach GROUP BY node
+        """,
         # HITS replay: same partOf/usedTool KG edges, 2 unrolled
         # rounds of all-integer hub/authority sums (exact by
         # construction — no float normalization anywhere)

@@ -474,6 +474,46 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
             .where(F.col("n_common") >= min_common))
 
 
+def bfs_levels(edges: DataFrame, sources: DataFrame,
+               max_depth: int = 10, src: str = "src", dst: str = "dst",
+               directed: bool = False) -> DataFrame:
+    """(node, level): minimum hop distance from the SOURCE set —
+    frontier breadth-first search, the seeded-reachability primitive
+    (how far is every KG node from the tools / from this entity
+    cluster).  Work is O(edges incident to reached nodes) per level —
+    the frontier pattern the anchored property paths use, here
+    exposed as a first-class operator.
+
+    Per level: one join (frontier ⋈ adjacency) + one anti-join
+    against the visited set; both ``localCheckpoint``ed (the loop is
+    eager, lineage must not stack).  Stops as soon as the frontier
+    empties or at ``max_depth``.  ``sources`` is a one-column
+    DataFrame; sources not present in the graph are still reported at
+    level 0 (they are trivially at distance 0 from themselves)."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = fwd if directed else fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = tracked_persist(
+        e.where(F.col("a") != F.col("b")).distinct())
+    frontier = (sources.select(F.col(sources.columns[0]).alias("node"))
+                .distinct().localCheckpoint())
+    visited = frontier.withColumn("level", F.lit(0).cast("int"))
+    for depth in range(1, max_depth + 1):
+        nxt = (adj.join(frontier.withColumnRenamed("node", "a"), "a")
+               .select(F.col("b").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .localCheckpoint())
+        if nxt.limit(1).count() == 0:
+            break
+        visited = (visited.unionByName(
+            nxt.withColumn("level", F.lit(depth).cast("int")))
+            .localCheckpoint())
+        frontier = nxt
+    return visited
+
+
 def jaccard_pairs(edges: DataFrame, src: str = "src", dst: str = "dst",
                   min_common: int = 1,
                   max_center_degree: int | None = None) -> DataFrame:

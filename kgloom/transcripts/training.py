@@ -116,3 +116,58 @@ def sft_examples(turns: DataFrame,
                    & (F.col("prompt") != ""))
             .select("conv_id", "turn_idx", "prompt",
                     F.col("text").alias("response")))
+
+
+def chat_render(turns: DataFrame,
+                template: str = "<|{role}|>{text}<|end|>",
+                mask_role: str = "assistant",
+                sep: str = "\n") -> DataFrame:
+    """Render each conversation into ONE training string under a chat
+    template, with the loss-mask character spans attached:
+    ``(conv_id, rendered, mask_starts, mask_ends)`` where
+    ``[mask_starts[i], mask_ends[i])`` are the offsets of the i-th
+    ``mask_role`` turn's TEXT inside ``rendered`` — the
+    template-and-mask step an SFT tokenizer consumes (only assistant
+    content contributes loss; template scaffolding and other roles
+    are masked out).
+
+    Everything is integer offset arithmetic over the deterministic
+    (conv_id, turn_idx) order: per-turn start = windowed SUM of
+    preceding rendered lengths (+ separators), text start = turn
+    start + the template prefix length — exact in any engine, no
+    tokenizer dependency (char offsets convert downstream).  One
+    window + one grouped sort-collect per conversation; no Python."""
+    if template.index("{role}") > template.index("{text}"):
+        raise ValueError("template must place {role} before {text}")
+    head, rest = template.split("{role}", 1)
+    mid, tail = rest.split("{text}", 1)
+    rt = F.concat(F.lit(head), F.col("role"), F.lit(mid),
+                  F.col("text"), F.lit(tail))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    turn_start = F.coalesce(
+        F.sum(F.length(rt) + F.lit(len(sep))).over(w), F.lit(0))
+    text_start = (turn_start + F.length(F.lit(head))
+                  + F.length(F.col("role")) + F.length(F.lit(mid)))
+    staged = turns.select(
+        "conv_id", "turn_idx", "role",
+        rt.alias("__rt"),
+        text_start.cast("long").alias("__ts"),
+        (text_start + F.length("text")).cast("long").alias("__te"))
+    masked = F.col("role") == mask_role
+    return (staged.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("turn_idx", F.col("__rt").alias("rt")))),
+                lambda x: x["rt"]), sep).alias("rendered"),
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(masked, F.struct("turn_idx",
+                                        F.col("__ts").alias("v"))))),
+            lambda x: x["v"]).alias("mask_starts"),
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(masked, F.struct("turn_idx",
+                                        F.col("__te").alias("v"))))),
+            lambda x: x["v"]).alias("mask_ends")))

@@ -476,6 +476,26 @@ def test_rp_sketch_python_replay(spark):
         rp_sketch(emb, out_dim=0)
 
 
+def test_bfs_levels_frontier(spark):
+    from kgloom.ops.graph import bfs_levels
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("d", "e")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["level"]
+           for r in bfs_levels(edges, seeds).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "c": 3}   # d,e unreachable
+    # max_depth truncates; directed mode follows arcs only
+    shallow = {r["node"]: r["level"]
+               for r in bfs_levels(edges, seeds, max_depth=1).collect()}
+    assert shallow == {"s": 0, "a": 1}
+    darr = spark.createDataFrame([("s", "a"), ("b", "s")],
+                                 "src string, dst string")
+    directed = {r["node"]: r["level"]
+                for r in bfs_levels(darr, seeds, directed=True).collect()}
+    assert directed == {"s": 0, "a": 1}
+
+
 def test_jaccard_pairs_exact(spark):
     # square a-b-c-d-a: non-adjacent diagonals (a,c) and (b,d) share
     # exactly their 2 common neighbors; all degrees 2 → jaccard = 1.0

@@ -95,5 +95,35 @@ def test_sft_examples_custom_format(turns):
 
 def test_training_ops_jvm_only(turns):
     from tests.test_plan_quality import explain_str
+    from kgloom.transcripts.training import chat_render
     assert "EvalPython" not in explain_str(sft_examples(turns, 4))
     assert "EvalPython" not in explain_str(session_summary(turns))
+    assert "EvalPython" not in explain_str(chat_render(turns))
+
+
+def test_chat_render_spans_slice_masked_text(spark):
+    from kgloom.transcripts.training import chat_render
+    rows = [("c1", 0, "user", "hi there"),
+            ("c1", 1, "assistant", "hello!"),
+            ("c1", 2, "tool", "lookup"),
+            ("c1", 3, "assistant", "done"),
+            ("c2", 0, "assistant", "solo")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in chat_render(df).collect()}
+    assert out["c1"]["rendered"] == (
+        "<|user|>hi there<|end|>\n<|assistant|>hello!<|end|>\n"
+        "<|tool|>lookup<|end|>\n<|assistant|>done<|end|>")
+    # every span slices exactly the masked turn's text, in turn order
+    for cid, want in [("c1", ["hello!", "done"]), ("c2", ["solo"])]:
+        r = out[cid]
+        got = [r["rendered"][s:e]
+               for s, e in zip(r["mask_starts"], r["mask_ends"])]
+        assert got == want
+    # no masked turns → empty span arrays, rendered still complete
+    none = chat_render(df, mask_role="system").collect()
+    assert all(r["mask_starts"] == [] and r["mask_ends"] == []
+               for r in none)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chat_render(df, template="{text}:{role}")
