@@ -1216,6 +1216,18 @@ def q_text_commonness(spark, sf_dir):
     return T.ngram_commonness(_docs(spark, sf_dir), n=2, min_df=3)
 
 
+def q_text_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (round-4, kgloom/ops/lm.py:
+    learn_bpe_merges): the first 5 byte-pair merges over the document
+    corpus — vocabulary-sized iterated state, one hash aggregate +
+    1-row argmax + one literal replace per round, the unit-separator
+    representation making greedy leftmost merging a plain string
+    replace in any engine.  The DuckDB twin chains the identical
+    rounds as CTEs."""
+    from kgloom.ops.lm import learn_bpe_merges
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=5)
+
+
 def q_text_language_id(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -1822,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         "ann_hard_negatives": q_ann_hard_negatives,
         "text_bigram_lm": q_text_bigram_lm,
+        "text_bpe_merges": q_text_bpe_merges,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
@@ -2041,6 +2054,44 @@ e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT u AS node, COUNT(*) AS degree"
               f" FROM e{rounds} GROUP BY u")
+
+
+def _bpe_sql(n_merges: int = 5) -> str:
+    """The learn_bpe_merges DuckDB twin: each merge round is one
+    pair-count CTE + a 1-row argmax CTE + a replace CTE, chained —
+    integer counts, binary-string tie-breaks, and the same
+    unit-separator replace trick, so the rounds are exact by
+    construction."""
+    sep = "\x1f"
+    ctes = [f"""w0 AS (
+  SELECT regexp_replace(w, '(.)', '\\1{sep}', 'g') AS ts, freq FROM (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE length(w) >= 1 AND strpos(w, '{sep}') = 0
+    GROUP BY w))"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS (
+  SELECT l, r, SUM(freq) AS c FROM (
+    SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r, freq
+    FROM (SELECT list_filter(string_split(ts, '{sep}'),
+                             x -> x != '') AS t, freq
+          FROM w{p}))
+  GROUP BY l, r),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS (
+  SELECT replace(ts,
+                 (SELECT l FROM b{i}) || '{sep}'
+                   || (SELECT r FROM b{i}) || '{sep}',
+                 (SELECT l FROM b{i}) || (SELECT r FROM b{i})
+                   || '{sep}') AS ts, freq
+  FROM w{p})""")
+    rows = "\nUNION ALL ".join(
+        f"""SELECT CAST({i} AS INTEGER) AS rank, l AS "left",
+               r AS "right", CAST(c AS BIGINT) AS pair_count
+        FROM b{i}""" for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
 
 
 def _ppr_sql(edges_cte: str, seeds_cte: str, damping: float = 0.85,
@@ -3898,6 +3949,8 @@ def oracle_sql() -> dict[str, str]:
         # per-doc sum as list(lp ORDER BY pos) + sequential
         # list_reduce (0.0-seeded fold == first-element fold since ln
         # never returns -0.0), constants cast to DOUBLE
+        # BPE replay: identical chained merge rounds
+        "text_bpe_merges": _bpe_sql(n_merges=5),
         "text_bigram_lm": """
             WITH t AS (
               SELECT doc_id, string_split(lower(text), ' ') AS toks

@@ -102,3 +102,69 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
             .select("doc_id", "n_grams", "logprob",
                     (F.col("logprob") / F.col("n_grams"))
                     .alias("avg_logprob")))
+
+
+#: unit-separator control char — cannot occur in the corpus tokenizer's
+#: output alphabet; words containing it are filtered (both engines)
+_BPE_SEP = "\x1f"
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
+                     min_word_len: int = 1) -> DataFrame:
+    """(rank, left, right, pair_count): the first ``n_merges``
+    byte-pair-encoding merges learned from the corpus — the
+    distributed replacement for the driver-bound vocabulary-learning
+    loop of an LLM tokenizer trainer.  Round r counts every adjacent
+    token pair across the (distinct-word, frequency) table, picks the
+    most frequent pair (ties: lexicographic on left, then right), and
+    merges it greedily leftmost-non-overlapping everywhere.
+
+    Engine-exact by construction: integer pair counts, binary-string
+    tie-breaks, and merge application via literal ``replace`` over a
+    separator-delimited token string — each token is stored as
+    ``token + US`` (0x1f unit separator), so the pair ``(a, b)`` is
+    the literal substring ``a+US+b+US`` and replacing it with
+    ``a+b+US`` is EXACTLY the greedy leftmost-non-overlapping merge
+    in any engine (matches cannot share boundary characters).
+
+    100-TB shape: the iterated state is the DISTINCT-WORD table
+    (vocabulary-sized, not corpus-sized — the one aggregate over the
+    corpus happens once up front); each round is one explode + one
+    hash aggregate + a 1-ROW argmax collect (bounded, like the
+    k-means centroid fetch) + one narrow per-row ``replace``,
+    ``localCheckpoint`` truncating the loop lineage."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    sep = _BPE_SEP
+    words = (docs.select(F.explode(tokens()).alias("w"))
+             .where((F.length("w") >= min_word_len)
+                    & ~F.col("w").contains(sep)))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    tok = (wf.select(
+        F.regexp_replace("w", "(.)", "$1" + sep).alias("ts"), "freq")
+        .localCheckpoint())
+    spark = docs.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        arr = F.filter(F.split("ts", sep), lambda x: x != "")
+        pairs = (tok.select(
+            F.explode(F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
+                .alias("l"),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+                .alias("r"))).alias("p"), "freq"))
+        best = (pairs.groupBy(F.col("p.l").alias("l"),
+                              F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1).collect())
+        if not best:
+            break                      # no adjacent pairs left anywhere
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, l, r, int(c)))
+        tok = (tok.select(
+            F.replace("ts", F.lit(l + sep + r + sep),
+                      F.lit(l + r + sep)).alias("ts"), "freq")
+            .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long")

@@ -132,6 +132,11 @@ def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
     else:
         schema = schema.select("subj", "pred", "obj")
         inst = triples
+    # schema feeds five branches (sp/sc closures, domain, range, the
+    # include_schema union) — persist it too, or each branch re-runs
+    # the upstream construction just to filter out a handful of
+    # schema triples (tracked, same policy as inst below)
+    schema = tracked_persist(schema)
     # the instance set feeds every rule branch (rdfs7 join, the
     # inst_all union, domain/range joins, the type scan, the output
     # union) — persist it once or each branch re-runs the upstream

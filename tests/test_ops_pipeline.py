@@ -389,6 +389,25 @@ def test_hard_negative_pairs_band(spark):
     assert got == [(0, 1, 1)]
 
 
+def test_learn_bpe_merges_textbook(spark):
+    # the classic low/lower/lowest corpus, hand-traced:
+    # (l,o)=6 ties (o,w)=6 → lex; then (lo,w)=6; (e,w)=3 ties (n,e)=3
+    # → lex; then (n,ew)=3
+    from kgloom.ops.lm import learn_bpe_merges
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string")
+    got = [tuple(r) for r in learn_bpe_merges(docs, n_merges=4).collect()]
+    assert got == [(1, "l", "o", 6), (2, "lo", "w", 6),
+                   (3, "e", "w", 3), (4, "n", "ew", 3)]
+    # merge exhaustion stops early instead of emitting junk
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert [tuple(r) for r in learn_bpe_merges(tiny, n_merges=5).collect()] \
+        == [(1, "a", "b", 1)]
+    with pytest.raises(ValueError):
+        learn_bpe_merges(docs, n_merges=0)
+
+
 def test_bigram_lm_scores_exact(spark):
     from kgloom.ops.lm import bigram_lm_scores
     import math
