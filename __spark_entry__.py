@@ -1228,6 +1228,22 @@ def q_text_bpe_merges(spark, sf_dir):
     return learn_bpe_merges(_docs(spark, sf_dir), n_merges=5)
 
 
+def q_text_apply_bpe(spark, sf_dir):
+    """Apply the corpus-learned BPE merges back to the corpus
+    (round-4, kgloom/ops/lm.py:apply_bpe): per-document word and
+    subword counts after the 5 learned merges — the tokenizer
+    fertility statistic.  The merge list is the bounded 5-row result
+    of learn_bpe_merges (collected like the k-means centroids);
+    application is a fixed chain of literal replaces over the
+    unit-separated body, one narrow projection.  The DuckDB twin
+    learns via the same CTE chain and applies nested replaces."""
+    from kgloom.ops.lm import apply_bpe, learn_bpe_merges
+    learned = learn_bpe_merges(_docs(spark, sf_dir), n_merges=5).collect()
+    merges = [(r["left"], r["right"]) for r in sorted(
+        learned, key=lambda r: r["rank"])]
+    return apply_bpe(_docs(spark, sf_dir), merges)
+
+
 def q_text_language_id(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -1835,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "text_bigram_lm": q_text_bigram_lm,
         "text_bpe_merges": q_text_bpe_merges,
+        "text_apply_bpe": q_text_apply_bpe,
         "text_repetition": q_text_repetition,
         "text_commonness": q_text_commonness,
         "text_language_id": q_text_language_id,
@@ -2062,8 +2079,49 @@ def _bpe_sql(n_merges: int = 5) -> str:
     integer counts, binary-string tie-breaks, and the same
     unit-separator replace trick, so the rounds are exact by
     construction."""
+    rows = "\nUNION ALL ".join(
+        f"""SELECT CAST({i} AS INTEGER) AS rank, l AS "left",
+               r AS "right", CAST(c AS BIGINT) AS pair_count
+        FROM b{i}""" for i in range(1, n_merges + 1))
+    return "WITH " + _bpe_ctes(n_merges) + "\n" + rows
+
+
+def _apply_bpe_sql(n_merges: int = 5) -> str:
+    """The apply_bpe DuckDB twin: learn the merges via the same CTE
+    chain, then apply them as nested literal replaces over the
+    unit-separated document body and count separators."""
     sep = "\x1f"
-    ctes = [f"""w0 AS (
+    pats = ", ".join(
+        f"(SELECT l FROM b{i}) || '{sep}' || (SELECT r FROM b{i})"
+        f" || '{sep}' AS s{i}, (SELECT l FROM b{i})"
+        f" || (SELECT r FROM b{i}) || '{sep}' AS t{i}"
+        for i in range(1, n_merges + 1))
+    applied = "b"
+    for i in range(1, n_merges + 1):
+        applied = f"replace({applied}, s{i}, t{i})"
+    return ("WITH " + _bpe_ctes(n_merges) + f""",
+pats AS MATERIALIZED (SELECT {pats}),
+docbody AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         array_to_string(list_transform(ws,
+           w -> regexp_replace(w, '(.)', '\\1{sep}', 'g')), ' ') AS b
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           w -> length(w) >= 1
+                                AND strpos(w, '{sep}') = 0) AS ws
+        FROM documents)),
+applied AS (SELECT doc_id, n_words, {applied} AS b2
+            FROM docbody, pats)
+SELECT doc_id, n_words,
+       CAST(length(b2) - length(replace(b2, '{sep}', ''))
+            AS BIGINT) AS n_subwords
+FROM applied""")
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    sep = "\x1f"
+    ctes = [f"""w0 AS MATERIALIZED (
   SELECT regexp_replace(w, '(.)', '\\1{sep}', 'g') AS ts, freq FROM (
     SELECT w, COUNT(*) AS freq
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -2072,26 +2130,22 @@ def _bpe_sql(n_merges: int = 5) -> str:
     GROUP BY w))"""]
     for i in range(1, n_merges + 1):
         p = i - 1
-        ctes.append(f"""p{i} AS (
+        ctes.append(f"""p{i} AS MATERIALIZED (
   SELECT l, r, SUM(freq) AS c FROM (
     SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r, freq
     FROM (SELECT list_filter(string_split(ts, '{sep}'),
                              x -> x != '') AS t, freq
           FROM w{p}))
   GROUP BY l, r),
-b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
-w{i} AS (
+b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
   SELECT replace(ts,
                  (SELECT l FROM b{i}) || '{sep}'
                    || (SELECT r FROM b{i}) || '{sep}',
                  (SELECT l FROM b{i}) || (SELECT r FROM b{i})
                    || '{sep}') AS ts, freq
   FROM w{p})""")
-    rows = "\nUNION ALL ".join(
-        f"""SELECT CAST({i} AS INTEGER) AS rank, l AS "left",
-               r AS "right", CAST(c AS BIGINT) AS pair_count
-        FROM b{i}""" for i in range(1, n_merges + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + rows
+    return ",\n".join(ctes)
 
 
 def _ppr_sql(edges_cte: str, seeds_cte: str, damping: float = 0.85,
@@ -3951,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         # never returns -0.0), constants cast to DOUBLE
         # BPE replay: identical chained merge rounds
         "text_bpe_merges": _bpe_sql(n_merges=5),
+        "text_apply_bpe": _apply_bpe_sql(n_merges=5),
         "text_bigram_lm": """
             WITH t AS (
               SELECT doc_id, string_split(lower(text), ' ') AS toks

@@ -168,3 +168,37 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
             .localCheckpoint())
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_subwords): segment every document with an
+    ordered BPE merge list (as learned by :func:`learn_bpe_merges`)
+    and report the resulting subword counts — the
+    vocabulary-compression statistic (n_subwords shrinks toward
+    n_words as merges cover the corpus; the ratio is the tokenizer
+    fertility a data pipeline tracks per source).
+
+    Same unit-separator representation as the learner: each word is
+    rendered char+US…, words joined by a space (which no merge
+    pattern can cross), and the merges applied as a FIXED chain of
+    literal replaces in learned order — per-row narrow projection,
+    no shuffle beyond the final count, exact in any engine."""
+    sep = _BPE_SEP
+    t = tokens(text_col)
+    words = F.filter(t, lambda x: (F.length(x) >= 1)
+                     & ~x.contains(sep))
+    body = F.array_join(
+        F.transform(words,
+                    lambda w: F.regexp_replace(w, "(.)", "$1" + sep)),
+        " ")
+    col = body
+    for left, right in merges:
+        col = F.replace(col, F.lit(left + sep + right + sep),
+                        F.lit(left + right + sep))
+    n_sub = (F.length(col)
+             - F.length(F.replace(col, F.lit(sep), F.lit(""))))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        n_sub.cast("long").alias("n_subwords"))

@@ -408,6 +408,20 @@ def test_learn_bpe_merges_textbook(spark):
         learn_bpe_merges(docs, n_merges=0)
 
 
+def test_apply_bpe_counts(spark):
+    from kgloom.ops.lm import apply_bpe
+    docs = spark.createDataFrame([(1, "low lower"), (2, "ow")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+           for r in apply_bpe(docs, [("l", "o"), ("lo", "w")]).collect()}
+    # low -> [low]; lower -> [low, e, r]; ow -> [o, w] (no 'lo' start)
+    assert got == {1: (2, 4), 2: (1, 2)}
+    # empty merge list = character tokenization
+    base = {r["doc_id"]: r["n_subwords"]
+            for r in apply_bpe(docs, []).collect()}
+    assert base == {1: 8, 2: 2}
+
+
 def test_bigram_lm_scores_exact(spark):
     from kgloom.ops.lm import bigram_lm_scores
     import math
