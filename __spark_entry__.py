@@ -1776,6 +1776,73 @@ def q_reason_shacl(spark, sf_dir):
     return shacl_validate(triples, (shape,))
 
 
+def q_transcripts_asof_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time AS-OF join (round-4, kgloom/ops/temporal.py): every
+    non-tool turn attached to the most recent tool turn at-or-before
+    it in the same conversation.  Union + window carry-forward — one
+    shuffle on conv_id, no range-join explosion; the DuckDB oracle is
+    the engine's NATIVE ``ASOF LEFT JOIN``, an independent
+    implementation of the same semantics."""
+    from kgloom.ops.temporal import asof_join
+    tr = transcripts_from_events(spark, sf_dir)
+    left = tr.where(F.col("role") != "tool") \
+             .select("conv_id", "turn_idx", "ts")
+    right = tr.where(F.col("role") == "tool").select(
+        "conv_id", F.col("turn_idx").alias("tool_idx"),
+        F.col("tool").alias("tool_name"), F.col("ts").alias("tool_ts"))
+    return asof_join(left, right, on=["conv_id"], left_ts="ts",
+                     right_ts="tool_ts",
+                     right_payload=["tool_idx", "tool_name"], suffix="")
+
+
+def q_kg_tool_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG validity intervals (round-4,
+    kgloom/ops/temporal.py): each conversation's tool-usage timeline
+    coalesced into maximal constant-tool closed-open periods
+    (SQL:2011-style).  Gaps-and-islands: lag change flag + running-sum
+    island id + one aggregate, all over the same conv_id
+    partitioning."""
+    from kgloom.ops.temporal import interval_coalesce
+    tr = transcripts_from_events(spark, sf_dir)
+    tools = tr.where(F.col("role") == "tool") \
+              .select("conv_id", "tool", "ts", "turn_idx")
+    return interval_coalesce(tools, keys=["conv_id"], value="tool",
+                             ts="ts", order_extra=["turn_idx"])
+
+
+def q_kg_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (round-4, kgloom/ops/temporal.py): the triple
+    sets materialized from two overlapping turn windows (turn_idx<10
+    vs turn_idx>=5) diffed into added/removed rows — the lineage
+    primitive for the checkpointed pipeline.  Tag + union + one
+    map-side-combinable sum aggregate: a single shuffle, not two
+    anti-joins."""
+    from kgloom.transcripts.pipeline import turn_triples_plan
+    from kgloom.ops.temporal import snapshot_delta
+    turns = transcripts_from_events(spark, sf_dir)
+
+    def _triples(t: DataFrame) -> DataFrame:
+        binder = SparkBinder(spark, dataframes={"transcripts": t})
+        out = list(write_sinks(binder.execute(
+            turn_triples_plan().graph)).values())[0]
+        return out.select("subj", "pred", "obj")
+
+    old = _triples(turns.where(F.col("turn_idx") < 10))
+    new = _triples(turns.where(F.col("turn_idx") >= 5))
+    return snapshot_delta(old, new)
+
+
+def q_text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (round-4, kgloom/ops/packing.py):
+    deterministic md5-seeded PSM reordering of every document — the
+    FIM pretraining objective's data prep.  Map-only pure Catalyst (no
+    shuffle: pipelines with the parquet scan at any scale); cut points
+    replayable in any engine with md5."""
+    from kgloom.ops.packing import fim_transform
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return fim_transform(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1797,6 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_turn_triples": q_transcripts_turn_triples,
         "rdf_roundtrip": q_rdf_roundtrip,
         "kg_vertical_store": q_kg_vertical_store,
+        "transcripts_asof_tool": q_transcripts_asof_tool,
+        "kg_tool_intervals": q_kg_tool_intervals,
+        "kg_graph_delta": q_kg_graph_delta,
+        "text_fim_split": q_text_fim_split,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "stats_key_skew": q_stats_key_skew,
@@ -4291,4 +4362,88 @@ def oracle_sql() -> dict[str, str]:
     oracles["kg_vertical_store"] = (
         f"SELECT * FROM ({oracles['transcripts_turn_triples']}) "
         f"WHERE pred = '<{_KGO}usedTool>'")
+    # as-of replay: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    # implementation of the same latest-at-or-before semantics
+    # ((conv_id, ts) is unique in this corpus, so no tie ambiguity)
+    oracles["transcripts_asof_tool"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        u AS (SELECT conv_id, turn_idx, ts FROM tr
+              WHERE role <> 'tool'),
+        t AS (SELECT conv_id, turn_idx AS tool_idx, tool AS tool_name,
+                     ts AS tool_ts
+              FROM tr WHERE role = 'tool')
+        SELECT u.conv_id AS conv_id, u.turn_idx, u.ts,
+               t.tool_idx, t.tool_name, t.tool_ts
+        FROM u ASOF LEFT JOIN t
+          ON u.conv_id = t.conv_id AND u.ts >= t.tool_ts
+    """
+    # gaps-and-islands replay of the interval coalesce
+    oracles["kg_tool_intervals"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        t AS (SELECT conv_id, tool, ts, turn_idx FROM tr
+              WHERE role = 'tool'),
+        l AS (SELECT *,
+                     CASE WHEN tool IS NOT DISTINCT FROM
+                               LAG(tool) OVER (PARTITION BY conv_id
+                                               ORDER BY ts, turn_idx)
+                          THEN 0 ELSE 1 END AS chg
+              FROM t),
+        s AS (SELECT *,
+                     SUM(chg) OVER (PARTITION BY conv_id
+                                    ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM l),
+        g AS (SELECT conv_id, isl, MIN(tool) AS tool,
+                     MIN(ts) AS valid_from,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM s GROUP BY conv_id, isl)
+        SELECT conv_id, tool, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY conv_id
+                                      ORDER BY valid_from) AS valid_to,
+               n_rows
+        FROM g
+    """
+    # snapshot diff replay: two EXCEPTs over the same triple CTEs
+    oracles["kg_graph_delta"] = f"""
+        WITH trall AS ({TRANSCRIPTS_SQL}),
+        a AS (WITH tr AS (SELECT * FROM trall WHERE turn_idx < 10)
+              SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        b AS (WITH tr AS (SELECT * FROM trall WHERE turn_idx >= 5)
+              SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION}))
+        SELECT subj, pred, obj, 'added' AS change
+        FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        UNION ALL
+        SELECT subj, pred, obj, 'removed' AS change
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """
+    # FIM replay: identical md5-seeded cut-point arithmetic
+    oracles["text_fim_split"] = """
+        WITH h AS (
+          SELECT doc_id, text, LENGTH(text) AS n,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || 'fim'), 1, 8) AS BIGINT)
+                   AS h1,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || 'fim'), 9, 8) AS BIGINT)
+                   AS h2
+          FROM documents),
+        c AS (
+          SELECT *, CASE WHEN n >= 8
+                         THEN CAST(1 + h1 % (n - 2) AS INTEGER) END
+                      AS cut1
+          FROM h),
+        c2 AS (
+          SELECT *, CASE WHEN n >= 8
+                         THEN CAST(cut1 + 1 + h2 % (n - cut1 - 1)
+                                   AS INTEGER) END AS cut2
+          FROM c)
+        SELECT doc_id,
+               CASE WHEN n >= 8
+                    THEN '<PRE>' || substr(text, 1, cut1)
+                      || '<SUF>' || substr(text, cut2 + 1, n - cut2)
+                      || '<MID>' || substr(text, cut1 + 1, cut2 - cut1)
+                    ELSE text END AS fim_text,
+               n >= 8 AS fim, cut1, cut2
+        FROM c2
+    """
     return oracles

@@ -114,3 +114,42 @@ def pack_greedy(df: DataFrame, key: str, tokens: str, budget: int,
         return pdf[[key, "bucket", "pack", "fill", tokens]]
 
     return tagged.groupBy("bucket").applyInPandas(_pack, schema=schema)
+
+
+def fim_transform(df: DataFrame, key: str, text: str,
+                  salt: str = "fim", min_len: int = 8) -> DataFrame:
+    """Fill-in-the-middle (PSM) training transform: split each
+    document's text at two deterministic cut points and re-order it as
+    ``<PRE> prefix <SUF> suffix <MID> middle`` (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle" —
+    public method).  Character-level here; the token-level variant is
+    the same arithmetic over ``text_subwords`` output.
+
+    Cut points are a pure function of md5(key || salt) so any engine
+    replays them: ``c1 = 1 + h1 % (len-2)``, ``c2 = c1 + 1 +
+    h2 % (len-c1-1)`` — both cuts interior, so prefix/middle/suffix
+    are all non-empty.  Documents shorter than ``min_len`` chars pass
+    through unchanged with ``fim = false`` (the standard FIM-rate
+    carve-out for degenerate docs).  Pure Catalyst — no Python, no
+    shuffle at all (a map-only transform: at 100 TB this pipelines
+    with the scan).
+    """
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    n = F.length(F.col(text))
+    c1 = (F.lit(1) + h1 % (n - F.lit(2))).cast("int")
+    c2 = (c1 + F.lit(1) + h2 % (n - c1 - F.lit(1))).cast("int")
+    psm = F.concat(
+        F.lit("<PRE>"), F.substring(F.col(text), F.lit(1), c1),
+        F.lit("<SUF>"), F.col(text).substr(c2 + F.lit(1), n - c2),
+        F.lit("<MID>"), F.col(text).substr(c1 + F.lit(1), c2 - c1))
+    eligible = n >= F.lit(max(min_len, 3))
+    return df.select(
+        F.col(key),
+        F.when(eligible, psm).otherwise(F.col(text)).alias("fim_text"),
+        eligible.alias("fim"),
+        F.when(eligible, c1).otherwise(F.lit(None).cast("int"))
+         .alias("cut1"),
+        F.when(eligible, c2).otherwise(F.lit(None).cast("int"))
+         .alias("cut2"))
