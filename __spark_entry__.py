@@ -1843,6 +1843,39 @@ def q_text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(docs, "doc_id", "text")
 
 
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (round-4, kgloom/ops/sketch.py):
+    per-predicate estimated distinct-object counts over the turn
+    triples.  md5-derived hash fractions make the ESTIMATE itself a
+    pure function of the value set, so the DuckDB oracle reproduces it
+    bit-for-bit — a sketch you can regression-test.  Low-cardinality
+    predicates (role) take the exact branch, high-cardinality ones
+    (text, partOf) the (k-1)/f_k estimator branch."""
+    from kgloom.ops.sketch import kmv_distinct
+    from kgloom.transcripts.pipeline import turn_triples_plan
+    turns = transcripts_from_events(spark, sf_dir)
+    binder = SparkBinder(spark, dataframes={"transcripts": turns})
+    triples = list(write_sinks(binder.execute(
+        turn_triples_plan().graph)).values())[0].select("pred", "obj")
+    return kmv_distinct(triples, keys=["pred"], value="obj", k=64)
+
+
+def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (round-4): per-language p25/p50/p75
+    of document length via Spark's exact ``percentile`` aggregate
+    (linear interpolation at rank q·(N-1) — the same definition as
+    DuckDB's ``quantile_cont``, and the dyadic 1/4 fractions keep the
+    interpolation arithmetic bit-exact across engines).  One hash
+    aggregate; the exact percentile buffers per group are bounded by
+    per-language doc counts."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1868,6 +1901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tool_intervals": q_kg_tool_intervals,
         "kg_graph_delta": q_kg_graph_delta,
         "text_fim_split": q_text_fim_split,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
         "stats_key_skew": q_stats_key_skew,
@@ -4445,5 +4480,36 @@ def oracle_sql() -> dict[str, str]:
                     ELSE text END AS fim_text,
                n >= 8 AS fim, cut1, cut2
         FROM c2
+    """
+    # KMV replay: same md5 fractions, same k minima, same estimator —
+    # the sketch estimate is deterministic, so it oracle-checks exactly
+    # (16^15 = 1152921504606846976; 60 bits, exact in long and double)
+    oracles["sketch_kmv_distinct"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        h AS (SELECT DISTINCT pred,
+                     CAST('0x' || substr(md5(obj), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM tt),
+        r AS (SELECT pred, f,
+                     ROW_NUMBER() OVER (PARTITION BY pred ORDER BY f)
+                       AS rn
+              FROM h),
+        m AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_minima,
+                     MAX(f) AS f_k
+              FROM r WHERE rn <= 64 GROUP BY pred)
+        SELECT pred, n_minima, f_k,
+               CASE WHEN n_minima < 64 THEN CAST(n_minima AS DOUBLE)
+                    ELSE 63.0 / f_k END AS estimate
+        FROM m
+    """
+    # exact-quantile replay: quantile_cont == Spark percentile (both
+    # interpolate linearly at rank q*(N-1); dyadic q keeps it bit-exact)
+    oracles["stats_doc_quantiles"] = """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5)  AS p50,
+               quantile_cont(n_chars, 0.75) AS p75
+        FROM documents GROUP BY lang
     """
     return oracles
