@@ -81,6 +81,19 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        # session hygiene OUTSIDE the timed window: a 100+-query run in
+        # one long-lived JVM accumulates unreclaimed broadcast/shuffle
+        # state (the ContextCleaner only frees what the driver-side GC
+        # has collected) — by the late alphabet, per-query times were
+        # measured 2-3x their fresh-session steady state (see
+        # BENCH/BASELINE.md, round-4 final run).  Forcing both GCs
+        # between queries lets the cleaner actually run.
+        try:
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # north-rule pipeline throughput (generate excluded from the timing;
     # a small warm run first, same reasoning as above and identical to
