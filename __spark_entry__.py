@@ -365,10 +365,26 @@ def q_transcripts_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before tokenization in an SFT pipeline.  Integer offset
     arithmetic over the deterministic turn order (windowed length
     sums), exact in any engine; the DuckDB twin replays the same
-    window + ordered aggregation."""
+    window + ordered aggregation.
+
+    The library function (kgloom/transcripts/training.py:chat_render)
+    returns the spans as array<bigint> — the shape a training
+    pipeline wants.  The driver's correctness canon sorts a pandas
+    frame over all columns, and list-typed cells (numpy arrays out of
+    DuckDB's .df()) are unhashable there, so THIS wrapper serializes
+    the span arrays to comma-joined strings on both sides (round-4
+    verdict item #1); the array-typed API is regression-tested in
+    tests/test_transcripts.py."""
     from kgloom.transcripts.training import chat_render
     turns = transcripts_from_events(spark, sf_dir)
-    return chat_render(turns)
+    out = chat_render(turns)
+    return out.select(
+        "conv_id", "rendered",
+        F.array_join(F.col("mask_starts").cast("array<string>"), ",")
+         .alias("mask_starts"),
+        F.array_join(F.col("mask_ends").cast("array<string>"), ",")
+         .alias("mask_ends"),
+    )
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2562,13 +2578,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    string_agg(rt, chr(10) ORDER BY turn_idx)
                      AS rendered,
-                   COALESCE(list(CAST(ts AS BIGINT) ORDER BY turn_idx)
+                   COALESCE(string_agg(CAST(ts AS BIGINT), ','
+                                       ORDER BY turn_idx)
                               FILTER (WHERE role = 'assistant'),
-                            CAST([] AS BIGINT[])) AS mask_starts,
-                   COALESCE(list(CAST(ts + length(text) AS BIGINT)
-                                 ORDER BY turn_idx)
+                            '') AS mask_starts,
+                   COALESCE(string_agg(CAST(ts + length(text) AS BIGINT),
+                                       ',' ORDER BY turn_idx)
                               FILTER (WHERE role = 'assistant'),
-                            CAST([] AS BIGINT[])) AS mask_ends
+                            '') AS mask_ends
             FROM o GROUP BY conv_id
         """,
         # interval-join replay: identical event-time predicate
@@ -4434,7 +4451,8 @@ def oracle_sql() -> dict[str, str]:
               FROM s GROUP BY conv_id, isl)
         SELECT conv_id, tool, valid_from,
                LEAD(valid_from) OVER (PARTITION BY conv_id
-                                      ORDER BY valid_from) AS valid_to,
+                                      ORDER BY valid_from, isl)
+                 AS valid_to,
                n_rows
         FROM g
     """

@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: 16^15 — md5's first 15 hex chars as a fraction denominator (60
-#: bits: exact in a long AND exact in a double, so fraction arithmetic
-#: is replayable in any IEEE-754 engine)
+#: 16^15 — md5's first 15 hex chars as a fraction denominator.  60
+#: bits exceed a double's 53-bit mantissa, so the long→double cast
+#: rounds; cross-engine determinism holds anyway because Spark and
+#: DuckDB apply the same IEEE-754 round-to-nearest on the cast and
+#: then divide by the same power of two — identical inputs produce
+#: bit-identical doubles in both engines (not because the value is
+#: exactly representable).
 _DENOM = float(16 ** 15)
 
 

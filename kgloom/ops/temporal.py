@@ -56,9 +56,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     with no preceding right row keep nulls (left-outer semantics).
 
     Ties: right rows sharing one exact ``right_ts`` within a key are
-    broken by the last payload column's order (deterministic); at
-    equal left/right timestamps the right row is visible unless
-    ``strict``.  One shuffle on ``on``; no range-join explosion.
+    broken by comparing the payload struct field-by-field in declared
+    order (``right_ts`` first, then the payload columns left to
+    right); the largest wins via ``last()`` over the ordered window —
+    deterministic as long as the payload columns are orderable types
+    (struct ordering rejects maps).  At equal left/right timestamps
+    the right row is visible unless ``strict``.  One shuffle on
+    ``on``; no range-join explosion.
     """
     if right_payload is None:
         right_payload = [c for c in right.columns
@@ -123,7 +127,11 @@ def interval_coalesce(df: DataFrame, keys: list[str], value: str,
            .agg(F.first(value).alias(value),
                 F.min(ts).alias("valid_from"),
                 F.count(F.lit(1)).alias("n_rows")))
-    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    # order by (valid_from, __isl): two adjacent islands can share a
+    # valid_from when equal timestamps at a change boundary are
+    # disambiguated only by order_extra — __isl makes the island
+    # order total so lead() is deterministic
+    w2 = Window.partitionBy(*keys).orderBy("valid_from", "__isl")
     return (agg
             .withColumn("valid_to", F.lead("valid_from").over(w2))
             .drop("__isl")

@@ -93,3 +93,15 @@ def test_query_vs_oracle(spark, ducks, name):
     want = canon([dict(zip(ocols, r)) for r in ores], ocols)
     assert len(got) == len(want), (name, len(got), len(want))
     assert got == want, (name, got[:3], want[:3])
+    # Replay the driver's pandas-based canonicalization (round-4
+    # lesson: transcripts_chat_render's list-typed mask columns came
+    # back from DuckDB's .df() as numpy arrays, and the driver's
+    # pandas.sort_values over all columns raised 'unhashable type:
+    # numpy.ndarray' — invisible to the tuple compare above).  Any
+    # output shape that the driver's canon cannot sort must fail HERE.
+    odf = ducks.execute(ORACLES[name]).df()
+    try:
+        odf.sort_values(by=sorted(ocols))
+        sdf.toPandas().sort_values(by=sorted(cols))
+    except TypeError as e:  # pragma: no cover - regression guard
+        pytest.fail(f"{name}: driver pandas canon would fail: {e}")
