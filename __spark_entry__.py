@@ -1496,6 +1496,24 @@ _REASON_ONTOLOGY: list[tuple[str, str, str]] = [
     (f"<{_KGO}Conversation>", "subClassOf", f"<{_KGO}Node>"),
 ]
 
+_OWL_EQC = "<http://www.w3.org/2002/07/owl#equivalentClass>"
+_OWL_EQP = "<http://www.w3.org/2002/07/owl#equivalentProperty>"
+
+#: equivalence axioms layered on _REASON_ONTOLOGY for the
+#: reason_owl_equiv query (rdfp12/13): an equivalentClass CHAIN off
+#: Conversation (symmetric+transitive closure of ≡ must surface), an
+#: equivalentProperty alias of usedTool (instance edges generalize to
+#: it AND flow back through its own superproperty), and a mutual
+#: subClassOf cycle with NO equivalence axiom (rdfp12c must derive it).
+_EQUIV_ONTOLOGY: list[tuple[str, str, str]] = [
+    (f"<{_KGO}Conversation>", _OWL_EQC, f"<{_KGO}Thread>"),
+    (f"<{_KGO}Thread>", _OWL_EQC, f"<{_KGO}Dialogue>"),
+    (f"<{_KGO}usedTool>", _OWL_EQP, f"<{_KGO}invokedTool>"),
+    (f"<{_KGO}invokedTool>", "subPropertyOf", f"<{_KGO}action>"),
+    (f"<{_KGO}Tool>", "subClassOf", f"<{_KGO}Capability>"),
+    (f"<{_KGO}Capability>", "subClassOf", f"<{_KGO}Tool>"),
+]
+
 
 def q_sparql_kg_group_concat(spark, sf_dir):
     """SPARQL GROUP_CONCAT + SAMPLE over the constructed KG
@@ -1669,6 +1687,106 @@ def q_reason_rdfs_closure(spark, sf_dir):
         [(s, _REASON_PRED_IRI[p], o) for s, p, o in _REASON_ONTOLOGY],
         "subj string, pred string, obj string")
     return rdfs_closure(triples, schema=schema, include_schema=True)
+
+
+def _owl_equiv_sql() -> str:
+    """OWL-Horst rdfp12/13 replay: the equivalence axioms are rewritten
+    into both-direction subsumption edges feeding the SAME recursive
+    sp/sc CTEs as the ρdf replay, and the final union back-derives
+    equivalence from mutual subsumption via a swapped self-join —
+    mirroring kgloom/ops/reasoning.py owl_equivalence_closure."""
+    equiv_values = ",\n              ".join(
+        f"('{s}', '{_REASON_PRED_IRI.get(p, p)}', '{o}')"
+        for s, p, o in _EQUIV_ONTOLOGY)
+    return f"""
+            WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+            inst AS (SELECT * FROM ({_TURN_TRIPLES_UNION})),
+            ont0(subj, pred, obj) AS (VALUES {_reason_ontology_values()},
+              {equiv_values}),
+            aug(subj, pred, obj) AS (
+              SELECT subj, pred, obj FROM ont0
+              WHERE pred NOT IN ('{_OWL_EQC}', '{_OWL_EQP}')
+              UNION
+              SELECT subj, '{_RDFS_SUBCLASS}', obj FROM ont0
+              WHERE pred = '{_OWL_EQC}'
+              UNION
+              SELECT obj, '{_RDFS_SUBCLASS}', subj FROM ont0
+              WHERE pred = '{_OWL_EQC}'
+              UNION
+              SELECT subj, '{_RDFS_SUBPROP}', obj FROM ont0
+              WHERE pred = '{_OWL_EQP}'
+              UNION
+              SELECT obj, '{_RDFS_SUBPROP}', subj FROM ont0
+              WHERE pred = '{_OWL_EQP}'),
+            sp(a, b) AS (
+              SELECT subj, obj FROM aug WHERE pred = '{_RDFS_SUBPROP}'
+              UNION
+              SELECT sp.a, o.obj FROM sp
+              JOIN aug o ON sp.b = o.subj AND o.pred = '{_RDFS_SUBPROP}'
+              WHERE sp.a <> o.obj),
+            sc(a, b) AS (
+              SELECT subj, obj FROM aug WHERE pred = '{_RDFS_SUBCLASS}'
+              UNION
+              SELECT sc.a, o.obj FROM sc
+              JOIN aug o ON sc.b = o.subj AND o.pred = '{_RDFS_SUBCLASS}'
+              WHERE sc.a <> o.obj),
+            inst_all AS (
+              SELECT * FROM inst
+              UNION ALL
+              SELECT i.subj, sp.b AS pred, i.obj
+              FROM inst i JOIN sp ON i.pred = sp.a),
+            types(s, c) AS (
+              SELECT subj, obj FROM inst_all WHERE pred = '{_RDF_TYPE}'
+              UNION ALL
+              SELECT i.subj, o.obj FROM inst_all i
+              JOIN aug o ON i.pred = o.subj AND o.pred = '{_RDFS_DOMAIN}'
+              UNION ALL
+              SELECT i.obj, o.obj FROM inst_all i
+              JOIN aug o ON i.pred = o.subj AND o.pred = '{_RDFS_RANGE}'
+              WHERE i.obj LIKE '<%')
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT * FROM inst_all
+              UNION ALL
+              SELECT s, '{_RDF_TYPE}', c FROM types
+              UNION ALL
+              SELECT t.s, '{_RDF_TYPE}', sc.b FROM types t
+              JOIN sc ON t.c = sc.a
+              UNION ALL
+              SELECT * FROM aug
+              UNION ALL
+              SELECT a, '{_RDFS_SUBPROP}', b FROM sp
+              UNION ALL
+              SELECT a, '{_RDFS_SUBCLASS}', b FROM sc
+              UNION ALL
+              SELECT s1.a, '{_OWL_EQC}', s1.b FROM sc s1
+              JOIN sc s2 ON s1.a = s2.b AND s1.b = s2.a
+              WHERE s1.a <> s1.b
+              UNION ALL
+              SELECT p1.a, '{_OWL_EQP}', p1.b FROM sp p1
+              JOIN sp p2 ON p1.a = p2.b AND p1.b = p2.a
+              WHERE p1.a <> p1.b)
+    """
+
+
+def q_reason_owl_equiv(spark, sf_dir):
+    """OWL-Horst equivalence rules rdfp12a/b/c + rdfp13a/b/c
+    (kgloom/ops/reasoning.py owl_equivalence_closure) over the
+    constructed turn KG: an equivalentClass chain off Conversation, an
+    equivalentProperty alias of usedTool with its own superproperty,
+    and a mutual-subClassOf cycle with NO equivalence axiom that
+    rdfp12c must surface as one.  Equivalence axioms are rewritten to
+    both-direction subsumption edges feeding the one-pass stratified
+    ρdf closure (schema-level, broadcast); the back-derivation is a
+    schema-sized swapped self-join.  The oracle replays it as
+    recursive CTEs."""
+    from kgloom.ops.reasoning import owl_equivalence_closure
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    schema = spark.createDataFrame(
+        [(s, _REASON_PRED_IRI[p], o) for s, p, o in _REASON_ONTOLOGY]
+        + [(s, _REASON_PRED_IRI.get(p, p), o) for s, p, o in _EQUIV_ONTOLOGY],
+        "subj string, pred string, obj string")
+    return owl_equivalence_closure(triples, schema=schema,
+                                   include_schema=True)
 
 
 def _sameas_kg(spark, sf_dir):
@@ -1952,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
         "reason_owl_properties": q_reason_owl_properties,
+        "reason_owl_equiv": q_reason_owl_equiv,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3219,6 +3338,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # RDFS ρdf closure replay: see _rdfs_closure_sql
         "reason_rdfs_closure": _rdfs_closure_sql(),
+        # OWL-Horst rdfp12/13: equivalence ⇄ mutual subsumption layered
+        # on the ρdf replay (see _owl_equiv_sql)
+        "reason_owl_equiv": _owl_equiv_sql(),
         # per-predicate profile of the SAME closed KG: one GROUP BY
         # over the closure replay
         "graph_kg_profile": f"""

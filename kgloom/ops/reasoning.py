@@ -202,6 +202,89 @@ def rdfs_closure(triples: DataFrame, schema: Optional[DataFrame] = None,
     return out.distinct()
 
 
+OWL_EQUIV_CLASS = "<http://www.w3.org/2002/07/owl#equivalentClass>"
+OWL_EQUIV_PROP = "<http://www.w3.org/2002/07/owl#equivalentProperty>"
+
+_EQUIV_PREDS = (OWL_EQUIV_CLASS, OWL_EQUIV_PROP)
+
+
+def owl_equivalence_closure(triples: DataFrame,
+                            schema: Optional[DataFrame] = None,
+                            include_schema: bool = True) -> DataFrame:
+    """OWL-Horst equivalence rules rdfp12a/b/c + rdfp13a/b/c (ter Horst
+    2005) layered on the ρdf closure:
+
+    * rdfp12a/b: ``(v owl:equivalentClass w)`` ⇒ ``(v subClassOf w)``
+      and ``(w subClassOf v)`` — likewise rdfp13a/b for
+      ``owl:equivalentProperty`` / ``subPropertyOf``;
+    * rdfp12c/13c: mutual subsumption in the CLOSED hierarchy derives
+      the equivalence back — ``(v sc+ w), (w sc+ v)`` ⇒
+      ``(v equivalentClass w)`` (so equivalence chains close
+      symmetrically and transitively for free, and mutual-subsumption
+      cycles asserted WITHOUT any equivalence axiom still surface as
+      equivalences).
+
+    Execution: the equivalence axioms are rewritten into
+    both-direction subsumption edges feeding the ONE-PASS stratified
+    :func:`rdfs_closure` (schema-level rewrite, ontology-sized); the
+    back-derivation is a self-join of the closed sc/sp relation with
+    itself on swapped columns — also schema-sized, broadcast.  No new
+    instance-side work beyond the ρdf pass itself; instance types lift
+    across equivalent classes via rdfs9 and instance edges generalize
+    across equivalent properties via rdfs7, both directions.
+
+    Reflexive conclusions (``v sc v``, ``v equivalentClass v``) are
+    dropped, consistent with the engine-wide ``drop_self`` closure
+    semantics; the naive-fixpoint property test
+    (``tests/test_closure.py``) compares modulo self-pairs.
+
+    Matches the reference's OWL-fragment ambition level (the reference
+    stops at triple emission; this module is beyond-reference surface,
+    see module docstring)."""
+    if schema is None:
+        schema_preds = _SCHEMA_PREDS + _EQUIV_PREDS
+        schema = (triples.where(F.col("pred").isin(*schema_preds))
+                  .select("subj", "pred", "obj"))
+        inst = triples.where(~F.col("pred").isin(*schema_preds))
+    else:
+        schema = schema.select("subj", "pred", "obj")
+        inst = triples
+    schema = tracked_persist(schema)
+
+    def _expand(eq_pred: str, sub_pred: str) -> DataFrame:
+        eq = schema.where(F.col("pred") == eq_pred)
+        return (eq.select("subj", F.lit(sub_pred).alias("pred"), "obj")
+                .unionByName(eq.select(F.col("obj").alias("subj"),
+                                       F.lit(sub_pred).alias("pred"),
+                                       F.col("subj").alias("obj"))))
+
+    aug = (schema.where(~F.col("pred").isin(*_EQUIV_PREDS))
+           .unionByName(_expand(OWL_EQUIV_CLASS, RDFS_SUBCLASS))
+           .unionByName(_expand(OWL_EQUIV_PROP, RDFS_SUBPROP))
+           .distinct())
+    aug = tracked_persist(aug)
+    out = rdfs_closure(inst, schema=aug, include_schema=include_schema)
+
+    if include_schema:
+        # rdfp12c/13c: (a R+ b), (b R+ a), a≠b ⇒ (a eq b) — both
+        # orientations arrive naturally since (a,b) and (b,a) are both
+        # mutual. Schema-sized self-join, broadcast.
+        def _mutual(sub_pred: str, eq_pred: str) -> DataFrame:
+            closed = _transitive_pairs(
+                aug.where(F.col("pred") == sub_pred)
+                .select(F.col("subj").alias("a"), F.col("obj").alias("b")))
+            rev = closed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            return (closed.join(F.broadcast(rev), ["a", "b"], "left_semi")
+                    .select(F.col("a").alias("subj"),
+                            F.lit(eq_pred).alias("pred"),
+                            F.col("b").alias("obj")))
+
+        out = (out.unionByName(_mutual(RDFS_SUBCLASS, OWL_EQUIV_CLASS))
+               .unionByName(_mutual(RDFS_SUBPROP, OWL_EQUIV_PROP))
+               .distinct())
+    return out
+
+
 OWL_INVERSE_OF = "<http://www.w3.org/2002/07/owl#inverseOf>"
 OWL_SYMMETRIC = "<http://www.w3.org/2002/07/owl#SymmetricProperty>"
 OWL_TRANSITIVE = "<http://www.w3.org/2002/07/owl#TransitiveProperty>"
