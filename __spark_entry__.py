@@ -1994,6 +1994,22 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(triples, keys=["pred"], value="obj", k=64)
 
 
+def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equal-frequency-centroid quantile sketch (round-5,
+    kgloom/ops/sketch.py kll_quantiles): per-language p10/p50/p90/p99
+    of document length read off a k=32 merged centroid summary built
+    from 4 content-salted local sketches.  Like the KMV sketch, every
+    step (md5 salt, ntile compaction, cumulative-weight merge,
+    ceil-rank extraction) is a pure function of the value multiset, so
+    the DuckDB oracle reproduces the ESTIMATE bit-for-bit — a quantile
+    sketch you can regression-test.  The exact-quantile twin
+    (stats_doc_quantiles) bounds how far the sketch strays."""
+    from kgloom.ops.sketch import kll_quantiles
+    docs = _docs(spark, sf_dir)
+    return kll_quantiles(docs, ["lang"], "n_chars",
+                         [0.1, 0.5, 0.9, 0.99], k=32, n_salts=4)
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2036,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_delta": q_kg_graph_delta,
         "text_fim_split": q_text_fim_split,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
         "transcripts_entity_degree": q_transcripts_entity_degree,
@@ -4642,6 +4659,64 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_minima < 64 THEN CAST(n_minima AS DOUBLE)
                     ELSE 63.0 / f_k END AS estimate
         FROM m
+    """
+    # KLL-lite replay: same md5 content salt, same ntile compaction,
+    # same cumulative-weight merge arithmetic (association and cast
+    # points mirrored), same ceil-rank extraction — the sketched
+    # estimate is deterministic, so it oracle-checks exactly.
+    # Integer-exact centroids (cnt, vsum) make the sums
+    # order-independent; doubles appear only in deterministic
+    # single-step divisions.
+    oracles["sketch_kll_quantiles"] = """
+        WITH s AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                 CAST('0x' || substr(md5(CAST(n_chars AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 4 AS salt
+          FROM documents),
+        b AS (
+          SELECT lang, salt, v,
+                 ntile(32) OVER (PARTITION BY lang, salt ORDER BY v)
+                   AS bkt
+          FROM s),
+        cent AS (
+          SELECT lang, salt, bkt,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 MIN(v) AS lo, MAX(v) AS hi
+          FROM b GROUP BY lang, salt, bkt),
+        o AS (
+          SELECT lang, cnt, vsum, lo, hi,
+                 COALESCE(SUM(cnt) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(vsum AS DOUBLE) / cnt, lo, hi, cnt, vsum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumx,
+                 SUM(cnt) OVER (PARTITION BY lang) AS total
+          FROM cent),
+        g AS (
+          SELECT lang, cnt, vsum, lo, hi,
+                 LEAST(31, CAST(FLOOR(((cumx + cnt / 2.0) * 32) / total)
+                                AS BIGINT)) AS mb
+          FROM o),
+        mg AS (
+          SELECT lang, mb,
+                 CAST(SUM(cnt) AS BIGINT) AS cnt,
+                 CAST(SUM(vsum) AS BIGINT) AS vsum
+          FROM g GROUP BY lang, mb),
+        mm AS (
+          SELECT lang, CAST(vsum AS DOUBLE) / cnt AS avg,
+                 CAST(SUM(cnt) OVER (
+                   PARTITION BY lang ORDER BY mb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM mg),
+        qv(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
+        SELECT lang, CAST(q AS DOUBLE) AS q,
+               CAST(MIN(n) AS BIGINT) AS n,
+               arg_min(avg, cum) AS est
+        FROM mm JOIN qv ON mm.cum >= CEIL(CAST(q AS DOUBLE) * mm.n)
+        GROUP BY lang, q
     """
     # exact-quantile replay: quantile_cont == Spark percentile (both
     # interpolate linearly at rank q*(N-1); dyadic q keeps it bit-exact)

@@ -84,3 +84,118 @@ def kmv_distinct(df: DataFrame, keys: list[str], value: str, k: int = 64,
                   F.col("n_minima").cast("double"))
            .otherwise(F.lit(float(k - 1)) / F.col("f_k")))
     return agg.select(*keys, "n_minima", "f_k", est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (equal-frequency centroids, KLL-style)
+# ---------------------------------------------------------------------------
+#
+# Why not approxQuantile / approx_percentile: like HLL++, Spark's
+# Greenwald-Khanna variant is engine-internal — not replayable, not
+# oracle-gatable.  This sketch is a pure function of the value multiset:
+#
+#   stage 1 (local)  — rows are salted by an md5 content hash of the
+#     value (equal values co-locate; the salt is itself replayable),
+#     each (group, salt) cell is sorted once and compacted to ``k``
+#     equal-frequency centroids via ntile — a centroid is
+#     (cnt, vsum, lo, hi), SUMS not averages, so integral inputs stay
+#     exact and order-independent across engines;
+#   stage 2 (merge)  — any bag of centroids is re-compacted to ``k``
+#     by cumulative-weight assignment: order centroids by (avg, lo,
+#     hi, cnt, vsum) (total up to fully-identical — hence
+#     interchangeable — rows), assign each to bucket
+#     floor((cum_before + cnt/2) · k / total), and re-aggregate.
+#     Merging is associative in shape: sketches of disjoint partitions
+#     merge into a sketch of the union (the 100-TB path: per-partition
+#     stage 1 at full parallelism, tree-merge of ≤ n_salts·k-row
+#     summaries per group).
+#
+# Rank guarantee of stage 1: an equal-frequency bucket spans at most
+# ceil(n_salt/k) ranks, so a quantile read off local centroids errs by
+# ≤ n/k ranks per salt; merging adds the weight of one merged bucket
+# (~n/k).  The property tests pin an empirical 3n/k bound across
+# uniform/zipf/bimodal/constant inputs (tests/test_sketch.py).
+#
+# Every arithmetic step is written identically in the DuckDB oracle
+# (same association, same integer/double cast points), so the ESTIMATE
+# matches bit-for-bit — same philosophy as KMV above.
+
+
+def _value_salt(col, n_salts: int) -> F.Column:
+    """Deterministic content salt: md5 of the value's string form,
+    first 15 hex chars, mod n_salts.  Equal values share a salt —
+    required for replayability (the salt must be a pure function of
+    the row content, not of physical placement)."""
+    return F.pmod(F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                         16, 10).cast("long"), F.lit(n_salts))
+
+
+def kll_sketch(df: DataFrame, keys: list[str], value: str, k: int = 64,
+               n_salts: int = 8) -> DataFrame:
+    """Stage 1: per-(keys, salt) equal-frequency compaction of
+    ``value`` to ≤ ``k`` centroids.  Returns
+    ``(keys…, __salt, __bkt, cnt, vsum, lo, hi)`` — ≤ n_salts·k rows
+    per group regardless of input size.  The per-cell sort runs at
+    ``groups × n_salts`` parallelism; no task sees more than one
+    cell."""
+    v = F.col(value).cast("long")
+    rows = df.select(*keys, v.alias("__v"))
+    rows = rows.withColumn("__salt", _value_salt(F.col("__v"), n_salts))
+    w = Window.partitionBy(*keys, "__salt").orderBy("__v")
+    return (rows.withColumn("__bkt", F.ntile(k).over(w))
+            .groupBy(*keys, "__salt", "__bkt")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("__v").alias("vsum"),
+                 F.min("__v").alias("lo"),
+                 F.max("__v").alias("hi")))
+
+
+def kll_merge(centroids: DataFrame, keys: list[str],
+              k: int = 64) -> DataFrame:
+    """Stage 2: merge any per-group bag of centroids
+    ``(cnt, vsum, lo, hi)`` down to ≤ ``k``.  Returns
+    ``(keys…, bucket, cnt, vsum, lo, hi, avg)`` with ``bucket``
+    ascending in value order (unique per group — the downstream
+    cumulative windows order by it).  Deterministic: the ordering key
+    (avg, lo, hi, cnt, vsum) is total up to fully-identical rows,
+    which are interchangeable."""
+    avg = F.col("vsum").cast("double") / F.col("cnt")
+    order = [avg, F.col("lo"), F.col("hi"), F.col("cnt"), F.col("vsum")]
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cumx = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    total = F.sum("cnt").over(Window.partitionBy(*keys))
+    mb = F.least(
+        F.lit(k - 1),
+        F.floor(((cumx + F.col("cnt") / 2.0) * F.lit(k)) / total))
+    out = (centroids
+           .withColumn("bucket", mb.cast("int"))
+           .groupBy(*keys, "bucket")
+           .agg(F.sum("cnt").alias("cnt"), F.sum("vsum").alias("vsum"),
+                F.min("lo").alias("lo"), F.max("hi").alias("hi")))
+    return out.withColumn(
+        "avg", F.col("vsum").cast("double") / F.col("cnt"))
+
+
+def kll_quantiles(df: DataFrame, keys: list[str], value: str,
+                  qs: list[float], k: int = 64,
+                  n_salts: int = 8) -> DataFrame:
+    """End-to-end sketched quantiles: sketch → merge → per-``q``
+    estimate.  Returns ``(keys…, q, n, est)`` where ``est`` is the
+    average of the first merged centroid whose inclusive cumulative
+    weight reaches ``ceil(q·n)``.  Rank error is bounded by the merged
+    bucket weight (~n/k per side; 3n/k pinned empirically in
+    tests/test_sketch.py)."""
+    merged = kll_merge(kll_sketch(df, keys, value, k=k,
+                                  n_salts=n_salts), keys, k=k)
+    wc = (Window.partitionBy(*keys).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    m = (merged
+         .withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys))))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hits = (m.select(*keys, "avg", "cum", "n", qcol)
+            .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n"))))
+    return (hits.groupBy(*keys, "q")
+            .agg(F.first("n").alias("n"),
+                 F.min_by("avg", "cum").alias("est")))

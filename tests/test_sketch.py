@@ -52,3 +52,118 @@ def test_kmv_no_python_in_plan(spark, groups):
     plan = kmv_distinct(groups, ["g"], "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+from kgloom.ops.sketch import kll_merge, kll_quantiles, kll_sketch  # noqa: E402
+
+
+def _rank_err(values: list[int], est: float, q: float) -> int:
+    """True-rank distance of est from the target rank ceil(q*n)."""
+    import bisect
+    s = sorted(values)
+    target = -(-q * len(s) // 1)  # ceil
+    lo = bisect.bisect_left(s, est)
+    hi = bisect.bisect_right(s, est)
+    if lo <= target <= hi:
+        return 0
+    return int(min(abs(lo - target), abs(hi - target)))
+
+
+def _dists(seed: int, n: int) -> dict[str, list[int]]:
+    import random
+    rng = random.Random(seed)
+    return {
+        "uniform": [rng.randrange(0, 100_000) for _ in range(n)],
+        "zipf": [int(1000 / (rng.random() + 0.01)) for _ in range(n)],
+        "bimodal": [rng.randrange(0, 100) if rng.random() < 0.5
+                    else rng.randrange(90_000, 100_000) for _ in range(n)],
+        "constant": [42] * n,
+    }
+
+
+def test_kll_quantiles_rank_error_bound(spark):
+    """Empirical bound across distributions: for every q, the
+    estimate's true rank is within 3n/k of the target rank (stage-1
+    bucket width n/k per salt + one merged bucket, with slack)."""
+    K, S, N = 32, 4, 4000
+    data = _dists(20260820, N)
+    rows = [(name, v) for name, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = kll_quantiles(df, ["g"], "v", qs, k=K, n_salts=S).collect()
+    assert len(got) == len(data) * len(qs)
+    bound = 3 * N / K
+    for r in got:
+        assert r.n == N
+        err = _rank_err(data[r.g], r.est, r.q)
+        assert err <= bound, (r.g, r.q, r.est, err, bound)
+    # constant input is exact at every q
+    for r in got:
+        if r.g == "constant":
+            assert r.est == 42.0
+
+
+def test_kll_sketch_bounded_size(spark):
+    """A group's sketch never exceeds n_salts*k centroids however
+    large the input — the whole point of the summary."""
+    df = spark.range(50_000).select(F.lit("g").alias("g"),
+                                    (F.col("id") % 9973).alias("v"))
+    cent = kll_sketch(df, ["g"], "v", k=16, n_salts=4)
+    assert cent.count() <= 16 * 4
+    merged = kll_merge(cent, ["g"], k=16)
+    assert merged.count() <= 16
+    # weight and sum are conserved exactly through both stages
+    tot = merged.groupBy("g").agg(F.sum("cnt").alias("c"),
+                                  F.sum("vsum").alias("s")).collect()[0]
+    want = df.groupBy("g").agg(F.count(F.lit(1)).alias("c"),
+                               F.sum("v").alias("s")).collect()[0]
+    assert (tot.c, tot.s) == (want.c, want.s)
+
+
+def test_kll_merge_of_partition_sketches_matches_bound(spark):
+    """Mergeability: sketch each half separately, merge the centroid
+    bags, and the merged sketch still meets the rank bound on the
+    union — the 100-TB tree-merge path."""
+    import random
+    rng = random.Random(7)
+    N, K, S = 3000, 32, 4
+    a = [rng.randrange(0, 10_000) for _ in range(N)]
+    b = [rng.randrange(5_000, 50_000) for _ in range(N)]
+    da = spark.createDataFrame([("g", v) for v in a], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in b], "g string, v long")
+    bag = (kll_merge(kll_sketch(da, ["g"], "v", k=K, n_salts=S), ["g"], k=K)
+           .unionByName(
+               kll_merge(kll_sketch(db, ["g"], "v", k=K, n_salts=S),
+                         ["g"], k=K))
+           .select("g", "cnt", "vsum", "lo", "hi"))
+    merged = kll_merge(bag, ["g"], k=K)
+    assert merged.count() <= K
+    # read q off the merged sketch exactly as kll_quantiles does
+    from pyspark.sql.window import Window
+    wc = (Window.partitionBy("g").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    m = (merged.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("n", F.sum("cnt").over(Window.partitionBy("g"))))
+    union = a + b
+    for q in (0.1, 0.5, 0.9):
+        est = (m.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")))
+               .orderBy("cum").limit(1).collect()[0].avg)
+        # merging two k-sketches doubles the per-stage slack
+        assert _rank_err(union, est, q) <= 6 * len(union) / K, q
+
+
+def test_kll_deterministic_under_repartition(spark):
+    """The sketch is a pure function of the value multiset — physical
+    partitioning must not change a single output bit."""
+    df = spark.createDataFrame(
+        [("g", (i * 37) % 5000) for i in range(8000)], "g string, v long")
+    qs = [0.25, 0.5, 0.75]
+    one = {(r.g, r.q): (r.n, r.est) for r in kll_quantiles(
+        df.coalesce(1), ["g"], "v", qs, k=16, n_salts=4).collect()}
+    many = {(r.g, r.q): (r.n, r.est) for r in kll_quantiles(
+        df.repartition(13), ["g"], "v", qs, k=16, n_salts=4).collect()}
+    assert one == many
