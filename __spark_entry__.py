@@ -1233,15 +1233,19 @@ def q_text_commonness(spark, sf_dir):
 
 
 def q_text_bpe_merges(spark, sf_dir):
-    """Distributed BPE merge learning (round-4, kgloom/ops/lm.py:
-    learn_bpe_merges): the first 5 byte-pair merges over the document
+    """Distributed BPE merge learning (kgloom/ops/lm.py:
+    learn_bpe_merges): the first 32 byte-pair merges over the document
     corpus — vocabulary-sized iterated state, one hash aggregate +
-    1-row argmax + one literal replace per round, the unit-separator
-    representation making greedy leftmost merging a plain string
-    replace in any engine.  The DuckDB twin chains the identical
-    rounds as CTEs."""
+    bounded candidate collect + a literal replace chain per round,
+    the unit-separator representation making greedy leftmost merging
+    a plain string replace in any engine.  batch_size=8 accepts
+    multiple PROVABLY-sequential-equal merges per round (driver
+    round-trips scale sub-linearly in n_merges — the round-5 item);
+    the DuckDB twin chains the identical 32 rounds sequentially as
+    CTEs, so the gate also proves batching is invisible."""
     from kgloom.ops.lm import learn_bpe_merges
-    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=5)
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=32,
+                            batch_size=8)
 
 
 def q_text_apply_bpe(spark, sf_dir):
@@ -4266,7 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         # list_reduce (0.0-seeded fold == first-element fold since ln
         # never returns -0.0), constants cast to DOUBLE
         # BPE replay: identical chained merge rounds
-        "text_bpe_merges": _bpe_sql(n_merges=5),
+        "text_bpe_merges": _bpe_sql(n_merges=32),
         "text_apply_bpe": _apply_bpe_sql(n_merges=5),
         "text_bigram_lm": """
             WITH t AS (

@@ -109,8 +109,51 @@ def bigram_lm_scores(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
 _BPE_SEP = "\x1f"
 
 
+def _accept_batch(cand: list, floor: int, batch_size: int) -> list:
+    """Driver-side selection of a SOUND merge batch from the sorted
+    pair-count candidates (c desc, l, r): the accepted prefix is
+    guaranteed to equal what strictly-sequential BPE would pick.
+
+    Why this is exact (induction over accepted merges): applying a
+    merge only changes counts of pairs SHARING one of its tokens
+    (old sharing pairs can only decrease; pairs containing the new
+    merged token are bounded by some sharing pair's count, since every
+    occurrence of ``x·lr`` was an occurrence of ``x·l``).  So the
+    sequential next-best after applying accepted merges is the next
+    candidate, provided the candidate (a) shares no token with any
+    accepted pair and (b) has count STRICTLY above every other pair
+    that shares a token with the accepted set or with itself —
+    including pairs below the collected horizon, bounded by ``floor``
+    (0 when the candidate list is the whole table).  Strictness
+    handles count ties, where a merged-token pair of equal count could
+    lexicographically precede the candidate."""
+    accepted = [cand[0]]
+    used = {cand[0]["l"], cand[0]["r"]}
+    for row in cand[1:]:
+        if len(accepted) >= batch_size:
+            break
+        if row["l"] in used or row["r"] in used:
+            continue
+        cur = used | {row["l"], row["r"]}
+        sharing_max = max(
+            (o["c"] for o in cand
+             if o is not row and (o["l"], o["r"]) not in
+             {(a["l"], a["r"]) for a in accepted}
+             and (o["l"] in cur or o["r"] in cur)),
+            default=0)
+        if row["c"] > max(floor, sharing_max):
+            accepted.append(row)
+            used |= {row["l"], row["r"]}
+        else:
+            break    # later candidates have c <= this one: stop
+    return accepted
+
+
 def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
-                     min_word_len: int = 1) -> DataFrame:
+                     min_word_len: int = 1,
+                     sample_fraction: float | None = None,
+                     max_words: int | None = None,
+                     batch_size: int = 1) -> DataFrame:
     """(rank, left, right, pair_count): the first ``n_merges``
     byte-pair-encoding merges learned from the corpus — the
     distributed replacement for the driver-bound vocabulary-learning
@@ -127,25 +170,60 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
     ``a+b+US`` is EXACTLY the greedy leftmost-non-overlapping merge
     in any engine (matches cannot share boundary characters).
 
+    Realistic-vocabulary gates (both deterministic and replayable —
+    pure functions of the word multiset, not of placement):
+
+    * ``max_words`` — keep only the top-N distinct words by
+      (freq desc, word), the standard tokenizer-trainer cap; found
+      with the same two-stage bounded top-k as the KMV sketch so no
+      task sorts more than a bucket.
+    * ``sample_fraction`` — md5 content gate on the word (keep when
+      hash-fraction < f), for corpus-sample training runs.
+
+    ``batch_size`` > 1 accepts up to that many merges per round when
+    a driver-side soundness check (:func:`_accept_batch`) PROVES the
+    batch equals the sequential result — same output, ~batch_size×
+    fewer Spark rounds (tokenizers' clause batching; a real 32k-vocab
+    run needs this or each merge is a driver round-trip).
+
     100-TB shape: the iterated state is the DISTINCT-WORD table
-    (vocabulary-sized, not corpus-sized — the one aggregate over the
-    corpus happens once up front); each round is one explode + one
-    hash aggregate + a 1-ROW argmax collect (bounded, like the
-    k-means centroid fetch) + one narrow per-row ``replace``,
+    (vocabulary-sized, capped by ``max_words``, not corpus-sized —
+    the one aggregate over the corpus happens once up front); each
+    round is one explode + one hash aggregate + a bounded candidate
+    collect (≤ max(8·batch_size, 32) rows, like the k-means centroid
+    fetch) + one narrow per-row ``replace`` chain,
     ``localCheckpoint`` truncating the loop lineage."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     sep = _BPE_SEP
     words = (docs.select(F.explode(tokens()).alias("w"))
              .where((F.length("w") >= min_word_len)
                     & ~F.col("w").contains(sep)))
+    if sample_fraction is not None:
+        from .sketch import _hash_fraction
+        words = words.where(
+            _hash_fraction(F.col("w")) < float(sample_fraction))
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    if max_words is not None:
+        from pyspark.sql.window import Window
+        bucket = F.pmod(F.hash("w"), F.lit(32))
+        w1 = Window.partitionBy("__b").orderBy(F.desc("freq"), "w")
+        w2 = Window.partitionBy().orderBy(F.desc("freq"), "w")
+        wf = (wf.withColumn("__b", bucket)
+              .withColumn("__rn", F.row_number().over(w1))
+              .where(F.col("__rn") <= max_words)
+              .withColumn("__rn", F.row_number().over(w2))
+              .where(F.col("__rn") <= max_words)
+              .drop("__b", "__rn"))
     tok = (wf.select(
         F.regexp_replace("w", "(.)", "$1" + sep).alias("ts"), "freq")
         .localCheckpoint())
     spark = docs.sparkSession
+    cand_k = max(8 * batch_size, 32)
     merges = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         arr = F.filter(F.split("ts", sep), lambda x: x != "")
         pairs = (tok.select(
             F.explode(F.arrays_zip(
@@ -153,19 +231,25 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
                 .alias("l"),
                 F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
                 .alias("r"))).alias("p"), "freq"))
-        best = (pairs.groupBy(F.col("p.l").alias("l"),
+        cand = (pairs.groupBy(F.col("p.l").alias("l"),
                               F.col("p.r").alias("r"))
                 .agg(F.sum("freq").alias("c"))
                 .orderBy(F.desc("c"), "l", "r")
-                .limit(1).collect())
-        if not best:
+                .limit(cand_k).collect())
+        if not cand:
             break                      # no adjacent pairs left anywhere
-        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
-        merges.append((rank, l, r, int(c)))
-        tok = (tok.select(
-            F.replace("ts", F.lit(l + sep + r + sep),
-                      F.lit(l + r + sep)).alias("ts"), "freq")
-            .localCheckpoint())
+        # pairs below the collected horizon are bounded by the last
+        # collected count; when the table fits entirely, there are none
+        floor = int(cand[-1]["c"]) if len(cand) == cand_k else 0
+        batch = _accept_batch(cand, floor,
+                              min(batch_size, n_merges - len(merges)))
+        col = F.col("ts")
+        for row in batch:
+            l, r = row["l"], row["r"]
+            merges.append((len(merges) + 1, l, r, int(row["c"])))
+            col = F.replace(col, F.lit(l + sep + r + sep),
+                            F.lit(l + r + sep))
+        tok = tok.select(col.alias("ts"), "freq").localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")
 

@@ -797,3 +797,63 @@ def test_link_prediction_ranks(spark):
         assert found == (rank is not None)
         if found:
             assert rank >= 1
+
+
+def test_learn_bpe_batched_equals_sequential(spark):
+    """batch_size > 1 must be provably invisible: identical merge
+    lists on a tie-heavy corpus (where an unsound batch would diverge)
+    and on realistic text."""
+    from kgloom.ops.lm import learn_bpe_merges
+    # tie-heavy: many equal pair counts, shared tokens across the top
+    docs = spark.createDataFrame(
+        [(1, "abab abab cdcd cdcd efef"), (2, "abcd cdef efab abef"),
+         (3, "aabb ccdd eeff aabb"), (4, "xyz xyz zyx yzx xzy")],
+        "doc_id long, text string")
+    seq = [tuple(r) for r in
+           learn_bpe_merges(docs, n_merges=12, batch_size=1).collect()]
+    for bs in (4, 8):
+        bat = [tuple(r) for r in
+               learn_bpe_merges(docs, n_merges=12,
+                                batch_size=bs).collect()]
+        assert bat == seq, f"batch_size={bs}"
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "the five boxing wizards jump quickly",
+             "sphinx of black quartz judge my vow",
+             "how vexingly quick daft zebras jump"] * 3)],
+        "doc_id long, text string")
+    seq2 = [tuple(r) for r in
+            learn_bpe_merges(docs2, n_merges=16, batch_size=1).collect()]
+    bat2 = [tuple(r) for r in
+            learn_bpe_merges(docs2, n_merges=16, batch_size=8).collect()]
+    assert bat2 == seq2
+
+
+def test_learn_bpe_vocabulary_gates(spark):
+    """max_words / sample_fraction bound the iterated word table
+    deterministically: max_words=N trains on exactly the top-N words
+    by (freq desc, word)."""
+    from kgloom.ops.lm import learn_bpe_merges
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb bb cc cc zz")],
+        "doc_id long, text string")
+    # top-2 words by freq are aa (4), bb (3) — cc/zz excluded, so the
+    # learned merges can only involve a and b
+    got = [tuple(r) for r in
+           learn_bpe_merges(docs, n_merges=2, max_words=2).collect()]
+    assert got == [(1, "a", "a", 4), (2, "b", "b", 3)]
+    # sample_fraction=1.0 keeps everything (pure function gate)
+    full = [tuple(r) for r in
+            learn_bpe_merges(docs, n_merges=2,
+                             sample_fraction=1.0).collect()]
+    nogate = [tuple(r) for r in
+              learn_bpe_merges(docs, n_merges=2).collect()]
+    assert full == nogate
+    # a small fraction drops words; the result is still deterministic
+    a = [tuple(r) for r in learn_bpe_merges(
+        docs, n_merges=2, sample_fraction=0.5).collect()]
+    b = [tuple(r) for r in learn_bpe_merges(
+        docs, n_merges=2, sample_fraction=0.5).collect()]
+    assert a == b
