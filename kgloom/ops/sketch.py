@@ -177,17 +177,12 @@ def kll_merge(centroids: DataFrame, keys: list[str],
         "avg", F.col("vsum").cast("double") / F.col("cnt"))
 
 
-def kll_quantiles(df: DataFrame, keys: list[str], value: str,
-                  qs: list[float], k: int = 64,
-                  n_salts: int = 8) -> DataFrame:
-    """End-to-end sketched quantiles: sketch → merge → per-``q``
-    estimate.  Returns ``(keys…, q, n, est)`` where ``est`` is the
-    average of the first merged centroid whose inclusive cumulative
-    weight reaches ``ceil(q·n)``.  Rank error is bounded by the merged
-    bucket weight (~n/k per side; 3n/k pinned empirically in
-    tests/test_sketch.py)."""
-    merged = kll_merge(kll_sketch(df, keys, value, k=k,
-                                  n_salts=n_salts), keys, k=k)
+def kll_extract(merged: DataFrame, keys: list[str],
+                qs: list[float]) -> DataFrame:
+    """Per-``q`` estimates off a merged centroid table (the output
+    shape of :func:`kll_merge`): ``est`` is the average of the first
+    centroid whose inclusive cumulative weight reaches ``ceil(q·n)``.
+    Returns ``(keys…, q, n, est)``."""
     wc = (Window.partitionBy(*keys).orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, 0))
     m = (merged
@@ -199,3 +194,15 @@ def kll_quantiles(df: DataFrame, keys: list[str], value: str,
     return (hits.groupBy(*keys, "q")
             .agg(F.first("n").alias("n"),
                  F.min_by("avg", "cum").alias("est")))
+
+
+def kll_quantiles(df: DataFrame, keys: list[str], value: str,
+                  qs: list[float], k: int = 64,
+                  n_salts: int = 8) -> DataFrame:
+    """End-to-end sketched quantiles: sketch → merge → per-``q``
+    estimate (``(keys…, q, n, est)``).  Rank error is bounded by the
+    merged bucket weight (~n/k per side; 3n/k pinned empirically in
+    tests/test_sketch.py)."""
+    merged = kll_merge(kll_sketch(df, keys, value, k=k,
+                                  n_salts=n_salts), keys, k=k)
+    return kll_extract(merged, keys, qs)

@@ -164,3 +164,67 @@ def test_stream_tool_attribution_equals_batch(spark, tmp_path, turn_files):
         WHERE tool_ts <= assistant_ts
            OR tool_ts > assistant_ts + INTERVAL 30 seconds""").count()
     assert bad == 0
+
+
+def test_stream_kll_incremental_quantiles(spark, tmp_path):
+    """Incremental KLL fold (kgloom/streaming/quantiles.py): per-batch
+    sketches merged into bounded centroid state —
+    cent_k = Merge(cent_{k-1} ∪ Sketch(batch_k)).  The final quantiles
+    must meet the (looser, fold-count-aware) rank bound vs the exact
+    quantiles of everything streamed, the state must stay ≤ k
+    centroids per group at every version, and replaying the stream
+    from scratch must reproduce the state bit-for-bit."""
+    import bisect
+    import random
+
+    from kgloom.streaming.quantiles import (read_centroids,
+                                            read_quantiles, stream_kll)
+    rng = random.Random(20260820)
+    K = 32
+    vals = {"a": [rng.randrange(0, 100_000) for _ in range(6000)],
+            "b": [int(1000 / (rng.random() + 0.01)) for _ in range(6000)]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    rng.shuffle(rows)
+    inp = str(tmp_path / "vin")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    df = spark.createDataFrame(rows, "g string, v long")
+    df.repartition(4).write.mode("overwrite").parquet(inp)
+
+    def run(state, ckpt):
+        stream = (spark.readStream.schema("g string, v long")
+                  .option("maxFilesPerTrigger", "1").parquet(inp))
+        q = stream_kll(spark, stream, str(tmp_path / state),
+                       str(tmp_path / ckpt), ["g"], "v", k=K, n_salts=4)
+        q.awaitTermination(180)
+        return str(tmp_path / state)
+
+    state = run("st1", "ck1")
+    cent = read_centroids(spark, state, ["g"])
+    per_g = {r.g: r.c for r in
+             cent.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= K for c in per_g.values())
+    # weight conservation through every fold
+    tot = {r.g: r.s for r in
+           cent.groupBy("g").agg(F.sum("cnt").alias("s")).collect()}
+    assert tot == {"a": 6000, "b": 6000}
+
+    got = read_quantiles(spark, state, ["g"], [0.1, 0.5, 0.9]).collect()
+    assert len(got) == 6
+    # each fold adds one compaction: allow n_folds * 3n/K
+    bound = 4 * 3 * 6000 / K
+    for r in got:
+        s = sorted(vals[r.g])
+        target = -(-r.q * len(s) // 1)
+        lo = bisect.bisect_left(s, r.est)
+        hi = bisect.bisect_right(s, r.est)
+        err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                               abs(hi - target))
+        assert err <= bound, (r.g, r.q, r.est, err)
+
+    # determinism: full replay reproduces the centroid state exactly
+    state2 = run("st2", "ck2")
+    a = sorted(tuple(r) for r in read_centroids(
+        spark, state, ["g"]).collect())
+    b = sorted(tuple(r) for r in read_centroids(
+        spark, state2, ["g"]).collect())
+    assert a == b
