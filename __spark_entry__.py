@@ -1335,8 +1335,17 @@ def q_ann_rp_sketch(spark, sf_dir):
     exact BIGINT sums via a deterministic Rademacher matrix shared
     with the DuckDB twin — the Johnson–Lindenstrauss front of an ANN
     prefilter.  All-integer, so no ordered-fold machinery is needed;
-    per-row projection pipelines inside the scan (no shuffle)."""
-    return S.rp_sketch(_emb(spark, sf_dir), out_dim=16, in_dim=64)
+    per-row projection pipelines inside the scan (no shuffle).
+
+    The gate-facing output serializes the sketch to a comma-joined
+    string: the driver's pandas canonicalizer cannot sort list
+    columns (the transcripts_chat_render r4 failure class).  Library
+    users get the array-typed sketch from rp_sketch directly."""
+    sk = S.rp_sketch(_emb(spark, sf_dir), out_dim=16, in_dim=64)
+    return sk.select(
+        "vec_id",
+        F.array_join(F.col("sketch").cast("array<string>"),
+                     ",").alias("sketch"))
 
 
 def q_graph_kg_profile(spark, sf_dir):
@@ -1914,6 +1923,21 @@ def q_reason_shacl(spark, sf_dir):
     return shacl_validate(triples, (shape,))
 
 
+def q_kg_wl_signatures(spark, sf_dir):
+    """WL structural-signature groups over the turn KG
+    (kgloom/ops/canonical.py): 2 rounds of 1-WL color refinement with
+    the per-turn kg:text literals dropped, so turns collapse into
+    structural classes (role × tool-edge shape) and conversations
+    fingerprint by the MULTISET of their turns' classes — whole-
+    subgraph template dedup, not row dedup.  Per round: two node-keyed
+    joins + one groupBy, colors persisted; fixed k keeps it exactly
+    replayable as the oracle's unrolled CTE chain."""
+    from kgloom.ops.canonical import wl_signature_groups
+    triples = (q_transcripts_turn_triples(spark, sf_dir)
+               .where(F.col("pred") != f"<{_KGO}text>"))
+    return wl_signature_groups(triples, iterations=2)
+
+
 def q_transcripts_asof_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time AS-OF join (round-4, kgloom/ops/temporal.py): every
     non-tool turn attached to the most recent tool turn at-or-before
@@ -2090,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_sameas_fusion": q_reason_sameas_fusion,
         "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
+        "kg_wl_signatures": q_kg_wl_signatures,
         "reason_owl_properties": q_reason_owl_properties,
         "reason_owl_equiv": q_reason_owl_equiv,
         "dedup_exact": q_dedup_exact,
@@ -2461,12 +2486,14 @@ def _rp_sketch_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     sign matrix inlined as list literals, quantization replayed as in
     the ann_quantized_topk oracle, each sketch component an exact
     integer dot (|values| ≤ 127·in_dim ≪ 2^53, so the double
-    list_dot_product is exact)."""
+    list_dot_product is exact).  The sketch is emitted comma-joined
+    (not as a list) so the driver's pandas canon can sort it —
+    mirrors the Spark-side array_join in q_ann_rp_sketch."""
     signs = S.rademacher_signs(out_dim, in_dim)
-    comps = ",\n                   ".join(
-        "CAST(list_dot_product(qv, ["
+    comps = ", ".join(
+        "CAST(CAST(list_dot_product(qv, ["
         + ", ".join(f"{float(s)!r}" for s in signs[j])
-        + "]) AS BIGINT)"
+        + "]) AS BIGINT) AS VARCHAR)"
         for j in range(out_dim))
     return f"""
             WITH ma AS (
@@ -2479,9 +2506,40 @@ def _rp_sketch_sql(out_dim: int = 16, in_dim: int = 64) -> str:
                                     x -> round(x * s)) AS qv
               FROM embeddings, ma)
             SELECT vec_id,
-                   [{comps}] AS sketch
+                   concat_ws(',', {comps}) AS sketch
             FROM q
         """
+
+
+def _wl_sql(rounds: int = 2) -> str:
+    """The WL-refinement DuckDB twin (kg_wl_signatures): the
+    documented recurrence unrolled as CTE rounds — same message
+    strings, same binary string sort (string_agg ORDER BY vs Spark
+    sort_array: both compare UTF-8 bytes), same md5."""
+    ctes = [f"""tr AS ({TRANSCRIPTS_SQL}),
+t AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})
+      WHERE pred != '<{_KGO}text>'),
+nodes AS (SELECT subj AS node FROM t UNION SELECT obj FROM t),
+c0 AS (SELECT node,
+              CASE WHEN starts_with(node, '<') OR starts_with(node, '_:')
+                   THEN 'R' ELSE 'L:' || node END AS color
+       FROM nodes)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""m{i} AS (
+  SELECT t.subj AS node, 'O|' || t.pred || '|' || c.color AS msg
+  FROM t JOIN c{p} c ON t.obj = c.node
+  UNION ALL
+  SELECT t.obj, 'I|' || t.pred || '|' || c.color
+  FROM t JOIN c{p} c ON t.subj = c.node),
+a{i} AS (SELECT node, string_agg(msg, ',' ORDER BY msg) AS m
+         FROM m{i} GROUP BY node),
+c{i} AS (SELECT c.node, md5(c.color || '|' || COALESCE(a.m, '')) AS color
+         FROM c{p} c LEFT JOIN a{i} a ON c.node = a.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT color AS signature, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS example
+FROM c{rounds} GROUP BY color""")
 
 
 def _lpa_sql(edges_cte: str, rounds: int = 3) -> str:
@@ -3461,6 +3519,8 @@ def oracle_sql() -> dict[str, str]:
                      '"Entity_' || norm_key || '"'
               FROM m)
         """,
+        # WL replay: the unrolled refinement CTE chain (_wl_sql)
+        "kg_wl_signatures": _wl_sql(rounds=2),
         # SHACL replay: every turn has exactly one role triple (so
         # min/maxCount on kg:role never fire) and a usedTool triple iff
         # the source row has a tool; `in` violations are exactly the
