@@ -1938,6 +1938,40 @@ def q_kg_wl_signatures(spark, sf_dir):
     return wl_signature_groups(triples, iterations=2)
 
 
+def q_kg_entity_summary(spark, sf_dir):
+    """Top-2 facts per turn entity ranked by predicate informativeness
+    (kgloom/ops/summarize.py): global predicate rarity as the salience
+    score, so a tool turn's summary leads with its kg:usedTool fact
+    (the rarest predicate) while every turn keeps kg:partOf over the
+    ubiquitous kg:text/kg:role ties — the entity-card / context-
+    packing stage of KG-grounded generation.  Predicate histogram
+    broadcast, one subject-partitioned window, no Python."""
+    from kgloom.ops.summarize import entity_summary
+    return entity_summary(q_transcripts_turn_triples(spark, sf_dir), k=2)
+
+
+def q_kg_bucketed_star(spark, sf_dir):
+    """Star-shaped BGP self-join over a SUBJECT-BUCKETED quad store
+    (kgloom/ops/store.py:write_bucketed_store): the turn KG written
+    bucketBy(32, subj)+sortBy, then ``?s kg:usedTool ?t . ?s kg:role
+    ?r`` joined subj=subj — both slices read co-located bucket files,
+    so the join plans with ZERO Exchange and zero Sort (plan-gated in
+    tests/test_store.py).  At 100 TB this is entity assembly without
+    shuffling the store."""
+    import tempfile
+    from kgloom.ops.store import read_bucketed_store, write_bucketed_store
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kgloom_bstore_") + "/quads"
+    write_bucketed_store(triples, "kgloom_bucketed_star", path,
+                         n_buckets=32)
+    t = read_bucketed_store(spark, "kgloom_bucketed_star")
+    a = (t.where(F.col("pred") == f"<{_KGO}usedTool>")
+         .select("subj", F.col("obj").alias("tool")))
+    b = (t.where(F.col("pred") == f"<{_KGO}role>")
+         .select("subj", F.col("obj").alias("role")))
+    return a.join(b, "subj")
+
+
 def q_transcripts_asof_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time AS-OF join (round-4, kgloom/ops/temporal.py): every
     non-tool turn attached to the most recent tool turn at-or-before
@@ -2115,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
         "kg_wl_signatures": q_kg_wl_signatures,
+        "kg_entity_summary": q_kg_entity_summary,
+        "kg_bucketed_star": q_kg_bucketed_star,
         "reason_owl_properties": q_reason_owl_properties,
         "reason_owl_equiv": q_reason_owl_equiv,
         "dedup_exact": q_dedup_exact,
@@ -3521,6 +3557,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WL replay: the unrolled refinement CTE chain (_wl_sql)
         "kg_wl_signatures": _wl_sql(rounds=2),
+        # entity-summary replay: predicate histogram + one window;
+        # the same (count, pred, obj) byte-order tie-break
+        "kg_entity_summary": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            t AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+            pn AS (SELECT pred, COUNT(*) AS n FROM t GROUP BY pred),
+            r AS (SELECT t.subj, t.pred, t.obj,
+                         ROW_NUMBER() OVER (PARTITION BY t.subj
+                                            ORDER BY pn.n, t.pred, t.obj)
+                           AS rk
+                  FROM t JOIN pn USING (pred))
+            SELECT subj, pred, obj, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk <= 2
+        """,
+        # bucketed-star replay: the join result is exactly the
+        # tool-turn rows (every turn has one role triple)
+        "kg_bucketed_star": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT '<http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) || '>' AS subj,
+                   '<http://kg.example/tool/' || tool || '>' AS tool,
+                   '"' || role || '"' AS role
+            FROM tr WHERE tool IS NOT NULL
+        """,
         # SHACL replay: every turn has exactly one role triple (so
         # min/maxCount on kg:role never fire) and a usedTool triple iff
         # the source row has a tool; `in` violations are exactly the

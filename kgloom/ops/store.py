@@ -53,3 +53,38 @@ def read_quads_store(spark: SparkSession, path: str) -> DataFrame:
              if c in df.columns]
     rest = [c for c in df.columns if c not in order]
     return df.select(*order, *rest)
+
+
+def write_bucketed_store(df: DataFrame, table: str, path: str, *,
+                         n_buckets: int = 32,
+                         mode: str = "overwrite") -> None:
+    """Subject-bucketed, subject-sorted parquet table registered in
+    the session catalog — the co-located layout for star-shaped BGP
+    self-joins (``?s p1 ?a . ?s p2 ?b``) and subject-keyed entity
+    assembly: both sides of a ``subj = subj`` join read the SAME
+    bucket files, so the join plans with ZERO Exchange and (because
+    of ``sortBy``) zero Sort — plan-gated in tests/test_store.py.
+    At 100 TB this turns every entity-assembly pipeline stage from a
+    full shuffle of the store into a bucket-local merge.
+
+    The ``repartition(n_buckets, "subj")`` BEFORE the bucketed write
+    matters: Spark buckets rows per writer task, so T tasks × B
+    buckets would otherwise emit T·B small files; pre-partitioning by
+    the SAME hash (both are Murmur3 on the bucket column) lands each
+    bucket's rows in exactly one task → exactly one file per bucket.
+
+    Bucketing metadata lives in the catalog (``spark.table(table)``),
+    not the parquet footers — reading the path directly loses it.
+    """
+    (df.repartition(n_buckets, "subj")
+       .write.mode(mode).format("parquet")
+       .bucketBy(n_buckets, "subj").sortBy("subj")
+       .option("path", path)
+       .saveAsTable(table))
+
+
+def read_bucketed_store(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a :func:`write_bucketed_store` table; scans
+    report the bucket hash partitioning, so subject-keyed joins and
+    aggregations over it skip their Exchange."""
+    return spark.table(table)

@@ -69,3 +69,54 @@ def test_bucketed_write_spreads_skewed_predicate(spark, tmp_path):
     files = [f for f in glob.glob(f"{path}/pred=*/part-*") ]
     assert len(files) >= 4  # the hot predicate wrote in parallel
     assert read_quads_store(spark, path).count() == 2000
+
+
+def test_bucketed_store_join_without_exchange(spark, tmp_path):
+    """The 100-TB point of the bucketed layout: a subj=subj star
+    self-join over two slices of the bucketed table plans with ZERO
+    Exchange and zero explicit Sort (bucket + sortBy co-location)."""
+    from kgloom.ops.store import read_bucketed_store, write_bucketed_store
+    path = str(tmp_path / "bucketed")
+    df = spark.range(500).select(
+        F.concat(F.lit("<http://ex.com/s/"), (F.col("id") % 100),
+                 F.lit(">")).alias("subj"),
+        F.when(F.col("id") < 250, "<http://ex.com/p1>")
+         .otherwise("<http://ex.com/p2>").alias("pred"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("obj"))
+    write_bucketed_store(df, "kgloom_test_bucketed", path, n_buckets=4)
+    t = read_bucketed_store(spark, "kgloom_test_bucketed")
+    a = t.where(F.col("pred") == "<http://ex.com/p1>") \
+         .select("subj", F.col("obj").alias("o1"))
+    b = t.where(F.col("pred") == "<http://ex.com/p2>") \
+         .select("subj", F.col("obj").alias("o2"))
+    with_smj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "subj")
+        plan = explain_str(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # correctness: same result as the pre-bucketing dataframe join
+        a0 = df.where(F.col("pred") == "<http://ex.com/p1>") \
+               .select("subj", F.col("obj").alias("o1"))
+        b0 = df.where(F.col("pred") == "<http://ex.com/p2>") \
+               .select("subj", F.col("obj").alias("o2"))
+        want = sorted(map(tuple, a0.join(b0, "subj").collect()))
+        assert sorted(map(tuple, j.collect())) == want
+        assert len(want) == 600  # 100 subjects x (3x2 or 2x3) pairs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_smj)
+
+
+def test_bucketed_store_one_file_per_bucket(spark, tmp_path):
+    """repartition-before-bucketBy: exactly one file per bucket, not
+    tasks x buckets small files."""
+    import glob as g
+    from kgloom.ops.store import write_bucketed_store
+    path = str(tmp_path / "bucketed2")
+    df = spark.range(1000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("<p>").alias("pred"), F.lit('"o"').alias("obj"))
+    write_bucketed_store(df, "kgloom_test_bucketed2", path, n_buckets=8)
+    files = g.glob(f"{path}/part-*")
+    assert len(files) == 8, files
