@@ -1938,6 +1938,33 @@ def q_kg_wl_signatures(spark, sf_dir):
     return wl_signature_groups(triples, iterations=2)
 
 
+def q_reason_shacl_incremental(spark, sf_dir):
+    """Streaming incremental SHACL (kgloom/streaming/validation.py):
+    the turn KG folded in three deterministic hash-buckets — state_k =
+    distinct(state_{k-1} ∪ slice(batch_k)), report derived at read
+    time — so minCount violations appear and RETRACT as a turn's
+    triples land in different buckets.  Must equal one-shot
+    validation: same oracle SQL as reason_shacl."""
+    import tempfile
+    from kgloom.ops.reasoning import NodeShape, PropertyShape
+    from kgloom.streaming.validation import read_report, validate_batch
+    shapes = (NodeShape(
+        name="TurnShape", target_subjects_of=f"<{_KGO}partOf>",
+        properties=(
+            PropertyShape(path=f"<{_KGO}role>", min_count=1, max_count=1,
+                          in_values=('"user"', '"assistant"')),
+            PropertyShape(path=f"<{_KGO}usedTool>", min_count=1,
+                          node_kind="IRI"),
+        )),)
+    kg = q_transcripts_turn_triples(spark, sf_dir).withColumn(
+        "__b", F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(3)))
+    state = tempfile.mkdtemp(prefix="kgloom_vstate_")
+    for i in range(3):
+        validate_batch(spark, state, kg.where(F.col("__b") == i).drop("__b"),
+                       i, shapes)
+    return read_report(spark, state, shapes)
+
+
 def q_kg_entity_summary(spark, sf_dir):
     """Top-2 facts per turn entity ranked by predicate informativeness
     (kgloom/ops/summarize.py): global predicate rarity as the salience
@@ -2148,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_sameas_fusion": q_reason_sameas_fusion,
         "reason_sameas_incremental": q_reason_sameas_incremental,
         "reason_shacl": q_reason_shacl,
+        "reason_shacl_incremental": q_reason_shacl_incremental,
         "kg_wl_signatures": q_kg_wl_signatures,
         "kg_entity_summary": q_kg_entity_summary,
         "kg_bucketed_star": q_kg_bucketed_star,
@@ -4669,6 +4697,9 @@ def oracle_sql() -> dict[str, str]:
     # the incremental recurrence must land exactly on the one-shot
     # fusion — same truth, same oracle
     oracles["reason_sameas_incremental"] = oracles["reason_sameas_fusion"]
+    # the incremental validation state must derive the SAME report as
+    # one-shot SHACL over the full graph — same truth, same oracle
+    oracles["reason_shacl_incremental"] = oracles["reason_shacl"]
     # the N-Quads write→parse round trip must land exactly on the
     # original triples
     oracles["rdf_roundtrip"] = oracles["transcripts_turn_triples"]
