@@ -1799,7 +1799,12 @@ def q_reason_owl_equiv(spark, sf_dir):
         + [(s, _REASON_PRED_IRI.get(p, p), o) for s, p, o in _EQUIV_ONTOLOGY],
         "subj string, pred string, obj string")
     return owl_equivalence_closure(triples, schema=schema,
-                                   include_schema=True)
+                                   include_schema=True,
+                                   # the turn KG emits only the four
+                                   # mapping predicates — no equivalence
+                                   # rows on the instance side, so the
+                                   # full-closure distinct is skipped
+                                   instance_equiv_free=True)
 
 
 def _sameas_kg(spark, sf_dir):

@@ -210,7 +210,8 @@ _EQUIV_PREDS = (OWL_EQUIV_CLASS, OWL_EQUIV_PROP)
 
 def owl_equivalence_closure(triples: DataFrame,
                             schema: Optional[DataFrame] = None,
-                            include_schema: bool = True) -> DataFrame:
+                            include_schema: bool = True,
+                            instance_equiv_free: bool = False) -> DataFrame:
     """OWL-Horst equivalence rules rdfp12a/b/c + rdfp13a/b/c (ter Horst
     2005) layered on the ρdf closure:
 
@@ -238,9 +239,21 @@ def owl_equivalence_closure(triples: DataFrame,
     semantics; the naive-fixpoint property test
     (``tests/test_closure.py``) compares modulo self-pairs.
 
+    ``instance_equiv_free`` (explicit-schema callers only): promise
+    that ``triples`` carries NO equivalence-predicate rows — they all
+    came via ``schema`` — which skips a distinct over the ENTIRE
+    closed KG (the output is then distinct by construction: the
+    rdfp12c/13c rows are the only equivalence-predicate rows).  At
+    10^9 instance triples that distinct is a full extra shuffle; any
+    mapping pipeline that controls its emitted predicates can assert
+    this safely.  With ``schema=None`` the split strips equivalence
+    rows from the instance side itself, so the flag is irrelevant and
+    no distinct is needed either way.
+
     Matches the reference's OWL-fragment ambition level (the reference
     stops at triple emission; this module is beyond-reference surface,
     see module docstring)."""
+    explicit_schema = schema is not None
     if schema is None:
         schema_preds = _SCHEMA_PREDS + _EQUIV_PREDS
         schema = (triples.where(F.col("pred").isin(*schema_preds))
@@ -263,6 +276,11 @@ def owl_equivalence_closure(triples: DataFrame,
            .unionByName(_expand(OWL_EQUIV_PROP, RDFS_SUBPROP))
            .distinct())
     aug = tracked_persist(aug)
+    # with an explicit schema the caller's triples pass through as
+    # instance data wholesale — equivalence assertions left there (not
+    # routed via `schema`) could collide with the rdfp12c/13c rows;
+    # only that case pays the full-closure distinct below
+    inst_has_equiv = explicit_schema and not instance_equiv_free
     out = rdfs_closure(inst, schema=aug, include_schema=include_schema)
 
     if include_schema:
@@ -279,9 +297,17 @@ def owl_equivalence_closure(triples: DataFrame,
                             F.lit(eq_pred).alias("pred"),
                             F.col("b").alias("obj")))
 
+        # the two mutual branches carry disjoint predicates, each is
+        # distinct (closed pairs are a set), and rdfs_closure's output
+        # is distinct and — when equivalence axioms were stripped into
+        # `aug` — contains NO equivalence-predicate rows.  The union is
+        # therefore distinct by construction; re-shuffling the whole
+        # closed KG is only needed when caller-supplied instance
+        # triples carry equivalence assertions (probed above).
         out = (out.unionByName(_mutual(RDFS_SUBCLASS, OWL_EQUIV_CLASS))
-               .unionByName(_mutual(RDFS_SUBPROP, OWL_EQUIV_PROP))
-               .distinct())
+               .unionByName(_mutual(RDFS_SUBPROP, OWL_EQUIV_PROP)))
+        if inst_has_equiv:
+            out = out.distinct()
     return out
 
 
