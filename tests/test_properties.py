@@ -84,3 +84,28 @@ def test_k_core_is_maximal_and_sound(spark, pairs, k):
             break
         alive -= drop
     assert set(got) == alive
+
+
+@given(st.lists(st.tuples(ENT, PRED, OBJ), min_size=1, max_size=12),
+       st.permutations(["<a>", "<b>", "<c>", "<d>", "<e>"]))
+@_settings
+def test_wl_isomorphism_invariance(spark, rows, perm):
+    """WL colors are a pure function of structure + literal leaves:
+    renaming every IRI node by a permutation maps each node's color to
+    the renamed node unchanged (color0 is uniform over resources), so
+    the color HISTOGRAM of any graph is isomorphism-invariant —
+    including under self-loops, duplicate edges (deduped first: the
+    op's documented triple-set precondition), and literal objects."""
+    from kgloom.ops.canonical import wl_colors
+    f = dict(zip(["<a>", "<b>", "<c>", "<d>", "<e>"], perm))
+    rows = sorted(set(rows))
+    ren = [(f[s], p, o if o.startswith('"') else f[o])
+           for s, p, o in rows]
+    ddl = "subj string, pred string, obj string"
+    c1 = {r.node: r.color for r in wl_colors(
+        spark.createDataFrame(rows, ddl), iterations=2).collect()}
+    c2 = {r.node: r.color for r in wl_colors(
+        spark.createDataFrame(ren, ddl), iterations=2).collect()}
+    for n, col in c1.items():
+        mapped = n if n.startswith('"') else f[n]
+        assert c2[mapped] == col, (n, mapped)

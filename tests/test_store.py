@@ -120,3 +120,36 @@ def test_bucketed_store_one_file_per_bucket(spark, tmp_path):
     write_bucketed_store(df, "kgloom_test_bucketed2", path, n_buckets=8)
     files = g.glob(f"{path}/part-*")
     assert len(files) == 8, files
+
+
+def test_sparql_star_bgp_over_bucketed_store(spark, tmp_path):
+    """Integration: a star-shaped SPARQL BGP executed over the
+    bucketed table inherits the co-location — the subject join plans
+    without Exchange, straight from the SPARQL frontend."""
+    from kgloom.ops.store import read_bucketed_store, write_bucketed_store
+    from kgloom.sparql import sparql_select
+    path = str(tmp_path / "bsparql")
+    df = spark.range(300).select(
+        F.concat(F.lit("<http://ex.com/s/"), (F.col("id") % 60),
+                 F.lit(">")).alias("subj"),
+        F.when(F.col("id") < 150, "<http://ex.com/name>")
+         .otherwise("<http://ex.com/age>").alias("pred"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("obj"))
+    write_bucketed_store(df, "kgloom_test_bsparql", path, n_buckets=4)
+    t = read_bucketed_store(spark, "kgloom_test_bsparql")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = sparql_select(
+            t, "SELECT ?s ?n ?a WHERE { ?s <http://ex.com/name> ?n . "
+               "?s <http://ex.com/age> ?a }")
+        plan = explain_str(res)
+        assert "Exchange" not in plan, plan
+        n = res.count()
+        assert n > 0
+        # correctness vs plain dataframe join on the raw frame
+        a = df.where(F.col("pred") == "<http://ex.com/name>")
+        b = df.where(F.col("pred") == "<http://ex.com/age>")
+        assert n == a.join(b, "subj").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
