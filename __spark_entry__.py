@@ -760,6 +760,31 @@ def q_sparql_kg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SPARQL via snapshot time travel
+    (kgloom/tables.py:read_at + kgloom/sparql.py): the turn KG is
+    committed in two snapshots — v1 = the tool-usage subgraph, v2 =
+    the full KG — and the aggregate runs against v1 AFTER the pointer
+    moved to v2 (Iceberg VERSION-AS-OF semantics in parquet-snapshot
+    mode; snapshots are immutable, so point-in-time analyses are
+    reproducible).  The oracle replays the v1 content directly."""
+    import tempfile
+    from kgloom.sparql import sparql_select
+    from kgloom.tables import SnapshotStore
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="kgloom_asof_"))
+    s1 = store.write("kg", triples.where(
+        F.col("pred") == f"<{_KGO}usedTool>"))
+    store.write("kg", triples)                  # pointer moves on
+    asof = store.read_at("kg", s1.snapshot_id)
+    return sparql_select(asof, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?tool (COUNT(?turn) AS ?n_uses) WHERE {
+          ?turn kg:usedTool ?tool .
+        } GROUP BY ?tool
+    """)
+
+
 def q_sparql_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT over the constructed KG (kgloom/sparql.py): a
     derived graph linking each conversation directly to the tools it
@@ -2159,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_optional": q_sparql_kg_optional,
         "sparql_kg_union": q_sparql_kg_union,
         "sparql_kg_agg": q_sparql_kg_agg,
+        "sparql_kg_asof": q_sparql_kg_asof,
         "sparql_kg_construct": q_sparql_kg_construct,
         "sparql_kg_bind": q_sparql_kg_bind,
         "sparql_kg_path": q_sparql_kg_path,
@@ -3352,6 +3378,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_turns,
                    COUNT(tool) AS n_tool_turns
             FROM tr GROUP BY conv_id HAVING COUNT(*) > 1
+        """,
+        # AS-OF: snapshot v1 is exactly the usedTool subgraph, so the
+        # point-in-time aggregate = tool-usage counts from the source
+        "sparql_kg_asof": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL})
+            SELECT 'http://kg.example/tool/' || tool AS tool,
+                   COUNT(*) AS n_uses
+            FROM tr WHERE tool IS NOT NULL GROUP BY tool
         """,
         # CONSTRUCT: template instantiated once per (turn, conv, tool)
         # solution, then set-deduplicated — relationally, the distinct

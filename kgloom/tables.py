@@ -81,7 +81,32 @@ class SnapshotStore:
         snap = self.latest(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r}")
+        return self._read_snap(snap)
+
+    def read_at(self, table: str, snapshot_id: str) -> DataFrame:
+        """Time travel: read a SPECIFIC committed snapshot (Iceberg
+        ``VERSION AS OF`` semantics in parquet-snapshot mode) —
+        snapshots are immutable, so any analysis (SPARQL, closure,
+        delta) over ``read_at`` is reproducible point-in-time."""
+        path = os.path.join(self._table_dir(table), snapshot_id)
+        mpath = os.path.join(path, "manifest.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no snapshot {snapshot_id!r} for {table!r} "
+                f"(have: {self.snapshots(table)})")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        return self._read_snap(Snapshot(table=table,
+                                        snapshot_id=snapshot_id,
+                                        path=path, manifest=manifest))
+
+    def _read_snap(self, snap: Snapshot) -> DataFrame:
         if snap.manifest.get("iceberg_table"):
+            if snap.manifest.get("iceberg_snapshot_id"):
+                return (self.spark.read
+                        .option("snapshot-id",
+                                snap.manifest["iceberg_snapshot_id"])
+                        .table(snap.manifest["iceberg_table"]))
             return self.spark.table(snap.manifest["iceberg_table"])
         data = snap.manifest.get("external_path") or \
             os.path.join(snap.path, "data")

@@ -48,3 +48,25 @@ def test_iceberg_write_path(spark, tmp_path):
     assert snap.manifest["iceberg_table"] == f"{cat}.kgloom.t"
     assert snap.manifest["row_count"] == 5
     assert store.read("t").count() == 5
+
+
+def test_read_at_time_travel(spark, tmp_path):
+    """read_at: any committed snapshot stays readable after the
+    pointer moves on (VERSION AS OF semantics), and composes with
+    SPARQL for point-in-time KG queries."""
+    from kgloom.sparql import sparql_select
+    store = SnapshotStore(spark, str(tmp_path))
+    t1 = spark.createDataFrame(
+        [("<a>", "<p>", '"v1"')], "subj string, pred string, obj string")
+    s1 = store.write("kg", t1)
+    t2 = spark.createDataFrame(
+        [("<a>", "<p>", '"v1"'), ("<b>", "<p>", '"v2"')],
+        "subj string, pred string, obj string")
+    store.write("kg", t2)
+    assert store.read("kg").count() == 2          # latest
+    old = store.read_at("kg", s1.snapshot_id)
+    assert sorted(map(tuple, old.collect())) == [("<a>", "<p>", '"v1"')]
+    res = sparql_select(old, 'SELECT ?s WHERE { ?s <p> ?o }')
+    assert [r.s for r in res.collect()] == ["a"]  # lexical form
+    with pytest.raises(FileNotFoundError):
+        store.read_at("kg", "snap-nope")
