@@ -1425,6 +1425,20 @@ def q_curation_pipeline(spark, sf_dir):
                   min_tokens=3, langs=("en",))
 
 
+def q_curate_temperature_mix(spark, sf_dir):
+    """α-temperature corpus mixing (kgloom/ops/curate.py
+    temperature_mixture, the XLM-R smoothing): per-language keep rate
+    (n_min/n_lang)^(1-α) computed FROM the data — one broadcast
+    language histogram + a broadcast 1-row minimum riding a narrow,
+    shuffle-free md5 rank gate.  α=0.5 so the only irrational op is
+    IEEE-exact sqrt: the row-level keep set replays bit-identically
+    in the DuckDB twin."""
+    from kgloom.ops.curate import temperature_mixture
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mixture(docs, key="doc_id", strata="lang",
+                               alpha=0.5).select("doc_id", "lang")
+
+
 def q_curate_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (training-data mixing,
     kgloom/ops/curate.py): membership = md5(key||salt) hex-prefix under
@@ -2221,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
         "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_temperature_mix": q_curate_temperature_mix,
         "curate_hash_split": q_curate_hash_split,
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
@@ -4021,6 +4036,21 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN '{_hex_threshold(0.5)}'
                         WHEN 'de' THEN '{_hex_threshold(0.25)}'
                         ELSE '{_hex_threshold(0.1)}' END
+        """,
+        # temperature-mix replay: same per-language histogram, same
+        # rank · sqrt(n) < 2^32 · sqrt(n_min) gate — integer inputs
+        # through IEEE-exact sqrt/multiply only, so the keep set is
+        # bit-identical
+        "curate_temperature_mix": """
+            WITH c AS (SELECT lang, COUNT(*) AS n
+                       FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS nmin FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN c USING (lang), m
+            WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) AS DOUBLE)
+                    * sqrt(CAST(c.n AS DOUBLE))
+                  < 4294967296.0 * sqrt(CAST(m.nmin AS DOUBLE))
         """,
         "curate_hash_split": f"""
             SELECT doc_id,

@@ -136,3 +136,50 @@ def hash_split(df: DataFrame, key: str,
     last = F.lit(names[-1])
     return df.withColumn("split",
                          last if expr is None else expr.otherwise(last))
+
+
+def temperature_mixture(df: DataFrame, key: str, strata: str,
+                        alpha: float = 0.5, salt: str = "") -> DataFrame:
+    """α-temperature mixture sampling — the multilingual/multi-source
+    smoothing of LLM corpus mixing (sampled stratum mass ∝ p_s^α;
+    Conneau et al., "Unsupervised Cross-lingual Representation
+    Learning at Scale", ACL 2020 — public literature), realized as
+    deterministic per-stratum downsampling with keep rate
+    ``r_s = (n_min / n_s)^(1-α)``: the smallest stratum keeps
+    everything, dominant strata shrink toward the tempered share
+    (α=1 keeps all rows, α=0 equalizes stratum sizes in expectation).
+
+    Unlike :func:`stratified_sample` the rates come FROM the data: one
+    stratum-cardinality-sized aggregate rides the row filter as a
+    broadcast (plus a broadcast 1-row minimum) — still a narrow,
+    shuffle-free, rerun-stable map over the corpus.
+
+    The keep decision is the same md5 rank gate as
+    ``stratified_sample`` compared NUMERICALLY with the rate inlined
+    as exact integers through exact-rounded IEEE ops::
+
+        rank · (n_s)^(1-α)  <  2^32 · (n_min)^(1-α)
+
+    For the default α=0.5 the only irrational op is sqrt, which IEEE
+    754 rounds exactly — the gate replays bit-identically on any
+    engine.  Other α go through pow, correctly rounded on common
+    libm implementations but not guaranteed by the standard; a rank
+    landing exactly on the threshold could then differ cross-engine
+    with probability ~n/2^32.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    if alpha == 0.5:
+        def w(c):
+            return F.sqrt(c.cast("double"))
+    else:
+        def w(c):
+            return F.pow(c.cast("double"), F.lit(1.0 - alpha))
+    rank = F.conv(_hash_rank(F.col(key), salt), 16, 10).cast("long")
+    return (df.join(F.broadcast(counts), strata)
+            .crossJoin(F.broadcast(nmin))
+            .where(rank.cast("double") * w(F.col("__n"))
+                   < F.lit(float(16 ** 8)) * w(F.col("__nmin")))
+            .drop("__n", "__nmin"))

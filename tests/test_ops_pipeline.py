@@ -857,3 +857,51 @@ def test_learn_bpe_vocabulary_gates(spark):
     b = [tuple(r) for r in learn_bpe_merges(
         docs, n_merges=2, sample_fraction=0.5).collect()]
     assert a == b
+
+
+def test_temperature_mixture(spark):
+    """α-temperature mixing (kgloom/ops/curate.py): the smallest
+    stratum keeps everything, α=1 keeps all rows, kept sizes approach
+    the tempered share sqrt(n_s * n_min) at α=0.5, and the gate
+    replays exactly in plain Python (md5 + IEEE sqrt/multiply)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kgloom.ops.curate import temperature_mixture
+    import pytest as _pytest
+    rows = ([(i, "big") for i in range(1600)]
+            + [(i + 10_000, "mid") for i in range(400)]
+            + [(i + 20_000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    kept = temperature_mixture(df, key="doc_id", strata="src",
+                               alpha=0.5).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.src, set()).add(r.doc_id)
+    # smallest stratum fully kept
+    assert len(by["small"]) == 100
+    # tempered expectation: sqrt(n_s * n_min) ± sampling noise
+    assert abs(len(by["big"]) - math.sqrt(1600 * 100)) < 60
+    assert abs(len(by["mid"]) - math.sqrt(400 * 100)) < 40
+    # α=1 keeps everything; deterministic across invocations
+    assert temperature_mixture(df, "doc_id", "src", alpha=1.0).count() \
+        == len(rows)
+    again = {(r.doc_id, r.src) for r in temperature_mixture(
+        df, "doc_id", "src", alpha=0.5).collect()}
+    assert again == {(r.doc_id, r.src) for r in kept}
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, "doc_id", "src", alpha=1.5)
+
+    # exact Python replay of the documented gate
+    n = {"big": 1600, "mid": 400, "small": 100}
+    nmin = 100
+    want = set()
+    for i, src in rows:
+        rank = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        if float(rank) * math.sqrt(float(n[src])) \
+                < 4294967296.0 * math.sqrt(float(nmin)):
+            want.add((i, src))
+    assert again == want
