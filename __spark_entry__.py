@@ -2127,6 +2127,32 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(triples, keys=["pred"], value="obj", k=64)
 
 
+def q_sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming KMV distinct monitor's fold
+    (kgloom/streaming/distinct.py fold_minima: min_k =
+    TopK(distinct(min_{k-1} ∪ Minima(batch_k)))), driven over three
+    deterministic hash-buckets of the turn triples.  Because the k
+    smallest of a union are among the union of each side's k
+    smallest, the folded synopsis — and so the estimate — is
+    BIT-IDENTICAL to one-shot kmv_distinct: same oracle SQL as
+    sketch_kmv_distinct, exercised through the incremental path."""
+    from kgloom.ops.sketch import kmv_estimate
+    from kgloom.streaming.distinct import fold_minima
+    from kgloom.transcripts.pipeline import turn_triples_plan
+    turns = transcripts_from_events(spark, sf_dir)
+    binder = SparkBinder(spark, dataframes={"transcripts": turns})
+    triples = (list(write_sinks(binder.execute(
+        turn_triples_plan().graph)).values())[0]
+        .select("pred", "obj")
+        .withColumn("__b", F.pmod(F.xxhash64("pred", "obj"), F.lit(3))))
+    minima = None
+    for i in range(3):
+        batch = triples.where(F.col("__b") == i).drop("__b")
+        minima = fold_minima(minima, batch, ["pred"], "obj",
+                             k=64).localCheckpoint()
+    return kmv_estimate(minima, ["pred"], k=64)
+
+
 def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equal-frequency-centroid quantile sketch (round-5,
     kgloom/ops/sketch.py kll_quantiles): per-language p10/p50/p90/p99
@@ -2185,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_delta": q_kg_graph_delta,
         "text_fim_split": q_text_fim_split,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_kmv_incremental": q_sketch_kmv_incremental,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -4884,6 +4911,8 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 63.0 / f_k END AS estimate
         FROM m
     """
+    # the streaming KMV fold is bit-identical to one-shot KMV
+    oracles["sketch_kmv_incremental"] = oracles["sketch_kmv_distinct"]
     # KLL-lite replay: same md5 content salt, same ntile compaction,
     # same cumulative-weight merge arithmetic (association and cast
     # points mirrored), same ceil-rank extraction — the sketched

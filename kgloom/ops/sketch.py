@@ -61,6 +61,17 @@ def kmv_distinct(df: DataFrame, keys: list[str], value: str, k: int = 64,
     values, ``(k-1)/f_k`` otherwise.  Deterministic: replayable on any
     engine with md5 (the DuckDB oracle matches the estimate exactly).
     """
+    return kmv_estimate(
+        kmv_minima(df, keys, value, k=k, n_buckets=n_buckets), keys, k=k)
+
+
+def kmv_minima(df: DataFrame, keys: list[str], value: str, k: int = 64,
+               n_buckets: int = 16) -> DataFrame:
+    """(keys…, __f): the ``k`` smallest DISTINCT hash fractions of
+    ``value`` per group — the KMV synopsis itself.  Exactly mergeable:
+    the k smallest of a union are among the union of each side's k
+    smallest, which is what makes the streaming fold
+    (kgloom/streaming/distinct.py) bit-identical to batch."""
     h = (df.select(*keys, _hash_fraction(F.col(value)).alias("__f"))
          .distinct())
     # stage 1: k smallest per (keys, bucket) — bounded, fully
@@ -74,9 +85,15 @@ def kmv_distinct(df: DataFrame, keys: list[str], value: str, k: int = 64,
              .where(F.col("__rn") <= k))
     # stage 2: k smallest of the ≤ n_buckets·k survivors per group
     w2 = Window.partitionBy(*keys).orderBy("__f")
-    minima = (local.drop("__b", "__rn")
-              .withColumn("__rn", F.row_number().over(w2))
-              .where(F.col("__rn") <= k))
+    return (local.drop("__b", "__rn")
+            .withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
+def kmv_estimate(minima: DataFrame, keys: list[str],
+                 k: int = 64) -> DataFrame:
+    """(keys…, n_minima, f_k, estimate) from a minima synopsis."""
     agg = minima.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_minima"),
         F.max("__f").alias("f_k"))
