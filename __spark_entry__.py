@@ -2153,6 +2153,26 @@ def q_sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(minima, ["pred"], k=64)
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT heavy hitters (kgloom/ops/sketch.py
+    heavy_hitters): per-predicate objects with count > N_pred/(m+1)
+    over the distinct turn triples, m=64.  Pass 1 is bounded-state
+    Misra-Gries per partition (candidate superset, ≤ m·partitions rows
+    per group reach the join); pass 2 exactly counts candidates only —
+    so the answer is independent of the partition layout and
+    hash-matches the plain HAVING-threshold SQL oracle.  Low-cardinality
+    predicates (role, usedTool) surface their values; near-unique ones
+    (text) correctly surface nothing."""
+    from kgloom.ops.sketch import heavy_hitters
+    from kgloom.transcripts.pipeline import turn_triples_plan
+    turns = transcripts_from_events(spark, sf_dir)
+    binder = SparkBinder(spark, dataframes={"transcripts": turns})
+    triples = list(write_sinks(binder.execute(
+        turn_triples_plan().graph)).values())[0].distinct()
+    return heavy_hitters(triples.select("pred", "obj"),
+                         keys=["pred"], value="obj", m=64)
+
+
 def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equal-frequency-centroid quantile sketch (round-5,
     kgloom/ops/sketch.py kll_quantiles): per-language p10/p50/p90/p99
@@ -2212,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fim_split": q_text_fim_split,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_kmv_incremental": q_sketch_kmv_incremental,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -4913,6 +4934,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming KMV fold is bit-identical to one-shot KMV
     oracles["sketch_kmv_incremental"] = oracles["sketch_kmv_distinct"]
+    # MG-pruned exact heavy hitters == the plain HAVING-threshold
+    # answer (candidate superset + exact verify pass)
+    oracles["sketch_heavy_hitters"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        c AS (SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tt GROUP BY pred, obj),
+        t AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_group
+              FROM tt GROUP BY pred)
+        SELECT c.pred, c.obj, c.cnt, t.n_group
+        FROM c JOIN t USING (pred)
+        WHERE c.cnt * 65 > t.n_group
+    """
     # KLL-lite replay: same md5 content salt, same ntile compaction,
     # same cumulative-weight merge arithmetic (association and cast
     # points mirrored), same ceil-rank extraction — the sketched

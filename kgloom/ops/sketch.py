@@ -223,3 +223,96 @@ def kll_quantiles(df: DataFrame, keys: list[str], value: str,
     merged = kll_merge(kll_sketch(df, keys, value, k=k,
                                   n_salts=n_salts), keys, k=k)
     return kll_extract(merged, keys, qs)
+
+
+def mg_candidates(df: DataFrame, keys: list[str], value: str,
+                  m: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidates: ≤ ``m``
+    counters of bounded state per (partition, group) — the scale path
+    of :func:`heavy_hitters`.
+
+    Soundness (the property heavy_hitters relies on): within one
+    partition's slice of a group, every value with slice-count
+    > slice_N/(m+1) survives MG (total decrement weight ≤
+    slice_N/(m+1), each decrement hits m+1 counters).  Summing over
+    partitions: a value with GLOBAL count > N_g/(m+1) must exceed the
+    local threshold in at least one partition (pigeonhole — if it were
+    ≤ everywhere, the sum would be ≤ N_g/(m+1)), so the union of
+    per-partition candidates is a superset of every true heavy
+    hitter.  Candidate set size ≤ m · n_partitions per group.
+
+    Output: distinct ``(keys…, value)`` candidate rows.  The candidate
+    SET depends on the partition layout; :func:`heavy_hitters`'
+    exact-verify pass makes the final answer layout-independent.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas path)
+
+    cols = [*keys, value]
+    slim = df.select(*cols)
+
+    def gen(batches):
+        state: dict = {}  # key-tuple -> {value: counter}
+        for pdf in batches:
+            grp = pdf.groupby(cols, dropna=False).size()
+            for idx, c in grp.items():
+                if not isinstance(idx, tuple):
+                    idx = (idx,)
+                kt, v = idx[:-1], idx[-1]
+                ctr = state.setdefault(kt, {})
+                if v in ctr:
+                    ctr[v] += int(c)
+                else:
+                    ctr[v] = int(c)
+                    if len(ctr) > m:
+                        d = min(ctr.values())
+                        for vv in list(ctr):
+                            ctr[vv] -= d
+                            if ctr[vv] <= 0:
+                                del ctr[vv]
+        out = [(*kt, v) for kt, ctr in state.items() for v in ctr]
+        yield pd.DataFrame(out, columns=cols)
+
+    return slim.mapInPandas(gen, schema=slim.schema)
+
+
+def heavy_hitters(df: DataFrame, keys: list[str], value: str,
+                  m: int = 64) -> DataFrame:
+    """EXACT per-group heavy hitters — every ``value`` whose count
+    exceeds ``N_group/(m+1)`` — in two bounded passes (the classic
+    MG-prune-then-verify pattern; Misra & Gries 1982, Agarwal et al.
+    2013 "Mergeable Summaries", both public methods).
+
+    Pass 1 (:func:`mg_candidates`) runs bounded-state Misra-Gries per
+    partition; the candidate union (≤ m·partitions rows per group) is
+    a proven superset of the answer.  Pass 2 exactly counts ONLY the
+    candidates (broadcast semi join — no full groupBy over a
+    value domain that may be near-unique at 100 TB) and filters by the
+    group threshold ``cnt·(m+1) > N_group``.  Null values can't ride
+    MG's dict counters, so their (per-group, hence tiny) exact counts
+    are unioned in unconditionally.
+
+    Because pass 2 is exact and pass 1 is a superset, the result is
+    INDEPENDENT of the partition layout (pinned in tests) and equals
+    the plain SQL ``HAVING cnt·(m+1) > N_group`` answer — a sketch
+    pipeline you can hash-match against an oracle.
+
+    Returns ``(keys…, value, cnt, n_group)`` with ``cnt`` the exact
+    count and ``n_group`` the exact group size (nulls included).
+    """
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_group"))
+    nn = df.where(F.col(value).isNotNull())
+    cand = mg_candidates(nn, keys, value, m=m)
+    counted = (nn.join(F.broadcast(cand), on=[*keys, value], how="leftsemi")
+               .groupBy(*keys, value)
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    nulls = (df.where(F.col(value).isNull())
+             .groupBy(*keys)
+             .agg(F.first(F.col(value)).alias(value),
+                  F.count(F.lit(1)).alias("cnt")))
+    # totals is one row per group — billions of groups is possible at
+    # scale, so no broadcast hint (AQE promotes it when it IS small);
+    # the probe side is candidate-sized either way
+    return (counted.unionByName(nulls)
+            .join(totals, on=list(keys))
+            .where(F.col("cnt") * (m + 1) > F.col("n_group"))
+            .select(*keys, value, "cnt", "n_group"))

@@ -167,3 +167,86 @@ def test_kll_deterministic_under_repartition(spark):
     many = {(r.g, r.q): (r.n, r.est) for r in kll_quantiles(
         df.repartition(13), ["g"], "v", qs, k=16, n_salts=4).collect()}
     assert one == many
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Zipf-ish skew: two groups, a few hot values + a long uniform
+    tail, shuffled across partitions."""
+    import random
+    rng = random.Random(20260820)
+    rows = []
+    for g, hot in (("a", ["h1"] * 400 + ["h2"] * 250 + ["h3"] * 90),
+                   ("b", ["x"] * 700)):
+        tail = [f"t{rng.randrange(0, 2000)}" for _ in range(1000)]
+        rows += [(g, v) for v in hot + tail]
+    rng.shuffle(rows)
+    return rows
+
+
+def _exact_heavy(rows, m):
+    from collections import Counter
+    out = set()
+    for g in {r[0] for r in rows}:
+        vals = [r[1] for r in rows if r[0] == g]
+        n = len(vals)
+        for v, c in Counter(vals).items():
+            if c * (m + 1) > n:
+                out.add((g, v, c, n))
+    return out
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, skewed):
+    from kgloom.ops.sketch import heavy_hitters
+    df = spark.createDataFrame(skewed, "g string, v string")
+    m = 8
+    got = set(map(tuple, heavy_hitters(df, ["g"], "v", m=m).collect()))
+    assert got == _exact_heavy(skewed, m)
+    assert len(got) > 0  # the fixture does contain heavy hitters
+
+
+def test_heavy_hitters_partition_layout_independent(spark, skewed):
+    """MG candidates vary with the partition layout; the exact-verify
+    pass must erase that — identical output at 1 and 16 partitions."""
+    from kgloom.ops.sketch import heavy_hitters
+    df = spark.createDataFrame(skewed, "g string, v string")
+    a = set(map(tuple, heavy_hitters(
+        df.repartition(1), ["g"], "v", m=6).collect()))
+    b = set(map(tuple, heavy_hitters(
+        df.repartition(16), ["g"], "v", m=6).collect()))
+    assert a == b == _exact_heavy(skewed, 6)
+
+
+def test_heavy_hitters_uniform_is_empty(spark):
+    from kgloom.ops.sketch import heavy_hitters
+    df = spark.range(3000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 1000)).alias("v"))
+    # 1000 distinct × 3 each; threshold N/(m+1) = 3000/5 = 600 ≫ 3
+    assert heavy_hitters(df, ["g"], "v", m=4).count() == 0
+
+
+def test_heavy_hitters_null_values_counted(spark):
+    """Nulls can't ride MG's counters; they must still surface when
+    genuinely heavy, and count toward the group size."""
+    from kgloom.ops.sketch import heavy_hitters
+    rows = [("g", None)] * 50 + [("g", "a")] * 40 + \
+           [("g", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {(r.v, r.cnt, r.n_group) for r in
+           heavy_hitters(df, ["g"], "v", m=3).collect()}
+    # threshold 100/4 = 25: null (50) and "a" (40) qualify
+    assert got == {(None, 50, 100), ("a", 40, 100)}
+
+
+def test_mg_candidates_bounded_and_superset(spark, skewed):
+    from kgloom.ops.sketch import mg_candidates
+    df = spark.createDataFrame(skewed, "g string, v string").repartition(8)
+    m = 8
+    cand = mg_candidates(df, ["g"], "v", m=m)
+    per_g = {r.g: r.c for r in cand.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= m * 8 for c in per_g.values())  # ≤ m·partitions
+    got = set(map(tuple, cand.collect()))
+    for g, v, _c, _n in _exact_heavy(skewed, m):
+        assert (g, v) in got  # every true heavy hitter survives
