@@ -1072,6 +1072,29 @@ def q_sparql_kg_minus_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES with UNDEF cells over the constructed KG
+    (kgloom/sparql.py): inline data tags user turns "u", matches
+    assistant turns with an unbound ?mark, and a fully-UNDEF ?role row
+    tags EVERY turn "any" — so user/assistant turns surface twice with
+    different marks (bag semantics of the §10.2 compatibility join).
+    The UNDEF-aware join compiles to a broadcast theta join
+    (null-or-equal per shared var) + coalesce merge."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?role ?mark WHERE {
+          ?turn kg:role ?role .
+          VALUES (?role ?mark) {
+            ("user" "u")
+            ("assistant" UNDEF)
+            (UNDEF "any")
+          }
+        }
+    """)
+
+
 def q_sparql_kg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FILTER boolean expressions over the constructed KG:
     ``||``/``&&``/``!`` connectives over REGEX, CONTAINS, STRSTARTS,
@@ -2259,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_graph": q_sparql_kg_graph,
         "sparql_kg_dataset": q_sparql_kg_dataset,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
+        "sparql_kg_values_undef": q_sparql_kg_values_undef,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
@@ -3526,6 +3550,20 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(turn_idx AS VARCHAR) AS turn,
                    role
             FROM tr WHERE tool IS NULL AND role <> 'assistant'
+        """,
+        # VALUES-UNDEF replay: the §10.2 compatibility join is a
+        # null-or-equal theta join on the shared ?role — an UNDEF
+        # (NULL) cell constrains nothing, so the (NULL,'any') row
+        # matches every turn and bag semantics duplicate the
+        # user/assistant turns with their second mark
+        "sparql_kg_values_undef": f"""
+            WITH tr AS ({TRANSCRIPTS_SQL}),
+            v(vrole, mark) AS (VALUES ('user', 'u'),
+                               ('assistant', NULL), (NULL, 'any'))
+            SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                     || CAST(turn_idx AS VARCHAR) AS turn,
+                   role, v.mark
+            FROM tr JOIN v ON v.vrole IS NULL OR v.vrole = tr.role
         """,
         # FILTER boolean replay: branch one keeps chat turns (no tool
         # triple → unbound ?tool) whose role matches the regex and whose

@@ -35,7 +35,9 @@ UCASE / LCASE / STRLEN / IRI / REPLACE / SUBSTR / STRBEFORE /
 STRAFTER / ENCODE_FOR_URI / ABS / CEIL / FLOOR / ROUND (XPath
 ties-toward-+inf) / MD5 / SHA1 / SHA256 / COALESCE / IF (condition in
 the FILTER grammar) / LANG / DATATYPE / STRLANG / STRDT + arithmetic,
-``VALUES`` inline data (no UNDEF), ``FILTER`` boolean expressions
+``VALUES`` inline data (incl. ``UNDEF`` — an UNDEF cell joins as
+compatible-with-anything per SPARQL §10.2), ``FILTER`` boolean
+expressions
 (comparisons on variables, ``&&``/``||``/``!``, ``REGEX``,
 ``CONTAINS`` / ``STRSTARTS`` / ``STRENDS`` — each accepting an
 arbitrary expression as its first argument — ``BOUND``,
@@ -316,6 +318,35 @@ def _resolve_term(kind: str, val: str, prefixes: dict[str, str]) -> Term:
             dtype = prefixes[p] + local
         return _render_literal(lex, m.group(2), dtype)
     raise SparqlError(f"unexpected term {val!r}")
+
+
+def _values_terms(src: str, prefixes: dict[str, str]) -> list:
+    """Constant terms of one VALUES row (or a whole single-var data
+    block): rendered terms, with ``UNDEF`` → ``None`` (an unbound
+    binding — joins as compatible-with-anything)."""
+    out, pos, n = [], 0, len(src)
+    while pos < n:
+        if src[pos].isspace():
+            pos += 1
+            continue
+        um = re.match(r"UNDEF\b", src[pos:], re.IGNORECASE)
+        if um:
+            out.append(None)
+            pos += um.end()
+            continue
+        tm = _TOKEN.match(src, pos)
+        if tm is None:
+            raise SparqlError(
+                f"cannot tokenize VALUES data at: {src[pos:pos + 30]!r}")
+        pos = tm.end()
+        for kind, val in tm.groupdict().items():
+            if val is not None:
+                t = _resolve_term(kind, val, prefixes)
+                if isinstance(t, Var):
+                    raise SparqlError("VALUES data must be constants")
+                out.append(t)
+                break
+    return out
 
 
 _UNSUPPORTED = re.compile(
@@ -1036,15 +1067,9 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
             if k >= n or text[k] != "{":
                 raise SparqlError("VALUES needs a { data } block")
             inner, j = _take_braced(text, k)
-            if re.search(r"\bUNDEF\b", inner):
-                raise SparqlError("VALUES UNDEF is unsupported")
             rows: list[list[str]] = []
             if len(vars_) == 1:
-                for kind, val in _tokenize(inner):
-                    t = _resolve_term(kind, val, prefixes)
-                    if isinstance(t, Var):
-                        raise SparqlError("VALUES data must be constants")
-                    rows.append([t])
+                rows = [[t] for t in _values_terms(inner, prefixes)]
             else:
                 pos = 0
                 while pos < len(inner):
@@ -1056,12 +1081,10 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
                             f"VALUES rows must be parenthesized: "
                             f"{inner[pos:pos + 20]!r}")
                     row_src, pos = _take_parens(inner, pos)
-                    row = [_resolve_term(kind, val, prefixes)
-                           for kind, val in _tokenize(row_src)]
-                    if len(row) != len(vars_) or \
-                            any(isinstance(t, Var) for t in row):
+                    row = _values_terms(row_src, prefixes)
+                    if len(row) != len(vars_):
                         raise SparqlError(
-                            f"VALUES row arity/constant mismatch: "
+                            f"VALUES row arity mismatch: "
                             f"{row_src.strip()!r}")
                     rows.append(row)
             if not rows:
@@ -1891,7 +1914,33 @@ def _exec_group(quads: DataFrame, g: GroupPattern,
     for vars_, rows in g.values:
         vdf = quads.sparkSession.createDataFrame(
             rows, ", ".join(f"{v} string" for v in vars_))
-        result = vdf if result is None else _join_shared(result, vdf)
+        has_undef = any(t is None for row in rows for t in row)
+        shared = [] if result is None else \
+            [c for c in result.columns if c in vdf.columns]
+        if result is None:
+            result = vdf
+        elif not (has_undef and shared):
+            result = _join_shared(result, vdf)
+        else:
+            # UNDEF-aware compatibility join (SPARQL §10.2): an UNDEF
+            # cell constrains nothing; on a match the merged binding
+            # coalesces the bound side.  An unbound (OPTIONAL-null)
+            # result cell is likewise compatible and takes the row's
+            # value.  Inline data is tiny → Spark broadcasts it.
+            right = vdf
+            for v in shared:
+                right = right.withColumnRenamed(v, f"__vd_{v}")
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & (F.col(f"__vd_{v}").isNull() |
+                               F.col(v).isNull() |
+                               (F.col(f"__vd_{v}") == F.col(v)))
+            result = result.join(right, cond, "inner")
+            for v in shared:
+                result = (result
+                          .withColumn(v, F.coalesce(F.col(v),
+                                                    F.col(f"__vd_{v}")))
+                          .drop(f"__vd_{v}"))
     if result is None and g.binds:
         # a group of only BINDs starts from the single empty solution
         result = quads.sparkSession.range(1).select(

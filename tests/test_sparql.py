@@ -726,10 +726,49 @@ def test_values_multi_var(quads):
         [(EX + "bob", "quarter"), (EX + "alice", "thirty")]
 
 
-def test_values_undef_rejected(quads):
-    with pytest.raises(SparqlError):
-        parse_sparql("""SELECT ?s WHERE {
-            ?s ?p ?o . VALUES ?o { UNDEF "x" } }""")
+def test_values_undef_single_var_matches_all(quads):
+    """A single-var VALUES with an UNDEF row constrains nothing for
+    that row: every age survives alongside the constant row's match —
+    UNION-of-rows semantics (SPARQL §10.2)."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{
+          ?s ex:age ?age .
+          VALUES ?age {{ UNDEF }}
+        }} ORDER BY ?age
+    """).collect()
+    all_rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age WHERE {{ ?s ex:age ?age }} ORDER BY ?age
+    """).collect()
+    assert [(r.s, r.age) for r in rows] == \
+        [(r.s, r.age) for r in all_rows] and len(rows) >= 3
+
+
+def test_values_undef_multi_var(quads):
+    """UNDEF in one column of a multi-var row: the bound column still
+    constrains, the UNDEF column takes the matched solution's binding
+    where the solution has one and stays null where it doesn't."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?age ?tag WHERE {{
+          ?s ex:age ?age .
+          VALUES (?age ?tag) {{ ("30" UNDEF) ("25" "quarter") }}
+        }} ORDER BY ?age
+    """).collect()
+    assert [(r.s, r.age, r.tag) for r in rows] == \
+        [(EX + "bob", "25", "quarter"), (EX + "alice", "30", None)]
+
+
+def test_values_undef_pure_inline_block(quads):
+    """A group that is ONLY a VALUES block with UNDEF cells yields
+    those rows verbatim, nulls included."""
+    rows = sparql_select(quads, """
+        SELECT ?a ?b WHERE {
+          VALUES (?a ?b) { ("x" UNDEF) (UNDEF "y") }
+        } ORDER BY ?a
+    """).collect()
+    assert [(r.a, r.b) for r in rows] == [(None, "y"), ("x", None)]
 
 
 def test_construct_basic(quads):
