@@ -2196,6 +2196,42 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=["pred"], value="obj", m=64)
 
 
+def q_sketch_mg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming heavy-hitter monitor's Misra-Gries fold
+    (kgloom/streaming/heavyhitters.py fold_summary: summ_k =
+    Compress_m(summ_{k-1} ⊎ Counts(batch_k))), driven over three
+    deterministic hash-buckets of the turn triples, then made EXACT by
+    the prune-then-verify pass: the folded summary is a proven
+    candidate superset (mergeable-summaries guarantee), so exact
+    counts of candidates + the HAVING threshold reproduce the plain
+    SQL answer — same oracle as sketch_heavy_hitters, exercised
+    through the incremental path."""
+    from kgloom.streaming.heavyhitters import fold_summary
+    from kgloom.transcripts.pipeline import turn_triples_plan
+    turns = transcripts_from_events(spark, sf_dir)
+    binder = SparkBinder(spark, dataframes={"transcripts": turns})
+    triples = (list(write_sinks(binder.execute(
+        turn_triples_plan().graph)).values())[0]
+        .distinct().select("pred", "obj")
+        .withColumn("__b", F.pmod(F.xxhash64("pred", "obj"), F.lit(3))))
+    m = 64
+    summ = None
+    for i in range(3):
+        batch = triples.where(F.col("__b") == i).drop("__b")
+        summ = fold_summary(summ, batch, ["pred"], "obj",
+                            m=m).localCheckpoint()
+    data = triples.drop("__b")
+    totals = data.groupBy("pred").agg(F.count(F.lit(1)).alias("n_group"))
+    cand = summ.select("pred", "obj")
+    counted = (data.join(F.broadcast(cand), on=["pred", "obj"],
+                         how="leftsemi")
+               .groupBy("pred", "obj")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    return (counted.join(totals, on=["pred"])
+            .where(F.col("cnt") * (m + 1) > F.col("n_group"))
+            .select("pred", "obj", "cnt", "n_group"))
+
+
 def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equal-frequency-centroid quantile sketch (round-5,
     kgloom/ops/sketch.py kll_quantiles): per-language p10/p50/p90/p99
@@ -2256,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_kmv_incremental": q_sketch_kmv_incremental,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_mg_incremental": q_sketch_mg_incremental,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -4985,6 +5022,9 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN t USING (pred)
         WHERE c.cnt * 65 > t.n_group
     """
+    # the streamed MG fold's candidate superset + exact verify equals
+    # the same plain HAVING-threshold answer
+    oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
     # KLL-lite replay: same md5 content salt, same ntile compaction,
     # same cumulative-weight merge arithmetic (association and cast
     # points mirrored), same ceil-rank extraction — the sketched

@@ -366,3 +366,58 @@ def test_stream_kmv_distinct_equals_batch(spark, tmp_path):
     a = sorted(tuple(r) for r in read_minima(spark, state, ["g"]).collect())
     b = sorted(tuple(r) for r in read_minima(spark, state2, ["g"]).collect())
     assert a == b
+
+
+def test_stream_mg_heavy_hitters_guarantees(spark, tmp_path):
+    """Incremental Misra-Gries fold (kgloom/streaming/heavyhitters.py):
+    bounded state, and at the end of the stream every reported counter
+    obeys cnt ≤ true ≤ cnt + err while every true heavy hitter
+    (count > N/(m+1)) is present; replay reproduces the state."""
+    import random
+    from collections import Counter
+
+    from kgloom.streaming.heavyhitters import (read_heavy, read_summary,
+                                               stream_mg_heavy)
+    rng = random.Random(20260820)
+    M = 8
+    rows = [("a", v) for v in
+            ["h1"] * 900 + ["h2"] * 500 + ["h3"] * 260 +
+            [f"t{rng.randrange(0, 3000)}" for _ in range(1500)]] + \
+           [("b", v) for v in
+            ["x"] * 1200 + [f"y{rng.randrange(0, 800)}" for _ in range(800)]]
+    rng.shuffle(rows)
+    true = {g: Counter(v for gg, v in rows if gg == g) for g in ("a", "b")}
+    n = {g: sum(c.values()) for g, c in true.items()}
+    inp = str(tmp_path / "hin")
+    df = spark.createDataFrame(rows, "g string, v string")
+    df.repartition(4).write.mode("overwrite").parquet(inp)
+
+    def run(state, ckpt):
+        stream = (spark.readStream.schema("g string, v string")
+                  .option("maxFilesPerTrigger", "1").parquet(inp))
+        q = stream_mg_heavy(spark, stream, str(tmp_path / state),
+                            str(tmp_path / ckpt), ["g"], "v", m=M)
+        q.awaitTermination(180)
+        return str(tmp_path / state)
+
+    state = run("hh1", "hk1")
+    got = read_heavy(spark, state, ["g"], "v", m=M).collect()
+    per_g = Counter(r.g for r in got)
+    assert all(c <= M for c in per_g.values())
+    reported = {(r.g, r.v) for r in got}
+    for r in got:
+        t = true[r.g][r.v]
+        assert r.cnt <= t <= r.cnt + r.err, (r, t)
+        assert r.n_total == n[r.g]
+    for g, c in true.items():
+        for v, t in c.items():
+            if t * (M + 1) > n[g]:
+                assert (g, v) in reported, (g, v, t)
+
+    # determinism: full replay reproduces the summary state exactly
+    state2 = run("hh2", "hk2")
+    a = sorted(tuple(r) for r in
+               read_summary(spark, state, ["g"], "v").collect())
+    b = sorted(tuple(r) for r in
+               read_summary(spark, state2, ["g"], "v").collect())
+    assert a == b
