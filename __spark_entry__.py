@@ -1072,6 +1072,23 @@ def q_sparql_kg_minus_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic Turtle serialization of the turn KG
+    (kgloom/exec/ttl.py — a format the reference enumerates but leaves
+    unimplemented, serializer/mod.rs): one single-line block per
+    subject, objects and predicates in sorted order, prefix compaction
+    only where the local name is safe (turn subjects keep full IRIs —
+    their path has a '/'; conv/tool objects compact).  Determinism
+    makes the TEXT itself oracle-checkable: the DuckDB twin rebuilds
+    the identical strings with string_agg ORDER BY."""
+    from kgloom.exec.ttl import turtle_blocks
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return turtle_blocks(triples, {
+        "kg": _KGO,
+        "conv": "http://kg.example/conv/",
+        "tool": "http://kg.example/tool/"})
+
+
 def q_sparql_kg_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL VALUES with UNDEF cells over the constructed KG
     (kgloom/sparql.py): inline data tags user turns "u", matches
@@ -2320,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_dataset": q_sparql_kg_dataset,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_values_undef": q_sparql_kg_values_undef,
+        "kg_turtle_render": q_kg_turtle_render,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
@@ -5025,6 +5043,42 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+
+    # Turtle text replay: the writer is deterministic (sorted objects,
+    # rdf:type-first sorted predicates, safe-local prefix compaction),
+    # so the oracle reconstructs the IDENTICAL block strings
+    def _ttl_compact(col: str) -> str:
+        arms = []
+        for p, ns in sorted(
+                {"kg": _KGO, "conv": "http://kg.example/conv/",
+                 "tool": "http://kg.example/tool/"}.items(),
+                key=lambda kv: (-len(kv[1]), kv[0])):
+            pat = "^<" + ns.replace(".", "\\.") + \
+                "([A-Za-z_][A-Za-z0-9_-]*)>$"
+            arms.append(
+                f"WHEN regexp_matches({col}, '{pat}') THEN '{p}:' || "
+                f"regexp_extract({col}, '{pat}', 1)")
+        return "CASE " + " ".join(arms) + f" ELSE {col} END"
+
+    oracles["kg_turtle_render"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        c AS (SELECT {_ttl_compact('subj')} AS s,
+                     CASE WHEN pred =
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                          THEN 'a' ELSE {_ttl_compact('pred')} END AS p,
+                     {_ttl_compact('obj')} AS o
+              FROM tt),
+        po AS (SELECT s, p,
+                      string_agg(o, ' , ' ORDER BY o) AS objs,
+                      CASE WHEN p = 'a' THEN 0 ELSE 1 END AS pk
+               FROM (SELECT DISTINCT * FROM c) GROUP BY s, p)
+        SELECT s AS subj,
+               s || ' ' ||
+               string_agg(p || ' ' || objs, ' ; ' ORDER BY pk, p)
+                 || ' .' AS ttl
+        FROM po GROUP BY s
+    """
     # KLL-lite replay: same md5 content salt, same ntile compaction,
     # same cumulative-weight merge arithmetic (association and cast
     # points mirrored), same ceil-rank extraction — the sketched

@@ -79,6 +79,7 @@ class SinkResult:
     node_id: str
     target: TargetOp
     dataframe: DataFrame  # structured (subj, pred, obj, graph)
+    format: Optional[DataFormat] = None  # upstream serializer's format
 
 
 @dataclass
@@ -92,6 +93,7 @@ class SparkBinder:
     def execute(self, graph: PlanGraph) -> list[SinkResult]:
         bound: dict[str, DataFrame] = {}
         results: list[SinkResult] = []
+        ser_format: dict[str, DataFormat] = {}
         source_cache: dict = {}
         # document sources carry the per-RECORD index when the plan uses
         # AUTOINCREMENT, so numbering counts iterator entities rather
@@ -148,13 +150,18 @@ class SparkBinder:
                 bound[node_id] = self._bind_join(op, left, right)
             elif isinstance(op, FragmentOp):
                 bound[node_id] = bound[preds[0].src]
+                if preds[0].src in ser_format:
+                    ser_format[node_id] = ser_format[preds[0].src]
             elif isinstance(op, SerializerOp):
                 df = bound[preds[0].src]
                 bound[node_id] = self._bind_serializer(op, df)
+                ser_format[node_id] = op.format
             elif isinstance(op, TargetOp):
                 df = bound[preds[0].src]
                 results.append(SinkResult(node_id=node_id, target=op,
-                                          dataframe=df))
+                                          dataframe=df,
+                                          format=ser_format.get(
+                                              preds[0].src)))
             else:
                 raise BindError(f"unknown operator {type(op).__name__}")
         return results
@@ -344,11 +351,14 @@ class SparkBinder:
         to structured (subj, pred, obj, graph); null terms suppress the
         triple (RMLTC0009a empty join key), null graph suppresses the
         quad; RDF set semantics via distinct."""
-        if op.format not in (DataFormat.NQUADS, DataFormat.NTRIPLES):
+        if op.format not in (DataFormat.NQUADS, DataFormat.NTRIPLES,
+                             DataFormat.TTL):
             raise BindError(
                 f"serializer format {op.format} not implemented "
-                "(reference implements NTriples+NQuads only — "
-                "serializer/mod.rs:39-56)")
+                "(reference implements NTriples+NQuads only, and "
+                "enumerates TTL as unimplemented — serializer/"
+                "mod.rs:39-56; TTL is implemented HERE via the "
+                "distributed writer in kgloom/exec/ttl.py)")
         quads: list = []
         for raw_line in op.template.splitlines():
             line = raw_line.strip()
@@ -405,7 +415,13 @@ def write_sinks(results: list[SinkResult]) -> dict[str, DataFrame]:
             path = cfg.get("path")
             if not path:
                 raise BindError("file target without path")
-            to_nquads_lines(r.dataframe).write.mode("overwrite").text(path)
+            if r.format == DataFormat.TTL:
+                from .ttl import turtle_document_lines
+                lines = turtle_document_lines(
+                    r.dataframe, cfg.get("prefixes"))
+            else:
+                lines = to_nquads_lines(r.dataframe)
+            lines.write.mode("overwrite").text(path)
         elif r.target.target_type == IOType.TABLE:
             r.dataframe.write.mode(cfg.get("mode", "overwrite")) \
                 .parquet(cfg["path"])
