@@ -2249,6 +2249,24 @@ def q_sketch_mg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pred", "obj", "cnt", "n_group"))
 
 
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV multiset-operation estimates (kgloom/ops/sketch.py
+    kmv_set_estimates; Beyer et al. 2007): union / intersection /
+    Jaccard cardinality of the entity sets mentioned in user vs
+    assistant turns, from two 64-row synopses — the join-size-advisor
+    primitive (broadcast-vs-shuffle decisions from sketches alone,
+    never rescanning either side).  md5-deterministic, so the DuckDB
+    oracle replays every estimate bit-for-bit."""
+    from kgloom.ops.sketch import kmv_set_estimates
+    turns = transcripts_from_events(spark, sf_dir)
+    ents = (turns.where(F.col("text").rlike("Entity_[0-9]+"))
+            .select("role", F.regexp_extract("text", "Entity_[0-9]+", 0)
+                    .alias("ent")))
+    a = ents.where(F.col("role") == "user").select("ent")
+    b = ents.where(F.col("role") == "assistant").select("ent")
+    return kmv_set_estimates(a, b, [], "ent", k=64)
+
+
 def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equal-frequency-centroid quantile sketch (round-5,
     kgloom/ops/sketch.py kll_quantiles): per-language p10/p50/p90/p99
@@ -2310,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_incremental": q_sketch_kmv_incremental,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_mg_incremental": q_sketch_mg_incremental,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5043,6 +5062,50 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # KMV set-operation replay: same md5 fractions, same per-side
+    # k-minima, same union-top-k + membership flags, same cast points
+    # (SUM→BIGINT to dodge DuckDB's HUGEINT)
+    oracles["sketch_kmv_setops"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        ea AS (SELECT DISTINCT
+                 CAST('0x' || substr(md5(
+                     regexp_extract(text, 'Entity_[0-9]+', 0)), 1, 15)
+                   AS BIGINT) / 1152921504606846976.0 AS f
+               FROM tr WHERE role = 'user'
+                 AND regexp_matches(text, 'Entity_[0-9]+')),
+        eb AS (SELECT DISTINCT
+                 CAST('0x' || substr(md5(
+                     regexp_extract(text, 'Entity_[0-9]+', 0)), 1, 15)
+                   AS BIGINT) / 1152921504606846976.0 AS f
+               FROM tr WHERE role = 'assistant'
+                 AND regexp_matches(text, 'Entity_[0-9]+')),
+        ma AS (SELECT f FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f)
+                                AS rn FROM ea) WHERE rn <= 64),
+        mb AS (SELECT f FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f)
+                                AS rn FROM eb) WHERE rn <= 64),
+        u AS (SELECT DISTINCT f FROM
+                (SELECT f FROM ma UNION ALL SELECT f FROM mb)),
+        uk AS (SELECT f FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f)
+                                AS rn FROM u) WHERE rn <= 64),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_minima,
+                       MAX(f) AS f_k,
+                       CAST(SUM(CASE WHEN f IN (SELECT f FROM ma)
+                                      AND f IN (SELECT f FROM mb)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS k_inter
+                FROM uk)
+        SELECT n_union_minima, f_k,
+               CASE WHEN n_union_minima < 64
+                    THEN CAST(n_union_minima AS DOUBLE)
+                    ELSE 63.0 / f_k END AS est_union,
+               k_inter,
+               k_inter / n_union_minima AS jaccard,
+               CASE WHEN n_union_minima < 64
+                    THEN CAST(k_inter AS DOUBLE)
+                    ELSE (k_inter / n_union_minima) *
+                         (63.0 / f_k) END AS est_inter
+        FROM agg
+    """
 
     # Turtle text replay: the writer is deterministic (sorted objects,
     # rdf:type-first sorted predicates, safe-local prefix compaction),

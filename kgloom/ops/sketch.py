@@ -316,3 +316,59 @@ def heavy_hitters(df: DataFrame, keys: list[str], value: str,
             .join(totals, on=list(keys))
             .where(F.col("cnt") * (m + 1) > F.col("n_group"))
             .select(*keys, value, "cnt", "n_group"))
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, keys: list[str],
+                      value: str, k: int = 64,
+                      n_buckets: int = 16) -> DataFrame:
+    """Per-``keys`` distinct-cardinality estimates for the UNION,
+    INTERSECTION and Jaccard of two sides' ``value`` sets from their
+    KMV synopses alone (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations" — public
+    method): the k smallest of ``M_a ∪ M_b`` form the union synopsis;
+    the fraction of those present in BOTH side synopses estimates the
+    Jaccard; ``est_inter = jaccard · est_union``.
+
+    This is join-size-advisor machinery: |A ⋈ B| on a key column is
+    bounded below by the key intersection, and a planner can decide
+    broadcast vs shuffle from two k-row synopses without touching
+    either table again.  Deterministic md5 hashing makes every output
+    column a pure function of the two value sets — the DuckDB oracle
+    reproduces the ESTIMATES bit-for-bit.
+
+    Exactness: when the union synopsis holds fewer than ``k`` minima
+    both side synopses are complete sets, so ``est_union`` and
+    ``est_inter`` are exact counts.  Groups present on only one side
+    report an empty intersection.
+
+    Returns ``(keys…, n_union_minima, f_k, est_union, k_inter,
+    jaccard, est_inter)``.
+    """
+    ma = kmv_minima(a, keys, value, k=k, n_buckets=n_buckets)
+    mb = kmv_minima(b, keys, value, k=k, n_buckets=n_buckets)
+    u = ma.unionByName(mb).distinct()
+    w = Window.partitionBy(*keys).orderBy("__f")
+    uk = (u.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= k).drop("__rn"))
+    flagged = (uk
+               .join(ma.withColumn("__ina", F.lit(1)),
+                     on=[*keys, "__f"], how="left")
+               .join(mb.withColumn("__inb", F.lit(1)),
+                     on=[*keys, "__f"], how="left"))
+    agg = flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_union_minima"),
+        F.max("__f").alias("f_k"),
+        F.sum(F.when(F.col("__ina").isNotNull() &
+                     F.col("__inb").isNotNull(), 1).otherwise(0))
+         .alias("k_inter"))
+    est_union = F.when(F.col("n_union_minima") < k,
+                       F.col("n_union_minima").cast("double")) \
+                 .otherwise((k - 1) / F.col("f_k"))
+    return (agg.withColumn("est_union", est_union)
+            .withColumn("jaccard",
+                        F.col("k_inter") / F.col("n_union_minima"))
+            .withColumn("est_inter",
+                        F.when(F.col("n_union_minima") < k,
+                               F.col("k_inter").cast("double"))
+                        .otherwise(F.col("jaccard") *
+                                   F.col("est_union"))))

@@ -250,3 +250,54 @@ def test_mg_candidates_bounded_and_superset(spark, skewed):
     got = set(map(tuple, cand.collect()))
     for g, v, _c, _n in _exact_heavy(skewed, m):
         assert (g, v) in got  # every true heavy hitter survives
+
+
+def test_kmv_set_estimates_exact_branch(spark):
+    from kgloom.ops.sketch import kmv_set_estimates
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(20)], "g string, v string")
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10, 40)], "g string, v string")
+    r = kmv_set_estimates(a, b, ["g"], "v", k=64).collect()[0]
+    # union < k → synopses are complete sets → exact everything
+    assert r.n_union_minima == 40 and r.est_union == 40.0
+    assert r.k_inter == 10 and r.est_inter == 10.0
+    assert abs(r.jaccard - 10 / 40) < 1e-12
+
+
+def test_kmv_set_estimates_disjoint(spark):
+    from kgloom.ops.sketch import kmv_set_estimates
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(30)],
+                              "g string, v string")
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(30)],
+                              "g string, v string")
+    r = kmv_set_estimates(a, b, ["g"], "v", k=64).collect()[0]
+    assert r.k_inter == 0 and r.est_inter == 0.0 and r.jaccard == 0.0
+    assert r.est_union == 60.0
+
+
+def test_kmv_set_estimates_estimator_accuracy(spark):
+    """5000 ∪ 5000 with 2500 shared (true union 7500, jaccard 1/3):
+    k=256 keeps relative error well inside 3/sqrt(k)."""
+    from kgloom.ops.sketch import kmv_set_estimates
+    a = spark.createDataFrame([("g", f"v{i}") for i in range(5000)],
+                              "g string, v string")
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(2500, 7500)], "g string, v string")
+    r = kmv_set_estimates(a, b, ["g"], "v", k=256).collect()[0]
+    assert abs(r.est_union - 7500) / 7500 < 3 / (256 ** 0.5)
+    assert abs(r.jaccard - 1 / 3) < 0.15
+    assert abs(r.est_inter - 2500) / 2500 < 0.35
+
+
+def test_kmv_set_estimates_deterministic(spark):
+    from kgloom.ops.sketch import kmv_set_estimates
+    a = spark.createDataFrame([("g", f"v{i}") for i in range(3000)],
+                              "g string, v string")
+    b = spark.createDataFrame([("g", f"v{i}") for i in range(1000, 4000)],
+                              "g string, v string")
+    r1 = sorted(map(tuple, kmv_set_estimates(
+        a.repartition(1), b.repartition(7), ["g"], "v", k=64).collect()))
+    r2 = sorted(map(tuple, kmv_set_estimates(
+        a.repartition(13), b.repartition(2), ["g"], "v", k=64).collect()))
+    assert r1 == r2
