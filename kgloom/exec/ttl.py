@@ -20,7 +20,8 @@ the local part is a conservative PN_LOCAL (``[A-Za-z_][A-Za-z0-9_-]*``
 — anything else keeps the full IRI, so compaction can never produce
 invalid Turtle).  Literals and blank nodes pass through in their
 rendered form.  Turtle has no graph slot: the quad's ``graph`` column
-is ignored (serialize a per-graph slice for TriG-like output).
+is ignored here — :func:`trig_document_lines` is the graph-aware
+variant (TriG).
 """
 
 from __future__ import annotations
@@ -100,3 +101,44 @@ def turtle_document_lines(df: DataFrame,
         [(f"@prefix {p}: <{ns}> .",)
          for p, ns in sorted(prefixes.items())], "value string")
     return header.unionByName(blocks.select(F.col("ttl").alias("value")))
+
+
+def trig_document_lines(df: DataFrame,
+                        prefixes: dict[str, str] | None = None
+                        ) -> DataFrame:
+    """TriG variant: quads with a non-null ``graph`` serialize as
+    ``<g> {{ block }}`` lines, null-graph quads as plain Turtle blocks
+    — same determinism guarantees as :func:`turtle_blocks`, one line
+    per (graph, subject).  TriG is a superset of Turtle, so a
+    graph-free input degrades to exactly the Turtle document."""
+    prefixes = dict(prefixes or {})
+    spark = df.sparkSession
+    g = compact_term(F.col("graph"), prefixes)
+    s = compact_term(F.col("subj"), prefixes)
+    p = F.when(F.col("pred") == _RDF_TYPE, F.lit("a")) \
+         .otherwise(compact_term(F.col("pred"), prefixes))
+    o = compact_term(F.col("obj"), prefixes)
+    t = df.select(g.alias("g"), s.alias("s"), p.alias("p"),
+                  o.alias("o")).distinct()
+    po = (t.groupBy("g", "s", "p")
+          .agg(F.array_join(F.array_sort(F.collect_set("o")),
+                            " , ").alias("objs"))
+          .withColumn("pk", F.when(F.col("p") == "a",
+                                   F.lit(0)).otherwise(F.lit(1))))
+    body = F.array_join(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("pk", "p", "objs"))),
+            lambda x: F.concat(x["p"], F.lit(" "), x["objs"])),
+        " ; ")
+    block = F.concat(F.col("s"), F.lit(" "), F.col("body"), F.lit(" ."))
+    lines = (po.groupBy("g", "s").agg(body.alias("body"))
+             .select(F.when(F.col("g").isNotNull(),
+                            F.concat(F.col("g"), F.lit(" { "), block,
+                                     F.lit(" }")))
+                     .otherwise(block).alias("value")))
+    if not prefixes:
+        return lines
+    header = spark.createDataFrame(
+        [(f"@prefix {p}: <{ns}> .",)
+         for p, ns in sorted(prefixes.items())], "value string")
+    return header.unionByName(lines)

@@ -138,3 +138,35 @@ def test_no_python_in_plan(spark, kg):
     plan = turtle_blocks(kg, {"ex": EX})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_trig_named_and_default_graphs(spark):
+    from kgloom.exec.ttl import trig_document_lines
+    rows = [
+        (f"<{EX}s1>", f"<{EX}p>", '"x"', f"<{EX}g1>"),
+        (f"<{EX}s1>", f"<{EX}p>", '"y"', f"<{EX}g1>"),
+        (f"<{EX}s1>", f"<{EX}p>", '"z"', None),
+        (f"<{EX}s2>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         f"<{EX}T>", f"<{EX}g2>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    got = sorted(r.value for r in
+                 trig_document_lines(df, {"ex": EX}).collect())
+    assert got == [
+        '@prefix ex: <http://ex.org/> .',
+        'ex:g1 { ex:s1 ex:p "x" , "y" . }',
+        'ex:g2 { ex:s2 a ex:T . }',
+        'ex:s1 ex:p "z" .',
+    ]
+
+
+def test_trig_degrades_to_turtle_without_graphs(spark, kg):
+    from kgloom.exec.ttl import (trig_document_lines,
+                                 turtle_document_lines)
+    a = sorted(r.value for r in
+               trig_document_lines(kg, {"ex": EX}).collect())
+    b = sorted(r.value for r in
+               turtle_document_lines(kg, {"ex": EX}).collect())
+    assert a == b
