@@ -1370,6 +1370,38 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_graph_shortest_paths(spark, sf_dir):
+    """Weighted multi-source shortest paths (kgloom/ops/graph.py
+    shortest_paths): frontier-optimized Bellman-Ford over the
+    turn-succession DAG — kg:next chain edges cost 1, turn→tool edges
+    cost 3 — seeded at the opening turns of the conv-*0
+    conversations, capped at 24 relaxation rounds (= min over ≤24-edge
+    paths, the exact BF round semantics).  The DAG has a unique path
+    per reached node, so the DuckDB twin replays it with a bounded
+    recursive CTE."""
+    from pyspark.sql.window import Window
+    from kgloom.ops.graph import shortest_paths
+    turns = transcripts_from_events(spark, sf_dir)
+    turn_iri = F.concat(F.lit("<http://kg.example/conv/"),
+                        F.col("conv_id"), F.lit("/turn/"),
+                        F.col("turn_idx").cast("string"), F.lit(">"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (turns.select(turn_iri.alias("src"),
+                        F.lead(turn_iri).over(w).alias("dst"))
+           .where(F.col("dst").isNotNull())
+           .withColumn("w", F.lit(1).cast("long")))
+    tool = (turns.where(F.col("tool").isNotNull())
+            .select(turn_iri.alias("src"),
+                    F.concat(F.lit("<http://kg.example/tool/"),
+                             F.col("tool"), F.lit(">")).alias("dst"))
+            .withColumn("w", F.lit(3).cast("long")))
+    sources = (turns.where((F.col("turn_idx") == 0) &
+                           F.col("conv_id").endswith("0"))
+               .select(turn_iri.alias("node")))
+    return shortest_paths(nxt.unionByName(tool), sources,
+                          weight="w", max_rounds=24)
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank (round-4, kgloom/ops/graph.py:
     personalized_pagerank): random-walk-with-restart to the TOOL
@@ -2404,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_bm25": q_text_bm25,
         "graph_pagerank": q_graph_pagerank,
+        "graph_shortest_paths": q_graph_shortest_paths,
         "graph_ppr": q_graph_ppr,
         "ann_rp_sketch": q_ann_rp_sketch,
         "graph_kg_profile": q_graph_kg_profile,
@@ -5062,6 +5095,35 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # SSSP replay: the turn graph is a DAG (next chains + tool
+    # leaves), so a hop-bounded recursive CTE enumerates each node's
+    # unique path and MIN(d) is the same <=24-edge-path optimum the
+    # 24 Bellman-Ford rounds compute
+    oracles["graph_shortest_paths"] = f"""
+        WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+        iri AS (SELECT conv_id, turn_idx, tool,
+                       '<http://kg.example/conv/' || conv_id || '/turn/'
+                         || CAST(turn_idx AS VARCHAR) || '>' AS t
+                FROM tr),
+        e AS (SELECT t AS src,
+                     LEAD(t) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS dst,
+                     1 AS w
+              FROM iri
+              UNION ALL
+              SELECT t, '<http://kg.example/tool/' || tool || '>', 3
+              FROM iri WHERE tool IS NOT NULL),
+        s AS (SELECT t AS node FROM iri
+              WHERE turn_idx = 0 AND conv_id LIKE '%0'),
+        walk(node, d, hop) AS (
+            SELECT node, 0, 0 FROM s
+            UNION ALL
+            SELECT e.dst, walk.d + e.w, walk.hop + 1
+            FROM walk JOIN e ON e.src = walk.node
+            WHERE e.dst IS NOT NULL AND walk.hop < 24)
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """
     # KMV set-operation replay: same md5 fractions, same per-side
     # k-minima, same union-top-k + membership flags, same cast points
     # (SUM→BIGINT to dodge DuckDB's HUGEINT)

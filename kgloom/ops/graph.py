@@ -894,3 +894,63 @@ def link_prediction_ranks(edges: DataFrame, test_fraction: float = 0.2,
                       "left")
             .select("u", "v", "rank",
                     F.col("rank").isNotNull().alias("found")))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   weight: str | None = None, max_rounds: int = 20,
+                   src: str = "src", dst: str = "dst",
+                   directed: bool = True) -> DataFrame:
+    """(node, dist): minimum path weight from the SOURCE set —
+    frontier-optimized Bellman-Ford relaxation (the Pregel SSSP
+    pattern as iterative DataFrame joins).
+
+    ``weight`` names a non-negative numeric edge column (``None`` →
+    every edge costs 1 and this degrades to hop distance).  Per round
+    only the nodes IMPROVED last round propagate (delta relaxation):
+    one join frontier ⋈ adjacency, one min-aggregate, one min-merge
+    against the running distances — work is O(edges incident to the
+    frontier), not O(V·E), and the loop exits as soon as a round
+    improves nothing (≤ the graph's hop diameter rounds on
+    non-negative weights).  All steps ``localCheckpoint``ed so
+    lineage never stacks.
+
+    Scale shape: the distance table is one row per REACHED node, the
+    frontier a shrinking subset; no collects, no broadcasts of
+    node-sized state.  ``max_rounds`` bounds pathological inputs
+    (negative-weight graphs converge to the ≤ max_rounds-hop optimum
+    only).
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    w = F.col(weight) if weight else F.lit(1)
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                       w.alias("w"))
+    e = fwd if directed else fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+    # parallel edges collapse to their cheapest — fewer candidate rows
+    adj = tracked_persist(
+        e.groupBy("a", "b").agg(F.min("w").alias("w")))
+    wtype = dict(adj.dtypes)["w"]
+    dist = (sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast(wtype))
+            .localCheckpoint())
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (adj.join(frontier.withColumnRenamed("node", "a"), "a")
+                .select(F.col("b").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        improved = (cand.join(dist.withColumnRenamed("dist", "__cur"),
+                              "node", "left")
+                    .where(F.col("__cur").isNull() |
+                           (F.col("dist") < F.col("__cur")))
+                    .drop("__cur")
+                    .localCheckpoint())
+        if improved.limit(1).count() == 0:
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint())
+        frontier = improved
+    return dist

@@ -192,3 +192,65 @@ def test_triangle_count_triangle_free(spark):
     e = spark.createDataFrame(raw, "src string, dst string")
     got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
     assert got == {v: 0 for v in "abcd"}
+
+
+def test_shortest_paths_vs_dijkstra(spark):
+    """Weighted SSSP (kgloom/ops/graph.py shortest_paths) against a
+    driver-side Dijkstra on a random sparse digraph."""
+    import heapq
+    import random
+
+    from kgloom.ops.graph import shortest_paths
+    rng = random.Random(20260820)
+    n = 120
+    edges = {(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}"):
+             rng.randrange(1, 10) for _ in range(420)}
+    edges = [(a, b, w) for (a, b), w in edges.items() if a != b]
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+
+    def dijkstra(srcs):
+        dist = {s: 0 for s in srcs}
+        pq = [(0, s) for s in srcs]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                if d + w < dist.get(v, float("inf")):
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        return dist
+
+    srcs = ["n0", "n7"]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([(x,) for x in srcs], "node string")
+    got = {r.node: r.dist for r in
+           shortest_paths(e, s, weight="w", max_rounds=50).collect()}
+    assert got == dijkstra(srcs)
+
+
+def test_shortest_paths_hop_distance_matches_bfs(spark):
+    from kgloom.ops.graph import bfs_levels, shortest_paths
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([("a",)], "node string")
+    sp = {r.node: r.dist for r in
+          shortest_paths(e, s, directed=False).collect()}
+    bf = {r.node: r.level for r in
+          bfs_levels(e, s, directed=False).collect()}
+    assert sp == bf
+    assert "x" not in sp  # unreachable nodes are absent
+
+
+def test_shortest_paths_early_stop_and_parallel_edges(spark):
+    from kgloom.ops.graph import shortest_paths
+    # parallel edges collapse to the cheapest; max_rounds generous
+    edges = [("a", "b", 5), ("a", "b", 2), ("b", "c", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in
+           shortest_paths(e, s, weight="w", max_rounds=99).collect()}
+    assert got == {"a": 0, "b": 2, "c": 3}
