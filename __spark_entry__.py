@@ -1402,6 +1402,33 @@ def q_graph_shortest_paths(spark, sf_dir):
                           weight="w", max_rounds=24)
 
 
+def q_graph_reach_synopsis(spark, sf_dir):
+    """Per-node ≤12-hop reachable-ball size estimates over the
+    turn-succession DAG (kgloom/ops/graph.py reach_synopsis) — the
+    HyperANF neighborhood-function idea with the deterministic KMV
+    synopsis (k=8) in place of HyperLogLog.  Mergeability makes the
+    12-round fold equal the true ball's synopsis exactly, so the
+    DuckDB twin enumerates each ball with a hop-bounded recursive CTE
+    and replays the same md5 estimate bit-for-bit.  Early turns
+    (balls > k) exercise the estimator branch, late turns and tool
+    leaves the exact branch."""
+    from pyspark.sql.window import Window
+    from kgloom.ops.graph import reach_synopsis
+    turns = transcripts_from_events(spark, sf_dir)
+    turn_iri = F.concat(F.lit("<http://kg.example/conv/"),
+                        F.col("conv_id"), F.lit("/turn/"),
+                        F.col("turn_idx").cast("string"), F.lit(">"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (turns.select(turn_iri.alias("src"),
+                        F.lead(turn_iri).over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()))
+    tool = (turns.where(F.col("tool").isNotNull())
+            .select(turn_iri.alias("src"),
+                    F.concat(F.lit("<http://kg.example/tool/"),
+                             F.col("tool"), F.lit(">")).alias("dst")))
+    return reach_synopsis(nxt.unionByName(tool), radius=12, k=8)
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank (round-4, kgloom/ops/graph.py:
     personalized_pagerank): random-walk-with-restart to the TOOL
@@ -2437,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_reach_synopsis": q_graph_reach_synopsis,
         "graph_ppr": q_graph_ppr,
         "ann_rp_sketch": q_ann_rp_sketch,
         "graph_kg_profile": q_graph_kg_profile,
@@ -5123,6 +5151,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.dst IS NOT NULL AND walk.hop < 24)
         SELECT node, CAST(MIN(d) AS BIGINT) AS dist
         FROM walk GROUP BY node
+    """
+    # reach-ball replay: enumerate each node's <=12-hop ball (unique
+    # paths on the turn DAG), then the same md5 k-minima arithmetic —
+    # equal to the engine's 12-round fold by KMV mergeability
+    oracles["graph_reach_synopsis"] = f"""
+        WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+        iri AS (SELECT conv_id, turn_idx, tool,
+                       '<http://kg.example/conv/' || conv_id || '/turn/'
+                         || CAST(turn_idx AS VARCHAR) || '>' AS t
+                FROM tr),
+        e0 AS (SELECT t AS src,
+                      LEAD(t) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS dst
+               FROM iri
+               UNION ALL
+               SELECT t, '<http://kg.example/tool/' || tool || '>'
+               FROM iri WHERE tool IS NOT NULL),
+        e AS (SELECT DISTINCT src, dst FROM e0
+              WHERE dst IS NOT NULL AND src <> dst),
+        n AS (SELECT src AS node FROM e
+              UNION SELECT dst FROM e),
+        ball(root, node, hop) AS (
+            SELECT node, node, 0 FROM n
+            UNION ALL
+            SELECT ball.root, e.dst, hop + 1
+            FROM ball JOIN e ON e.src = ball.node
+            WHERE hop < 12),
+        h AS (SELECT DISTINCT root,
+                     CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM ball),
+        r AS (SELECT root, f,
+                     ROW_NUMBER() OVER (PARTITION BY root ORDER BY f)
+                       AS rn
+              FROM h),
+        m AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS n_minima,
+                     MAX(f) AS f_k
+              FROM r WHERE rn <= 8 GROUP BY root)
+        SELECT root AS node, n_minima, f_k,
+               CASE WHEN n_minima < 8 THEN CAST(n_minima AS DOUBLE)
+                    ELSE 7.0 / f_k END AS est
+        FROM m
     """
     # KMV set-operation replay: same md5 fractions, same per-side
     # k-minima, same union-top-k + membership flags, same cast points

@@ -954,3 +954,59 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
                 .localCheckpoint())
         frontier = improved
     return dist
+
+
+def reach_synopsis(edges: DataFrame, radius: int, k: int = 16,
+                   src: str = "src", dst: str = "dst",
+                   directed: bool = True) -> DataFrame:
+    """(node, n_minima, f_k, est): per-node estimate of the ≤radius-hop
+    reachable-set size ("ball") — the neighborhood function / effective-
+    diameter primitive (the HyperANF idea, Boldi et al. 2011, with the
+    engine's deterministic KMV synopsis in place of HyperLogLog so the
+    result is oracle-checkable).
+
+    Per round each node's synopsis absorbs its successors' synopses:
+
+        reach_r(v) = TopK(distinct(reach_{r-1}(v) ∪
+                                   ⋃_{v→u} reach_{r-1}(u)))
+
+    KMV mergeability makes this EXACT-by-construction: after ``r``
+    rounds a node's k minima are precisely the KMV synopsis of its
+    true ≤r-hop ball, so ``est`` is exact for balls below ``k`` and
+    the standard (k-1)/f_k estimate above — bit-replayable by any
+    engine that can enumerate the ball (the DuckDB oracle does, via a
+    hop-bounded recursive CTE + the same md5 arithmetic).
+
+    Scale shape: state is ≤ k rows per node; each round is one
+    edge ⋈ synopsis join + one bounded per-node top-k — O(E·k) rows
+    shuffled, no collects, lineage truncated per round.
+    """
+    from pyspark.sql.window import Window
+
+    from .sketch import _hash_fraction
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = fwd if directed else fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = tracked_persist(e.where(F.col("a") != F.col("b")).distinct())
+    nodes = (adj.select(F.col("a").alias("node"))
+             .unionByName(adj.select(F.col("b").alias("node")))
+             .distinct())
+    reach = (nodes.withColumn("__f", _hash_fraction(F.col("node")))
+             .localCheckpoint())
+    w = Window.partitionBy("node").orderBy("__f")
+    for _ in range(radius):
+        prop = (adj.join(reach.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "__f"))
+        reach = (reach.unionByName(prop).distinct()
+                 .withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= k).drop("__rn")
+                 .localCheckpoint())
+    agg = reach.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_minima"),
+        F.max("__f").alias("f_k"))
+    est = (F.when(F.col("n_minima") < k,
+                  F.col("n_minima").cast("double"))
+           .otherwise(F.lit(float(k - 1)) / F.col("f_k")))
+    return agg.select("node", "n_minima", "f_k", est.alias("est"))

@@ -254,3 +254,57 @@ def test_shortest_paths_early_stop_and_parallel_edges(spark):
     got = {r.node: r.dist for r in
            shortest_paths(e, s, weight="w", max_rounds=99).collect()}
     assert got == {"a": 0, "b": 2, "c": 3}
+
+
+def test_reach_synopsis_exact_below_k(spark):
+    """Chain a->b->c->d, x->y: with k far above every ball size the
+    synopsis is complete and est == true ball size exactly."""
+    from kgloom.ops.graph import reach_synopsis
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.est for r in
+           reach_synopsis(e, radius=2, k=64).collect()}
+    assert got == {"a": 3.0, "b": 3.0, "c": 2.0, "d": 1.0,
+                   "x": 2.0, "y": 1.0}
+
+
+def test_reach_synopsis_equals_true_ball_kmv(spark):
+    """Mergeability: the folded synopsis must equal the KMV synopsis
+    of the TRUE ball — checked on a random digraph with balls larger
+    than k by replaying md5 arithmetic on driver-side reachability."""
+    import hashlib
+    import random
+
+    from kgloom.ops.graph import reach_synopsis
+    rng = random.Random(20260820)
+    n, k, radius = 80, 8, 3
+    edges = list({(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                  for _ in range(240)})
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+
+    def ball(v, r):
+        seen, frontier = {v}, {v}
+        for _ in range(r):
+            frontier = {u for x in frontier
+                        for u in adj.get(x, ())} - seen
+            seen |= frontier
+        return seen
+
+    def frac(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16) / 16**15
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.n_minima, r.est) for r in
+           reach_synopsis(e, radius=radius, k=k).collect()}
+    big = 0
+    for v, (n_min, est) in got.items():
+        fs = sorted(frac(x) for x in ball(v, radius))
+        if len(fs) < k:
+            assert (n_min, est) == (len(fs), float(len(fs))), v
+        else:
+            big += 1
+            assert n_min == k and abs(est - (k - 1) / fs[k - 1]) < 1e-9, v
+    assert big > 10  # the estimator branch was genuinely exercised
