@@ -2342,6 +2342,21 @@ def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          [0.1, 0.5, 0.9, 0.99], k=32, n_salts=4)
 
 
+def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of the documents table
+    (kgloom/ops/sketch.py table_profile): exact row/null counts, KMV
+    distinct estimates, and the MG-verified dominant value per column
+    — one melted long-form pass, each statistic a deterministic
+    sketch, every cell replayed by the DuckDB twin.  Near-unique
+    columns (doc_id, text) honestly report a null top value (nothing
+    exceeds N/65); categorical columns (lang, source) report their
+    winner with its exact count."""
+    from kgloom.ops.sketch import table_profile
+    return table_profile(
+        _docs(spark, sf_dir),
+        ["doc_id", "text", "lang", "source", "n_chars"], k=64, m=64)
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2388,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_mg_incremental": q_sketch_mg_incremental,
         "sketch_kmv_setops": q_sketch_kmv_setops,
+        "stats_table_profile": q_stats_table_profile,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5123,6 +5139,50 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # table-profile replay: same melt (CAST AS VARCHAR per column),
+    # same KMV k=64 estimate, same MG threshold (cnt*65 > N) with the
+    # same (cnt DESC, v) top-1 tie-break
+    oracles["stats_table_profile"] = """
+        WITH m AS (
+          SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v
+          FROM documents
+          UNION ALL SELECT 'text', text FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+          FROM documents),
+        counts AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(CASE WHEN v IS NULL THEN 1
+                                        ELSE 0 END) AS BIGINT)
+                            AS n_nulls
+                   FROM m GROUP BY c),
+        h AS (SELECT DISTINCT c,
+                     CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM m WHERE v IS NOT NULL),
+        r AS (SELECT c, f, ROW_NUMBER() OVER
+                             (PARTITION BY c ORDER BY f) AS rn
+              FROM h),
+        d AS (SELECT c, COUNT(*) AS n_minima, MAX(f) AS f_k
+              FROM r WHERE rn <= 64 GROUP BY c),
+        cnts AS (SELECT c, v, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM m WHERE v IS NOT NULL GROUP BY c, v),
+        tot AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+                FROM m WHERE v IS NOT NULL GROUP BY c),
+        hh AS (SELECT cnts.c, v, cnt
+               FROM cnts JOIN tot USING (c) WHERE cnt * 65 > tot.n),
+        top AS (SELECT c, v AS top_value, cnt AS top_cnt
+                FROM (SELECT c, v, cnt, ROW_NUMBER() OVER
+                        (PARTITION BY c ORDER BY cnt DESC, v) AS rk
+                      FROM hh) WHERE rk = 1)
+        SELECT counts.c AS "column", n_rows, n_nulls,
+               CASE WHEN d.n_minima < 64
+                    THEN CAST(d.n_minima AS DOUBLE)
+                    ELSE 63.0 / d.f_k END AS distinct_est,
+               top_value, top_cnt
+        FROM counts LEFT JOIN d ON counts.c = d.c
+                    LEFT JOIN top ON counts.c = top.c
+    """
     # SSSP replay: the turn graph is a DAG (next chains + tool
     # leaves), so a hop-bounded recursive CTE enumerates each node's
     # unique path and MIN(d) is the same <=24-edge-path optimum the

@@ -372,3 +372,45 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, keys: list[str],
                                F.col("k_inter").cast("double"))
                         .otherwise(F.col("jaccard") *
                                    F.col("est_union"))))
+
+
+def table_profile(df: DataFrame, cols: list[str], k: int = 64,
+                  m: int = 64) -> DataFrame:
+    """ANALYZE-style one-pass column profiling: per column the exact
+    row/null counts, the KMV distinct estimate, and the dominant value
+    with its exact count when one exists — the statistics a catalog
+    keeps per 100-TB table, built from this module's deterministic
+    sketches so every cell is oracle-replayable.
+
+    Shape: the selected columns MELT to long form ``(c, v)`` (values
+    cast to string) with one ``explode``, then every per-column sketch
+    is ONE grouped pass over that table — adding columns adds rows,
+    not jobs.  ``top_value`` comes from :func:`heavy_hitters`
+    (MG-prune + exact verify), so it is only reported when the value's
+    frequency truly exceeds ``N_col/(m+1)`` — a near-unique column
+    honestly reports null rather than an arbitrary sample.
+
+    Returns ``(column, n_rows, n_nulls, distinct_est, top_value,
+    top_cnt)``, one row per requested column.
+    """
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 F.col(c).cast("string").alias("v"))
+        for c in cols])).alias("p")
+    melted = df.select(pairs).select("p.c", "p.v")
+    counts = melted.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+         .alias("n_nulls"))
+    nn = melted.where(F.col("v").isNotNull())
+    dist = (kmv_distinct(nn, ["c"], "v", k=k)
+            .select("c", F.col("estimate").alias("distinct_est")))
+    hh = heavy_hitters(nn, ["c"], "v", m=m)
+    w = Window.partitionBy("c").orderBy(F.desc("cnt"), "v")
+    top = (hh.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") == 1)
+           .select("c", F.col("v").alias("top_value"),
+                   F.col("cnt").alias("top_cnt")))
+    return (counts.join(dist, "c", "left").join(top, "c", "left")
+            .select(F.col("c").alias("column"), "n_rows", "n_nulls",
+                    "distinct_est", "top_value", "top_cnt"))

@@ -301,3 +301,31 @@ def test_kmv_set_estimates_deterministic(spark):
     r2 = sorted(map(tuple, kmv_set_estimates(
         a.repartition(13), b.repartition(2), ["g"], "v", k=64).collect()))
     assert r1 == r2
+
+
+def test_table_profile(spark):
+    from kgloom.ops.sketch import table_profile
+    rows = [(i, "en" if i % 10 else None, f"u{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, lang string, uid string")
+    got = {r.column: r for r in
+           table_profile(df, ["id", "lang", "uid"], k=256).collect()}
+    assert got["id"].n_rows == 200 and got["id"].n_nulls == 0
+    # k=256 > 200 distinct → exact branch
+    assert got["id"].distinct_est == 200.0
+    # near-unique: no value above N/(m+1) → honest null top
+    assert got["id"].top_value is None and got["id"].top_cnt is None
+    assert got["lang"].n_nulls == 20
+    assert got["lang"].distinct_est == 1.0  # nulls excluded
+    assert got["lang"].top_value == "en" and got["lang"].top_cnt == 180
+    assert got["uid"].distinct_est == 200.0
+
+
+def test_table_profile_deterministic(spark):
+    from kgloom.ops.sketch import table_profile
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).alias("mod7"))
+    a = sorted(map(tuple, table_profile(
+        df.repartition(1), ["id", "mod7"]).collect()))
+    b = sorted(map(tuple, table_profile(
+        df.repartition(16), ["id", "mod7"]).collect()))
+    assert a == b
