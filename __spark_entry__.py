@@ -1112,6 +1112,25 @@ def q_sparql_kg_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL computed GROUP BY keys (§18.2.4.1, kgloom/sparql.py):
+    turns bucketed by text-length decade — ``GROUP BY
+    (FLOOR(STRLEN(?txt) / 10) AS ?lenb)`` computed as a
+    pre-aggregation extend, plus a per-bucket count and average
+    length.  The DuckDB twin replays the same floor/length arithmetic
+    (numeric results surface as double lexicals in both engines)."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?lenb (COUNT(*) AS ?n_turns)
+               (AVG(STRLEN(?txt)) AS ?avg_len) WHERE {
+          ?turn kg:text ?txt .
+        } GROUP BY (FLOOR(STRLEN(?txt) / 10) AS ?lenb)
+        ORDER BY ?lenb
+    """)
+
+
 def q_sparql_kg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FILTER boolean expressions over the constructed KG:
     ``||``/``&&``/``!`` connectives over REGEX, CONTAINS, STRSTARTS,
@@ -2431,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_dataset": q_sparql_kg_dataset,
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_values_undef": q_sparql_kg_values_undef,
+        "sparql_kg_group_expr": q_sparql_kg_group_expr,
         "kg_turtle_render": q_kg_turtle_render,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
@@ -5139,6 +5159,17 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # computed-GROUP-BY replay: same floor/length arithmetic; the
+    # grouping key surfaces as a double lexical in both engines, and
+    # AVG over integer-valued doubles is order-independent (exact
+    # integer sums below 2^53)
+    oracles["sparql_kg_group_expr"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL})
+        SELECT CAST(FLOOR(length(text) / 10.0) AS VARCHAR) AS lenb,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               AVG(CAST(length(text) AS DOUBLE)) AS avg_len
+        FROM tr GROUP BY 1
+    """
     # table-profile replay: same melt (CAST AS VARCHAR per column),
     # same KMV k=64 estimate, same MG threshold (cnt*65 > N) with the
     # same (cnt DESC, v) top-1 tie-break

@@ -14,7 +14,8 @@ Supported subset (the mapping-source shape the fixtures use):
 ``(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT([DISTINCT] ?v | * | expr
 [; SEPARATOR="s"]) AS ?alias)`` — the aggregate input may be any
 builtin-library expression, e.g. ``SUM(?a * ?b)`` — with ``GROUP BY``
-(with or without aggregates; bare GROUP BY = distinct keys) and
+(plain ``?var`` keys or ``(expr AS ?v)`` computed keys, §18.2.4.1;
+with or without aggregates; bare GROUP BY = distinct keys) and
 ``HAVING``
 (SAMPLE returns the lexical minimum, GROUP_CONCAT concatenates in
 sorted order — both deterministic refinements of the
@@ -223,6 +224,9 @@ class SelectQuery:
     prefixes: dict[str, str] = field(default_factory=dict)
     aggregates: list[AggExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    #: ``GROUP BY (expr AS ?v)`` items (§18.2.4.1): the expression is
+    #: computed as a pre-aggregation extend and ``?v`` joins group_by
+    group_exprs: list[tuple[Expr, str]] = field(default_factory=list)
     having: list[tuple[str, str, str]] = field(default_factory=list)
     #: scalar select expressions ``(expr AS ?alias)`` — §18.2.4.4
     #: Extend, applied after grouping (so they may reference aggregate
@@ -1322,11 +1326,38 @@ def parse_sparql(text: str,
     group = _parse_group(body, prefixes)
 
     group_by: list[str] = []
-    gm = re.search(r"GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+)",
-                   tail, re.IGNORECASE)
+    group_exprs: list[tuple[Expr, str]] = []
+    gm = re.search(r"GROUP\s+BY\s+", tail, re.IGNORECASE)
     if gm:
-        group_by = [v[1:] for v in
-                    re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", gm.group(1))]
+        rest = tail[gm.end():]
+        endm = re.search(r"\b(HAVING|ORDER|LIMIT|OFFSET)\b", rest,
+                         re.IGNORECASE)
+        clause = rest[:endm.start()] if endm else rest
+        pos = 0
+        while pos < len(clause):
+            if clause[pos].isspace():
+                pos += 1
+                continue
+            if clause[pos] == "(":
+                inner, pos = _take_parens(clause, pos)
+                am = re.search(r"\s+AS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                               inner, re.IGNORECASE)
+                if am is None:
+                    raise SparqlError(
+                        "GROUP BY expression needs (expr AS ?var): "
+                        f"{inner.strip()!r}")
+                group_exprs.append(
+                    (_parse_expr(inner[:am.start()], prefixes),
+                     am.group(1)))
+                group_by.append(am.group(1))
+            else:
+                vm = re.match(r"\?([A-Za-z_][A-Za-z0-9_]*)",
+                              clause[pos:])
+                if vm is None:
+                    raise SparqlError(
+                        f"bad GROUP BY item: {clause[pos:pos + 20]!r}")
+                group_by.append(vm.group(1))
+                pos += vm.end()
     # aggregates with no GROUP BY = one implicit group (valid SPARQL)
     if (aggregates or group_by):
         aliases = {a.alias for a in aggregates} | \
@@ -1361,7 +1392,8 @@ def parse_sparql(text: str,
                        group=group, order_by=order_by, limit=limit,
                        offset=offset, prefixes=prefixes,
                        aggregates=aggregates,
-                       group_by=group_by, having=having,
+                       group_by=group_by, group_exprs=group_exprs,
+                       having=having,
                        select_exprs=select_exprs,
                        from_graphs=from_graphs, from_named=from_named)
 
@@ -2100,6 +2132,18 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
 
     agg_outputs: set[str] = set()
     if q.aggregates or q.group_by:
+        # GROUP BY (expr AS ?v): extend BEFORE grouping (§18.2.4.1)
+        for gexpr, gname in q.group_exprs:
+            if gname in result.columns:
+                raise SparqlError(
+                    f"GROUP BY alias ?{gname} is already bound")
+            gmissing = [v for v in sorted(_expr_vars(gexpr))
+                        if v not in result.columns]
+            if gmissing:
+                raise SparqlError(
+                    f"GROUP BY expression references unbound "
+                    f"variables {gmissing}")
+            result = result.withColumn(gname, _expr_term(gexpr))
         all_aggs = [*q.aggregates, *agg_order]
         agg_vars = []
         for a in all_aggs:

@@ -1788,3 +1788,42 @@ def test_no_dataset_clause_keeps_union_default(spark):
     out = sparql_select(_dataset_quads(spark),
                         "SELECT ?s WHERE { ?s <p> ?o }")
     assert out.count() == 3
+
+
+def test_group_by_expression(quads):
+    """GROUP BY (expr AS ?v): the expression is computed before
+    aggregation and its alias is a projectable key (§18.2.4.1)."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?ageprefix (COUNT(*) AS ?n) WHERE {{
+          ?s ex:age ?age .
+        }} GROUP BY (SUBSTR(?age, 1, 1) AS ?ageprefix)
+        ORDER BY ?ageprefix
+    """).collect()
+    assert [(r.ageprefix, r.n) for r in rows] == \
+        [("2", 1), ("3", 1), ("4", 1)]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?len (COUNT(*) AS ?n) WHERE {{
+          ?s ex:age ?age .
+        }} GROUP BY (STRLEN(?age) AS ?len)
+    """).collect()
+    assert [(r.len, r.n) for r in rows] == [("2.0", 3)]
+
+
+def test_group_by_expression_mixed_with_var(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?one (COUNT(*) AS ?n) WHERE {{
+          ?s ex:age ?age .
+        }} GROUP BY ?s (STRLEN(?age) - 1 AS ?one)
+        ORDER BY ?s
+    """).collect()
+    assert len(rows) == 3 and all(r.one == "1.0" and r.n == 1
+                                  for r in rows)
+
+
+def test_group_by_expression_requires_as(quads):
+    with pytest.raises(SparqlError):
+        parse_sparql("""SELECT ?x (COUNT(*) AS ?n) WHERE {
+            ?s ?p ?o . } GROUP BY (STRLEN(?o))""")
