@@ -1418,15 +1418,15 @@ def q_graph_shortest_paths(spark, sf_dir):
                            F.col("conv_id").endswith("0"))
                .select(turn_iri.alias("node")))
     return shortest_paths(nxt.unionByName(tool), sources,
-                          weight="w", max_rounds=24)
+                          weight="w", max_rounds=12)
 
 
 def q_graph_reach_synopsis(spark, sf_dir):
-    """Per-node ≤12-hop reachable-ball size estimates over the
+    """Per-node ≤6-hop reachable-ball size estimates over the
     turn-succession DAG (kgloom/ops/graph.py reach_synopsis) — the
     HyperANF neighborhood-function idea with the deterministic KMV
     synopsis (k=8) in place of HyperLogLog.  Mergeability makes the
-    12-round fold equal the true ball's synopsis exactly, so the
+    6-round fold equal the true ball's synopsis exactly, so the
     DuckDB twin enumerates each ball with a hop-bounded recursive CTE
     and replays the same md5 estimate bit-for-bit.  Early turns
     (balls > k) exercise the estimator branch, late turns and tool
@@ -1445,7 +1445,7 @@ def q_graph_reach_synopsis(spark, sf_dir):
             .select(turn_iri.alias("src"),
                     F.concat(F.lit("<http://kg.example/tool/"),
                              F.col("tool"), F.lit(">")).alias("dst")))
-    return reach_synopsis(nxt.unionByName(tool), radius=12, k=8)
+    return reach_synopsis(nxt.unionByName(tool), radius=6, k=8)
 
 
 def q_graph_ppr(spark, sf_dir):
@@ -5216,8 +5216,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # SSSP replay: the turn graph is a DAG (next chains + tool
     # leaves), so a hop-bounded recursive CTE enumerates each node's
-    # unique path and MIN(d) is the same <=24-edge-path optimum the
-    # 24 Bellman-Ford rounds compute
+    # unique path and MIN(d) is the same <=12-edge-path optimum the
+    # 12 Bellman-Ford rounds compute
     oracles["graph_shortest_paths"] = f"""
         WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
         iri AS (SELECT conv_id, turn_idx, tool,
@@ -5239,13 +5239,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT e.dst, walk.d + e.w, walk.hop + 1
             FROM walk JOIN e ON e.src = walk.node
-            WHERE e.dst IS NOT NULL AND walk.hop < 24)
+            WHERE e.dst IS NOT NULL AND walk.hop < 12)
         SELECT node, CAST(MIN(d) AS BIGINT) AS dist
         FROM walk GROUP BY node
     """
-    # reach-ball replay: enumerate each node's <=12-hop ball (unique
+    # reach-ball replay: enumerate each node's <=6-hop ball (unique
     # paths on the turn DAG), then the same md5 k-minima arithmetic —
-    # equal to the engine's 12-round fold by KMV mergeability
+    # equal to the engine's 6-round fold by KMV mergeability
     oracles["graph_reach_synopsis"] = f"""
         WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
         iri AS (SELECT conv_id, turn_idx, tool,
@@ -5268,7 +5268,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT ball.root, e.dst, hop + 1
             FROM ball JOIN e ON e.src = ball.node
-            WHERE hop < 12),
+            WHERE hop < 6),
         h AS (SELECT DISTINCT root,
                      CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
                        / 1152921504606846976.0 AS f

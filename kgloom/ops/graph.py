@@ -936,7 +936,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
             .withColumn("dist", F.lit(0).cast(wtype))
             .localCheckpoint())
     frontier = dist
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         cand = (adj.join(frontier.withColumnRenamed("node", "a"), "a")
                 .select(F.col("b").alias("node"),
                         (F.col("dist") + F.col("w")).alias("dist"))
@@ -950,10 +950,15 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         if improved.limit(1).count() == 0:
             break
         dist = (dist.join(improved.select("node"), "node", "left_anti")
-                .unionByName(improved)
-                .localCheckpoint())
+                .unionByName(improved))
+        # the frontier MUST checkpoint every round (it feeds the next
+        # join and the early-stop probe); the full distance table only
+        # needs periodic truncation — every 4th round halves the
+        # materialization jobs without letting the plan stack deep
+        if rnd % 4 == 3:
+            dist = dist.localCheckpoint()
         frontier = improved
-    return dist
+    return dist.localCheckpoint()
 
 
 def reach_synopsis(edges: DataFrame, radius: int, k: int = 16,
