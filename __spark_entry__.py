@@ -1131,6 +1131,25 @@ def q_sparql_kg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL HAVING over a direct aggregate expression
+    (kgloom/sparql.py): conversations' tool-turn counts filtered by
+    ``HAVING (COUNT(DISTINCT ?tool) > 1)`` — the HAVING aggregate is
+    DIFFERENT from the projected one, compiled as a hidden grouping
+    output (the ORDER-BY-aggregate machinery) and dropped after the
+    filter.  DuckDB replays it natively."""
+    from kgloom.sparql import sparql_select
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return sparql_select(triples, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?conv (COUNT(*) AS ?n_tool_turns) WHERE {
+          ?turn kg:partOf ?conv ;
+                kg:usedTool ?tool .
+        } GROUP BY ?conv HAVING (COUNT(DISTINCT ?tool) > 1)
+        ORDER BY ?conv
+    """)
+
+
 def q_sparql_kg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FILTER boolean expressions over the constructed KG:
     ``||``/``&&``/``!`` connectives over REGEX, CONTAINS, STRSTARTS,
@@ -2451,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_minus_exists": q_sparql_kg_minus_exists,
         "sparql_kg_values_undef": q_sparql_kg_values_undef,
         "sparql_kg_group_expr": q_sparql_kg_group_expr,
+        "sparql_kg_having_agg": q_sparql_kg_having_agg,
         "kg_turtle_render": q_kg_turtle_render,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
@@ -5159,6 +5179,17 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # HAVING-aggregate replay: DuckDB evaluates the aggregate HAVING
+    # natively; turn triples are distinct per (turn, tool), so the
+    # relational twin needs no explicit DISTINCT on the count rows
+    oracles["sparql_kg_having_agg"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL})
+        SELECT 'http://kg.example/conv/' || conv_id AS conv,
+               CAST(COUNT(*) AS BIGINT) AS n_tool_turns
+        FROM tr WHERE tool IS NOT NULL
+        GROUP BY conv_id
+        HAVING COUNT(DISTINCT tool) > 1
+    """
     # computed-GROUP-BY replay: same floor/length arithmetic; the
     # grouping key surfaces as a double lexical in both engines, and
     # AVG over integer-valued doubles is order-independent (exact

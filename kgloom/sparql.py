@@ -228,6 +228,9 @@ class SelectQuery:
     #: computed as a pre-aggregation extend and ``?v`` joins group_by
     group_exprs: list[tuple[Expr, str]] = field(default_factory=list)
     having: list[tuple[str, str, str]] = field(default_factory=list)
+    #: hidden aggregates backing ``HAVING (AGG(...) op value)`` — the
+    #: alias appears in `having` and the column drops after filtering
+    having_aggs: list[AggExpr] = field(default_factory=list)
     #: scalar select expressions ``(expr AS ?alias)`` — §18.2.4.4
     #: Extend, applied after grouping (so they may reference aggregate
     #: aliases) and before ORDER BY (so sort keys may reference them)
@@ -528,6 +531,49 @@ def _take_braced(text: str, i: int) -> tuple[str, int]:
                 return text[i + 1:j], j + 1
         j += 1
     raise SparqlError("unbalanced braces in group pattern")
+
+
+def _split_top_cmp(s: str):
+    """Split ``lhs op rhs`` at the first comparison operator OUTSIDE
+    parentheses (so ``COUNT(?x) > 5`` splits at ``>``); None if no
+    top-level comparison exists."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "=<>!":
+            m = re.match(r"(!=|<=|>=|=|<|>)", s[i:])
+            if m:
+                return (s[:i].strip(), m.group(1),
+                        s[i + len(m.group(1)):].strip())
+    return None
+
+
+def _parse_agg_atom(lhs: str, alias: str,
+                    prefixes: dict[str, str]):
+    """``FUNC([DISTINCT] * | ?v | expr)`` → an :class:`AggExpr` with
+    the given alias; None if ``lhs`` is not a pure aggregate call."""
+    am = re.match(r"^(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)"
+                  r"\s*\(", lhs, re.IGNORECASE)
+    if am is None:
+        return None
+    arg, k = _take_parens(lhs, am.end() - 1)
+    if lhs[k:].strip():
+        return None
+    func = am.group(1).lower()
+    dm = re.match(r"^\s*DISTINCT\s+(.*)$", arg, re.IGNORECASE | re.DOTALL)
+    body = (dm.group(1) if dm else arg).strip()
+    if body == "*":
+        if dm or func != "count":
+            raise SparqlError(f"{func.upper()}(*) only valid as COUNT(*)")
+        return AggExpr("count", None, False, alias)
+    vm = re.match(r"^\?([A-Za-z_][A-Za-z0-9_]*)$", body)
+    if vm:
+        return AggExpr(func, vm.group(1), bool(dm), alias)
+    return AggExpr(func, None, bool(dm), alias,
+                   expr=_parse_expr(body, prefixes))
 
 
 def _parse_filter(inner: str) -> tuple[str, str, str]:
@@ -1371,9 +1417,29 @@ def parse_sparql(text: str,
             raise SparqlError("SELECT * cannot be combined with GROUP BY")
 
     having: list[tuple[str, str, str]] = []
-    for hm in re.finditer(r"HAVING\s*\(([^()]*)\)", tail, re.IGNORECASE):
-        having.append(_parse_filter(hm.group(1)))
-    if having and not (aggregates or group_by):
+    having_aggs: list[AggExpr] = []
+    for hm in re.finditer(r"HAVING\s*\(", tail, re.IGNORECASE):
+        inner, _ = _take_parens(tail, hm.end() - 1)
+        s2 = inner.strip()
+        cm = re.match(r"^\?([A-Za-z_][A-Za-z0-9_]*)\s*"
+                      r"(=|!=|<=|>=|<|>)\s*(.+)$", s2)
+        if cm:
+            having.append((cm.group(1), cm.group(2), cm.group(3).strip()))
+            continue
+        # HAVING (AGG(...) op value): compile the aggregate as a
+        # hidden grouping output (the ORDER BY DESC(COUNT(?x))
+        # machinery) and filter on its alias
+        split = _split_top_cmp(s2)
+        if split is None:
+            raise SparqlError(f"unsupported HAVING {s2!r}")
+        lhs, op, rhs = split
+        alias = f"__hv{len(having_aggs)}"
+        agg = _parse_agg_atom(lhs, alias, prefixes)
+        if agg is None:
+            raise SparqlError(f"unsupported HAVING {s2!r}")
+        having_aggs.append(agg)
+        having.append((alias, op, rhs))
+    if having and not (aggregates or group_by or having_aggs):
         raise SparqlError("HAVING requires GROUP BY or an aggregate")
 
     order_by = []
@@ -1393,7 +1459,7 @@ def parse_sparql(text: str,
                        offset=offset, prefixes=prefixes,
                        aggregates=aggregates,
                        group_by=group_by, group_exprs=group_exprs,
-                       having=having,
+                       having=having, having_aggs=having_aggs,
                        select_exprs=select_exprs,
                        from_graphs=from_graphs, from_named=from_named)
 
@@ -2131,7 +2197,7 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
             "aggregated projection")
 
     agg_outputs: set[str] = set()
-    if q.aggregates or q.group_by:
+    if q.aggregates or q.group_by or q.having_aggs:
         # GROUP BY (expr AS ?v): extend BEFORE grouping (§18.2.4.1)
         for gexpr, gname in q.group_exprs:
             if gname in result.columns:
@@ -2144,7 +2210,8 @@ def _exec_select(quads: DataFrame, q: SelectQuery,
                     f"GROUP BY expression references unbound "
                     f"variables {gmissing}")
             result = result.withColumn(gname, _expr_term(gexpr))
-        all_aggs = [*q.aggregates, *agg_order]
+        all_aggs = [*q.aggregates, *agg_order, *q.having_aggs]
+        hidden.extend(a.alias for a in q.having_aggs)
         agg_vars = []
         for a in all_aggs:
             if a.expr is not None:

@@ -1827,3 +1827,46 @@ def test_group_by_expression_requires_as(quads):
     with pytest.raises(SparqlError):
         parse_sparql("""SELECT ?x (COUNT(*) AS ?n) WHERE {
             ?s ?p ?o . } GROUP BY (STRLEN(?o))""")
+
+
+def test_having_aggregate_expression(quads):
+    """HAVING (AGG(...) op value): the aggregate compiles to a hidden
+    grouping output, filters, and never surfaces in the projection."""
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?p (COUNT(*) AS ?n) WHERE {{
+          ?s ?p ?o .
+        }} GROUP BY ?p HAVING (COUNT(*) > 2)
+        ORDER BY ?p
+    """)
+    assert rows.columns == ["p", "n"]
+    got = rows.collect()
+    assert all(r.n > 2 for r in got) and len(got) >= 1
+
+
+def test_having_aggregate_without_projected_alias(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (MIN(?age) AS ?m) WHERE {{
+          ?s ex:age ?age .
+        }} HAVING (COUNT(*) > 2)
+    """).collect()
+    assert [(r.m,) for r in rows] == [("25",)]
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT (MIN(?age) AS ?m) WHERE {{
+          ?s ex:age ?age .
+        }} HAVING (COUNT(*) > 3)
+    """).collect()
+    assert rows == []
+
+
+def test_having_sum_expression(quads):
+    rows = sparql_select(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s (SUM(?age) AS ?t) WHERE {{
+          ?s ex:age ?age .
+        }} GROUP BY ?s HAVING (SUM(?age) >= 30)
+        ORDER BY ?s
+    """).collect()
+    assert all(r.t >= 30 for r in rows) and len(rows) == 2
