@@ -2395,6 +2395,47 @@ def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id", "text", "lang", "source", "n_chars"], k=64, m=64)
 
 
+def q_stats_profile_incremental(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The streaming catalog-statistics monitor's folds
+    (kgloom/streaming/profile.py) driven over three deterministic
+    hash-buckets of the documents table: exact counter addition +
+    the KMV minima fold per column.  Counter addition is associative
+    and the KMV fold is bit-identical to batch, so the incremental
+    result equals the batch profile's count/distinct columns exactly
+    — the oracle is the table-profile SQL minus the top-value pass
+    (which streaming replaces with MG bounds, tested separately)."""
+    from kgloom.ops.sketch import kmv_estimate
+    from kgloom.streaming.distinct import fold_minima
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = (_docs(spark, sf_dir)
+            .withColumn("__b", F.pmod(F.xxhash64("doc_id"), F.lit(3))))
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+        for c in cols])).alias("p")
+    minima, counts = None, None
+    for i in range(3):
+        melted = (docs.where(F.col("__b") == i)
+                  .select(pairs).select("p.c", "p.v"))
+        cnt = melted.groupBy("c").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+             .alias("n_nulls"))
+        if counts is not None:
+            cnt = (cnt.unionByName(counts).groupBy("c")
+                   .agg(F.sum("n_rows").alias("n_rows"),
+                        F.sum("n_nulls").alias("n_nulls")))
+        counts = cnt.localCheckpoint()
+        minima = fold_minima(minima,
+                             melted.where(F.col("v").isNotNull()),
+                             ["c"], "v", k=64).localCheckpoint()
+    dist = (kmv_estimate(minima, ["c"], k=64)
+            .select("c", F.col("estimate").alias("distinct_est")))
+    return (counts.join(dist, "c", "left")
+            .select(F.col("c").alias("column"), "n_rows", "n_nulls",
+                    "distinct_est"))
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2442,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_mg_incremental": q_sketch_mg_incremental,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "stats_table_profile": q_stats_table_profile,
+        "stats_profile_incremental": q_stats_profile_incremental,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5179,6 +5221,38 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # incremental-profile replay: counts + KMV distinct only (the
+    # streamed top value carries MG bounds, not exact counts — tested
+    # in tests/test_streaming.py, not oracle-gated)
+    oracles["stats_profile_incremental"] = """
+        WITH m AS (
+          SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v
+          FROM documents
+          UNION ALL SELECT 'text', text FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+          FROM documents),
+        counts AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(CASE WHEN v IS NULL THEN 1
+                                        ELSE 0 END) AS BIGINT)
+                            AS n_nulls
+                   FROM m GROUP BY c),
+        h AS (SELECT DISTINCT c,
+                     CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM m WHERE v IS NOT NULL),
+        r AS (SELECT c, f, ROW_NUMBER() OVER
+                             (PARTITION BY c ORDER BY f) AS rn
+              FROM h),
+        d AS (SELECT c, COUNT(*) AS n_minima, MAX(f) AS f_k
+              FROM r WHERE rn <= 64 GROUP BY c)
+        SELECT counts.c AS "column", n_rows, n_nulls,
+               CASE WHEN d.n_minima < 64
+                    THEN CAST(d.n_minima AS DOUBLE)
+                    ELSE 63.0 / d.f_k END AS distinct_est
+        FROM counts LEFT JOIN d ON counts.c = d.c
+    """
     # HAVING-aggregate replay: DuckDB evaluates the aggregate HAVING
     # natively; turn triples are distinct per (turn, tool), so the
     # relational twin needs no explicit DISTINCT on the count rows

@@ -421,3 +421,54 @@ def test_stream_mg_heavy_hitters_guarantees(spark, tmp_path):
     b = sorted(tuple(r) for r in
                read_summary(spark, state2, ["g"], "v").collect())
     assert a == b
+
+
+def test_stream_profile_stats(spark, tmp_path):
+    """Streaming catalog statistics (kgloom/streaming/profile.py):
+    counts exact, distinct_est BIT-identical to batch table_profile,
+    MG top within its error contract; replay reproduces the state."""
+    import random
+    from collections import Counter
+
+    from kgloom.ops.sketch import table_profile
+    from kgloom.streaming.profile import read_profile, stream_profile
+    rng = random.Random(20260820)
+    K = 32
+    rows = [(i, "en" if rng.random() < 0.7 else
+             ("de" if rng.random() < 0.5 else None),
+             f"u{rng.randrange(0, 300)}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, lang string, uid string")
+    inp = str(tmp_path / "pin")
+    df.repartition(4).write.mode("overwrite").parquet(inp)
+
+    def run(state, ckpt):
+        stream = (spark.readStream
+                  .schema("id long, lang string, uid string")
+                  .option("maxFilesPerTrigger", "1").parquet(inp))
+        q = stream_profile(spark, stream, str(tmp_path / state),
+                           str(tmp_path / ckpt),
+                           ["id", "lang", "uid"], k=K, m=8)
+        q.awaitTermination(180)
+        return str(tmp_path / state)
+
+    state = run("ps1", "pc1")
+    got = {r.column: r for r in
+           read_profile(spark, state, k=K, m=8).collect()}
+    want = {r.column: r for r in
+            table_profile(df, ["id", "lang", "uid"], k=K, m=8).collect()}
+    langs = Counter(r[1] for r in rows)
+    for c in ("id", "lang", "uid"):
+        assert got[c].n_rows == want[c].n_rows == 4000
+        assert got[c].n_nulls == want[c].n_nulls
+        # KMV fold is bit-identical to batch
+        assert got[c].distinct_est == want[c].distinct_est, c
+    # MG top contract on the skewed column: winner is 'en', counted
+    # within [top_cnt, top_cnt + top_err]
+    r = got["lang"]
+    assert r.top_value == "en"
+    assert r.top_cnt <= langs["en"] <= r.top_cnt + r.top_err
+    # replay determinism across all four state tables
+    state2 = run("ps2", "pc2")
+    a = sorted(map(tuple, read_profile(spark, state, k=K, m=8).collect()))
+    b = sorted(map(tuple, read_profile(spark, state2, k=K, m=8).collect()))
+    assert a == b
