@@ -2436,6 +2436,19 @@ def q_stats_profile_incremental(spark: SparkSession, sf_dir: str
                     "distinct_est"))
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel completion over the events table
+    (kgloom/ops/temporal.py funnel): per user the earliest
+    view → click → signup → purchase chain in event time —
+    greedy-earliest semantics, k-1 user-keyed equi-joins +
+    min-aggregates (one shuffle partitioning reused, one row per user
+    per stage).  The DuckDB twin replays the chain with correlated
+    MIN CTEs."""
+    from kgloom.ops.temporal import funnel
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, ["view", "click", "signup", "purchase"])
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2484,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "stats_table_profile": q_stats_table_profile,
         "stats_profile_incremental": q_stats_profile_incremental,
+        "events_funnel": q_events_funnel,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5221,6 +5235,32 @@ def oracle_sql() -> dict[str, str]:
     # the streamed MG fold's candidate superset + exact verify equals
     # the same plain HAVING-threshold answer
     oracles["sketch_mg_incremental"] = oracles["sketch_heavy_hitters"]
+    # funnel replay: the greedy-earliest chain as correlated MIN CTEs
+    # — each step the first event strictly after the previous step
+    oracles["events_funnel"] = """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS ts_1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS ts_2
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS ts_3
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'signup' AND e.ts > s2.ts_2
+               GROUP BY e.user_id),
+        s4 AS (SELECT e.user_id, MIN(e.ts) AS ts_4
+               FROM events e JOIN s3 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s3.ts_3
+               GROUP BY e.user_id)
+        SELECT s1.user_id, ts_1, ts_2, ts_3, ts_4,
+               CAST(1 + CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN ts_4 IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS completed
+        FROM s1 LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+                LEFT JOIN s4 USING (user_id)
+    """
     # incremental-profile replay: counts + KMV distinct only (the
     # streamed top value carries MG bounds, not exact counts — tested
     # in tests/test_streaming.py, not oracle-gated)

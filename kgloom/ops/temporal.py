@@ -162,3 +162,50 @@ def snapshot_delta(old: DataFrame, new: DataFrame,
             .select(*keys,
                     F.when(F.col("n") > 0, F.lit("added"))
                      .otherwise(F.lit("removed")).alias("change")))
+
+
+def funnel(events: DataFrame, steps: list[str], user: str = "user_id",
+           ts: str = "ts", event: str = "event_type",
+           within=None) -> DataFrame:
+    """Per-user ordered funnel completion: the earliest chain
+    ``steps[0] < steps[1] < …`` in event time — ``(user, ts_1…ts_k,
+    completed)`` with ``ts_i`` the i-th step's timestamp (null once
+    the chain breaks) and ``completed`` the number of steps reached.
+
+    Semantics: greedy-earliest (the classic funnel definition) —
+    step 1 anchors at the user's FIRST occurrence, each later step at
+    the first occurrence STRICTLY after the previous step.  ``within``
+    (a Spark interval Column, e.g. ``F.expr("INTERVAL 7 DAYS")``)
+    invalidates steps later than ``ts_1 + within``; monotonicity makes
+    the per-column mask consistent (a masked step's successors exceed
+    the bound too).  Users who never reach step 1 are absent.
+
+    Scale shape: k-1 equi-joins + min-aggregates, all keyed on
+    ``user`` — one shuffle partitioning reused across the chain,
+    state one row per user per stage, no windows over full history.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    base = events.select(F.col(user).alias("u"), F.col(ts).alias("t"),
+                         F.col(event).alias("e"))
+    out = (base.where(F.col("e") == steps[0])
+           .groupBy("u").agg(F.min("t").alias("ts_1")))
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = (base.where(F.col("e") == st)
+               .join(out.select("u", f"ts_{i - 1}"), "u")
+               .where(F.col("t") > F.col(f"ts_{i - 1}"))
+               .groupBy("u").agg(F.min("t").alias(f"ts_{i}")))
+        out = out.join(nxt, "u", "left")
+    if within is not None:
+        for i in range(2, len(steps) + 1):
+            out = out.withColumn(
+                f"ts_{i}",
+                F.when(F.col(f"ts_{i}") <= F.col("ts_1") + within,
+                       F.col(f"ts_{i}")))
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.when(
+            F.col(f"ts_{i}").isNotNull(), 1).otherwise(0)
+    return out.select(F.col("u").alias(user),
+                      *[f"ts_{i}" for i in range(1, len(steps) + 1)],
+                      completed.alias("completed"))

@@ -128,3 +128,52 @@ def test_fim_is_map_only_jvm_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_funnel_greedy_earliest(spark):
+    """Classic funnel semantics: step1 anchors at the FIRST
+    occurrence; each later step at the first occurrence strictly
+    after the previous one — even when an earlier later-step event
+    exists before the anchor."""
+    from kgloom.ops.temporal import funnel
+    rows = [
+        # u1 completes all three (click before view must NOT count)
+        ("u1", "2026-01-01 00:00:05", "click"),
+        ("u1", "2026-01-01 00:00:10", "view"),
+        ("u1", "2026-01-01 00:00:20", "click"),
+        ("u1", "2026-01-01 00:00:30", "buy"),
+        # u2 stalls after view
+        ("u2", "2026-01-01 01:00:00", "view"),
+        # u3 never views (absent from output)
+        ("u3", "2026-01-01 02:00:00", "click"),
+        # u4: buy BEFORE its click -> only 2 steps
+        ("u4", "2026-01-01 03:00:00", "view"),
+        ("u4", "2026-01-01 03:00:10", "buy"),
+        ("u4", "2026-01-01 03:00:20", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, "
+                               "event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: (str(r.ts_1)[11:19], r.ts_2 and str(r.ts_2)[11:19],
+                       r.ts_3 and str(r.ts_3)[11:19], r.completed)
+           for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert got == {
+        "u1": ("00:00:10", "00:00:20", "00:00:30", 3),
+        "u2": ("01:00:00", None, None, 1),
+        "u4": ("03:00:00", "03:00:20", None, 2),
+    }
+
+
+def test_funnel_within_window(spark):
+    from kgloom.ops.temporal import funnel
+    rows = [
+        ("u1", "2026-01-01 00:00:00", "a"),
+        ("u1", "2026-01-01 00:00:30", "b"),   # inside 1 minute
+        ("u1", "2026-01-01 00:05:00", "c"),   # outside -> masked
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, "
+                               "event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    r = funnel(df, ["a", "b", "c"],
+               within=F.expr("INTERVAL 1 MINUTE")).collect()[0]
+    assert r.completed == 2 and r.ts_2 is not None and r.ts_3 is None
