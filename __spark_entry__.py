@@ -2449,6 +2449,27 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "signup", "purchase"])
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition graph
+    (kgloom/ops/temporal.py transition_graph): event-type bigram
+    counts + row-normalized probabilities over each user's
+    time-ordered stream — one deterministic window + one aggregate;
+    prob is one division of exact counts, bit-replayable."""
+    from kgloom.ops.temporal import transition_graph
+    return transition_graph(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (kgloom/ops/temporal.py
+    cohort_retention): distinct users per (first-event ISO week,
+    week offset) cell — two keyed aggregates, integer week
+    arithmetic, exact cross-engine."""
+    from kgloom.ops.temporal import cohort_retention
+    return cohort_retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2498,6 +2519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_table_profile": q_stats_table_profile,
         "stats_profile_incremental": q_stats_profile_incremental,
         "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
+        "events_retention": q_events_retention,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5260,6 +5283,36 @@ def oracle_sql() -> dict[str, str]:
         FROM s1 LEFT JOIN s2 USING (user_id)
                 LEFT JOIN s3 USING (user_id)
                 LEFT JOIN s4 USING (user_id)
+    """
+    # journey-transition replay: same (ts, event) total order, same
+    # single division of exact counts
+    oracles["events_transitions"] = """
+        WITH p AS (SELECT event_type AS src,
+                          LEAD(event_type) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts, event_type) AS dst
+                   FROM events),
+        c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+        t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot
+              FROM c GROUP BY src)
+        SELECT c.src, c.dst, c.cnt, c.cnt / t.tot AS prob
+        FROM c JOIN t USING (src)
+    """
+    # cohort replay: both engines date_trunc to ISO Monday weeks and
+    # the day difference is an exact multiple of 7
+    oracles["events_retention"] = """
+        WITH f AS (SELECT user_id, MIN(ts) AS fts
+                   FROM events GROUP BY user_id),
+        a AS (SELECT e.user_id AS u,
+                     CAST(date_trunc('week', f.fts) AS DATE)
+                       AS cohort_week,
+                     CAST(date_trunc('week', e.ts) AS DATE) AS aw
+              FROM events e JOIN f USING (user_id))
+        SELECT cohort_week,
+               CAST((aw - cohort_week) / 7 AS INTEGER) AS week_offset,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_week, week_offset
     """
     # incremental-profile replay: counts + KMV distinct only (the
     # streamed top value carries MG bounds, not exact counts — tested

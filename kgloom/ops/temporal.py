@@ -209,3 +209,54 @@ def funnel(events: DataFrame, steps: list[str], user: str = "user_id",
     return out.select(F.col("u").alias(user),
                       *[f"ts_{i}" for i in range(1, len(steps) + 1)],
                       completed.alias("completed"))
+
+
+def transition_graph(events: DataFrame, user: str = "user_id",
+                     ts: str = "ts", event: str = "event_type"
+                     ) -> DataFrame:
+    """User-journey Markov transitions: ``(src, dst, cnt, prob)`` —
+    how often each event type is immediately followed by each other
+    within a user's time-ordered stream, with the row-normalized
+    transition probability.
+
+    One window (lag-free: ``lead`` over the per-user time order,
+    deterministic because ``(user, ts)`` is the sort key) + one
+    aggregate; ``prob`` is a single division of exact counts, so it
+    replays bit-for-bit cross-engine.  The output is an edge list —
+    it feeds the graph family directly (PageRank over the journey
+    graph = which states users sink into).
+    """
+    w = Window.partitionBy(user).orderBy(ts, event)
+    pairs = (events.select(F.col(event).alias("src"),
+                           F.lead(event).over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = pairs.groupBy("src").agg(F.sum("cnt").alias("__tot"))
+    return (pairs.join(totals, "src")
+            .select("src", "dst", "cnt",
+                    (F.col("cnt") / F.col("__tot")).alias("prob")))
+
+
+def cohort_retention(events: DataFrame, user: str = "user_id",
+                     ts: str = "ts") -> DataFrame:
+    """Weekly cohort retention: ``(cohort_week, week_offset,
+    n_users)`` — users grouped by the ISO week of their FIRST event,
+    counted distinct in every later week they return.
+
+    Two aggregates (first-event per user, then distinct users per
+    (cohort, offset) cell) — both keyed shuffles, no windows over
+    history; integer week arithmetic replays exactly.
+    """
+    first = events.groupBy(user).agg(F.min(ts).alias("__first"))
+    acts = (events.join(first, user)
+            .select(F.col(user).alias("u"),
+                    F.date_trunc("week", F.col("__first"))
+                    .cast("date").alias("cohort_week"),
+                    F.date_trunc("week", F.col(ts))
+                    .cast("date").alias("__aw")))
+    return (acts.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("__aw"), F.col("cohort_week")) / 7)
+        .cast("int").alias("week_offset"))
+        .agg(F.count_distinct(F.col("u")).alias("n_users")))

@@ -177,3 +177,34 @@ def test_funnel_within_window(spark):
     r = funnel(df, ["a", "b", "c"],
                within=F.expr("INTERVAL 1 MINUTE")).collect()[0]
     assert r.completed == 2 and r.ts_2 is not None and r.ts_3 is None
+
+
+def test_transition_graph(spark):
+    from kgloom.ops.temporal import transition_graph
+    rows = [("u1", "2026-01-01 00:00:01", "a"),
+            ("u1", "2026-01-01 00:00:02", "b"),
+            ("u1", "2026-01-01 00:00:03", "a"),
+            ("u2", "2026-01-01 00:00:01", "a"),
+            ("u2", "2026-01-01 00:00:02", "b")]
+    df = spark.createDataFrame(rows, "user_id string, ts string, "
+                               "event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.src, r.dst): (r.cnt, r.prob) for r in
+           transition_graph(df).collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_cohort_retention(spark):
+    from kgloom.ops.temporal import cohort_retention
+    rows = [  # u1 joins week of Jan 5 (Mon), returns 2 weeks later
+        ("u1", "2026-01-06 10:00:00"), ("u1", "2026-01-20 10:00:00"),
+        # u2 same cohort week, active only then
+        ("u2", "2026-01-07 10:00:00"),
+        # u3 next week's cohort
+        ("u3", "2026-01-13 10:00:00"), ("u3", "2026-01-14 10:00:00")]
+    df = spark.createDataFrame(rows, "user_id string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1,
+                   ("2026-01-12", 0): 1}
