@@ -2470,6 +2470,25 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema induction over the events table's props blob
+    (kgloom/ops/shred.py induce_json_schema): per-path type census on
+    Spark 4 VariantType — true JSON types, so a quoted "69" stays a
+    string — normalized to the json vocabulary DuckDB's json_type
+    yields, which makes the census itself the oracle.  The props
+    column is unioned with a string-built {et, val} object so the
+    census exercises string and number paths alongside the integer
+    one."""
+    from kgloom.ops.shred import induce_json_schema
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    built = events.select(F.concat(
+        F.lit('{"et": "'), F.col("event_type"),
+        F.lit('", "val": '), F.col("value").cast("string"),
+        F.lit("}")).alias("j"))
+    blobs = events.select(F.col("props").alias("j")).unionByName(built)
+    return induce_json_schema(blobs, "j")
+
+
 def q_stats_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (round-4): per-language p25/p50/p75
     of document length via Spark's exact ``percentile`` aggregate
@@ -2521,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
         "events_retention": q_events_retention,
+        "events_json_schema": q_events_json_schema,
         "sketch_kll_quantiles": q_sketch_kll_quantiles,
         "stats_doc_quantiles": q_stats_doc_quantiles,
         "transcripts_mentions": q_transcripts_mentions,
@@ -5283,6 +5303,37 @@ def oracle_sql() -> dict[str, str]:
         FROM s1 LEFT JOIN s2 USING (user_id)
                 LEFT JOIN s3 USING (user_id)
                 LEFT JOIN s4 USING (user_id)
+    """
+    # JSON-census replay: DuckDB json_keys + json_type over the same
+    # blob union, types mapped to the same json vocabulary
+    oracles["events_json_schema"] = """
+        WITH blobs AS (
+          SELECT props AS j FROM events
+          UNION ALL
+          SELECT '{"et": "' || event_type || '", "val": '
+                   || CAST(value AS VARCHAR) || '}'
+          FROM events),
+        k AS (SELECT j, unnest(json_keys(j)) AS path FROM blobs
+              WHERE json_valid(j)
+                AND json_type(j) = 'OBJECT'),
+        t AS (SELECT path,
+                     CASE json_type(j, '$.' || path)
+                       WHEN 'UBIGINT' THEN 'integer'
+                       WHEN 'BIGINT' THEN 'integer'
+                       WHEN 'DOUBLE' THEN 'number'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'BOOLEAN' THEN 'boolean'
+                       WHEN 'NULL' THEN 'null'
+                       WHEN 'OBJECT' THEN 'object'
+                       WHEN 'ARRAY' THEN 'array'
+                       ELSE 'other' END AS json_type
+              FROM k),
+        total AS (SELECT COUNT(*) AS tot FROM blobs
+                  WHERE json_valid(j) AND json_type(j) = 'OBJECT')
+        SELECT path, json_type, CAST(COUNT(*) AS BIGINT) AS n,
+               COUNT(*) / (SELECT CAST(tot AS DOUBLE) FROM total)
+                 AS frac
+        FROM t GROUP BY path, json_type
     """
     # journey-transition replay: same (ts, event) total order, same
     # single division of exact counts
