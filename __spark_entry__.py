@@ -1598,6 +1598,23 @@ def q_curate_hash_split(spark, sf_dir):
         salt="split1").select("doc_id", "split")
 
 
+def q_curate_dsir(spark, sf_dir):
+    """DSIR importance resampling (kgloom/ops/curate.py:dsir_sample;
+    Xie et al., NeurIPS 2023): per-document log likelihood ratio under
+    hashed unigram+bigram models of the English-language target corpus
+    vs the full raw corpus, then a deterministic Gumbel-top-k draw
+    (P(doc) ∝ exp(logw), Gumbel = −ln(−ln(md5-fraction))).  Both
+    models are ≤256-row aggregates; the λ table broadcasts into one
+    explode + map-side-combining sum per document; the k-cut is
+    TakeOrderedAndProject on (rounded score, doc_id) — no global sort,
+    no Python, replayed exactly by the DuckDB twin."""
+    from pyspark.sql import functions as F
+    from kgloom.ops.curate import dsir_sample
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    return dsir_sample(docs, target, 100, n_buckets=256)
+
+
 def q_pack_concat_chunk(spark, sf_dir):
     """Concat-and-chunk sequence packing (kgloom/ops/packing.py): the
     GPT-style pretraining scheme — per md5 bucket, documents in doc_id
@@ -2597,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_temperature_mix": q_curate_temperature_mix,
         "curate_hash_split": q_curate_hash_split,
+        "curate_dsir": q_curate_dsir,
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
@@ -4436,6 +4454,45 @@ def oracle_sql() -> dict[str, str]:
                         < '{_hex_threshold(0.9)}' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents
+        """,
+        # DSIR replay: hashed unigram+bigram models, add-1 smoothing,
+        # md5-derived Gumbel, same (rounded score, doc_id) cut
+        "curate_dsir": """
+            WITH toks AS (SELECT doc_id, lang,
+                                 string_split(lower(text), ' ') AS t
+                          FROM documents),
+            g AS (SELECT doc_id, lang,
+                         unnest(list_concat(t,
+                           list_transform(generate_series(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+1],
+                                                               ' '))))
+                           AS gram
+                  FROM toks),
+            b AS (SELECT doc_id, lang,
+                         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                           % 256 AS bucket
+                  FROM g),
+            tc AS (SELECT bucket, COUNT(*) AS ct FROM b
+                   WHERE lang = 'en' GROUP BY bucket),
+            rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+            tot AS (SELECT (SELECT SUM(ct) FROM tc) AS tt,
+                           (SELECT SUM(cr) FROM rc) AS tr),
+            lam AS (SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                           ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0))
+                         - ln((COALESCE(cr, 0) + 1.0) / (tr + 256.0))
+                             AS lam
+                    FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket,
+                         tot),
+            w AS (SELECT doc_id, SUM(lam) AS logw
+                  FROM b JOIN lam USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, ROUND(logw, 6) AS dsir_logw,
+                   ROUND(logw + -ln(-ln(
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || 'dsir'), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0)), 6) AS dsir_score
+            FROM w
+            ORDER BY dsir_score DESC, doc_id
+            LIMIT 100
         """,
         # sliding-window replay: same stride arithmetic, DuckDB
         # 1-based inclusive list slicing

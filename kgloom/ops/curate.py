@@ -183,3 +183,126 @@ def temperature_mixture(df: DataFrame, key: str, strata: str,
             .where(rank.cast("double") * w(F.col("__n"))
                    < F.lit(float(16 ** 8)) * w(F.col("__nmin")))
             .drop("__n", "__nmin"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling
+# ---------------------------------------------------------------------------
+#
+# Xie et al., "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS 2023) — public literature.  Importance weights
+# come from two bag-of-hashed-n-grams unigram models: the target
+# corpus (what we want more of) and the raw corpus (what we have).
+# Every document's log weight is the log likelihood ratio of its
+# hashed features under the two models; selection is Gumbel-top-k,
+# which samples WITHOUT replacement with probability proportional to
+# exp(weight) — here with a deterministic md5-derived Gumbel so the
+# draw replays identically on any engine and on any rerun.
+#
+# Scale shape (the reason this maps well onto Spark):
+#   * the feature space is HASHED into ``n_buckets`` (default 1024)
+#     buckets, so both "models" are bounded-size count tables — two
+#     corpus aggregates whose outputs are ≤ n_buckets rows each;
+#   * the per-document weight pass is one explode + one BROADCAST
+#     join against the λ (log-ratio) table + a map-side-combining
+#     groupBy(doc) sum — no all-to-all shuffle of text;
+#   * Gumbel-top-k is orderBy+limit, which Spark executes as
+#     TakeOrderedAndProject (per-partition top-k, then a k-row merge
+#     on the driver) — no global sort at 100 TB.
+
+def _md5_bucket(col, n_buckets: int):
+    """Deterministic engine-portable hash bucket in [0, n_buckets):
+    integer value of md5's first 15 hex chars (< 2^60, nonnegative)
+    mod n_buckets.  DuckDB twin:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % n``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets))
+
+
+def _grams(text_col: str):
+    """Unigrams + word bigrams over the package's standard space
+    tokenization (kgloom.ops.dedup.tokens)."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    bigrams = F.when(
+        F.size(t) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, 2))))
+    return F.concat(t, bigrams)
+
+
+def _bucket_counts(docs: DataFrame, text_col: str,
+                   n_buckets: int) -> DataFrame:
+    return (docs.select(F.explode(_grams(text_col)).alias("__g"))
+            .select(_md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("__c")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, *,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 1024,
+                 smoothing: float = 1.0) -> DataFrame:
+    """(id_col, dsir_logw): per-document log importance weight
+    log p_target(x) − log p_raw(x) under add-``smoothing`` hashed
+    unigram+bigram models estimated from ``target`` and ``raw``.
+
+    The λ table (per-bucket log ratio) is ≤ ``n_buckets`` rows and
+    rides the weight pass as a broadcast; the two model estimates are
+    bounded aggregates.  Documents always have ≥ 1 gram under the
+    space tokenization (the empty string is its own token), so the
+    weight pass is a plain inner join on bucket.
+    """
+    tgt = _bucket_counts(target, text_col, n_buckets)
+    rawc = _bucket_counts(raw, text_col, n_buckets)
+    tt = tgt.agg(F.sum("__c").alias("__tt"))
+    tr = rawc.agg(F.sum("__c").alias("__tr"))
+    a = F.lit(float(smoothing))
+    ab = F.lit(float(smoothing) * n_buckets)
+    lam = (rawc.withColumnRenamed("__c", "__cr")
+           .join(tgt.withColumnRenamed("__c", "__ct"), "bucket", "full_outer")
+           .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(tr))
+           .select(
+               "bucket",
+               (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
+                      / (F.col("__tt") + ab))
+                - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a)
+                        / (F.col("__tr") + ab))).alias("__lam")))
+    per_doc = (raw.select(id_col, F.explode(_grams(text_col)).alias("__g"))
+               .select(id_col,
+                       _md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+               .join(F.broadcast(lam), "bucket")
+               .groupBy(id_col)
+               .agg(F.sum("__lam").alias("dsir_logw")))
+    return per_doc
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, k: int, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 1024, smoothing: float = 1.0,
+                salt: str = "dsir") -> DataFrame:
+    """Gumbel-top-``k`` importance resampling: keeps the ``k``
+    documents maximizing ``dsir_logw + G_id`` where ``G_id =
+    −ln(−ln(u_id))`` and ``u_id ∈ (0,1)`` is the deterministic md5
+    fraction of (id ‖ salt) — a without-replacement draw with
+    P(doc) ∝ exp(dsir_logw), replayable on any engine.
+
+    Returns (id_col, dsir_logw, dsir_score) with both doubles rounded
+    to 6 decimals; the cut ranks by (rounded score, id) so the
+    selected SET is stable under sub-ulp cross-engine log/sum
+    differences.  orderBy+limit lowers to TakeOrderedAndProject —
+    per-partition top-k, no global sort.
+    """
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col,
+                     n_buckets=n_buckets, smoothing=smoothing)
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 15), 16, 10).cast("long")
+         / F.lit(float(16 ** 15)))
+    gumbel = -F.log(-F.log(u))
+    scored = w.select(
+        id_col,
+        F.round(F.col("dsir_logw"), 6).alias("dsir_logw"),
+        F.round(F.col("dsir_logw") + gumbel, 6).alias("dsir_score"))
+    return (scored.orderBy(F.desc("dsir_score"), F.col(id_col))
+            .limit(k))
