@@ -1194,6 +1194,19 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Cross-document repeated-span detection
+    (kgloom/ops/dedup.py:duplicate_spans; Lee et al. ACL 2022): hash a
+    rolling 5-token window per position, mark windows whose hash
+    occurs in ≥2 distinct documents.  One explode (map-side), one
+    partial-aggregated groupBy(hash), one join back, one groupBy(doc)
+    — a boilerplate span shared by millions of docs is one stats row,
+    never an all-pairs blow-up; integer outputs keep the oracle
+    exact."""
+    return D.duplicate_spans(_docs(spark, sf_dir), span_len=5,
+                             min_docs=2)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
@@ -2604,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_owl_properties": q_reason_owl_properties,
         "reason_owl_equiv": q_reason_owl_equiv,
         "dedup_exact": q_dedup_exact,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4200,6 +4214,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, COUNT(*) AS n_dups,
                    MIN(doc_id) AS rep_doc_id
             FROM documents GROUP BY text
+        """,
+        # rolling 5-token window hashes; a window is duplicated when
+        # its hash spans >= 2 distinct documents
+        "dedup_substring_spans": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split(lower(text), ' ') AS t
+                          FROM documents),
+            w AS (SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, len(t) - 4),
+                           i -> md5(array_to_string(t[i:i+4], ' '))))
+                           AS h
+                  FROM toks WHERE len(t) >= 5),
+            s AS (SELECT h, COUNT(DISTINCT doc_id) AS span_docs
+                  FROM w GROUP BY h)
+            SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_windows,
+                   MAX(span_docs) AS max_span_docs
+            FROM w JOIN s USING (h)
+            GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -340,3 +340,44 @@ def embedding_cosine_pairs(emb: DataFrame,
                 F.col("sqa"), F.col("sqb")))
             .where(F.col("sim") > threshold - threshold_eps)
             .select("vec_a", "vec_b", F.round("sim", 4).alias("sim")))
+
+
+def duplicate_spans(docs: DataFrame, span_len: int = 5,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span detection — the signal behind
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — public
+    literature): a rolling window of ``span_len`` tokens is hashed per
+    position, and a window is *duplicated* when its hash occurs in at
+    least ``min_docs`` distinct documents.
+
+    Returns one row per document that has at least one full window:
+    (doc_id, n_windows, n_dup_windows, max_span_docs) where
+    ``n_dup_windows`` counts positions covered by a cross-document
+    span and ``max_span_docs`` is the widest sharing (1 = unique).
+    Consumers threshold ``n_dup_windows / n_windows`` (the fraction of
+    the document that is boilerplate) or cut the spans themselves.
+
+    Scale shape: explode to (doc, pos, h) — map-side, no Python —
+    then one groupBy(h) with partial aggregation (exact distinct-doc
+    counts), one shuffle join back on h, one groupBy(doc).  A
+    boilerplate span shared by millions of docs is ONE row in the
+    stats table fanning back out through the join — no all-pairs
+    blow-up; AQE handles the hash-key skew.
+    """
+    t = tokens()
+    windows = F.when(
+        F.size(t) < span_len, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - (span_len - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, span_len))))
+    w = (docs.select("doc_id", F.explode(windows).alias("__w"))
+         .select("doc_id", F.md5(F.col("__w")).alias("h")))
+    stats = w.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("span_docs"))
+    return (w.join(stats, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("span_docs") >= min_docs, 1)
+                        .otherwise(0)).alias("n_dup_windows"),
+                 F.max("span_docs").alias("max_span_docs")))
