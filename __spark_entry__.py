@@ -785,6 +785,39 @@ def q_sparql_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the snapshot store (kgloom/tables.py:merge —
+    Iceberg copy-on-write MERGE semantics): the turn KG is committed,
+    then one merge keyed on (subj, pred) UPDATEs every tool-turn's
+    role triple to "tool_user", INSERTs a new flagged triple, and
+    DELETEs the tool-turn's text triple via the delete marker.  The
+    result is the post-merge snapshot; the parent stays
+    time-travelable.  Plan: one LEFT ANTI join on the merge key + one
+    union, shuffled on (subj, pred) with AQE sizing — the exact shape
+    a 100-TB copy-on-write MERGE runs."""
+    import tempfile
+    from kgloom.tables import SnapshotStore
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="kgloom_merge_"))
+    store.write("kg", triples)
+    tool_turns = (triples.where(F.col("pred") == f"<{_KGO}usedTool>")
+                  .select("subj").distinct())
+    updates = (
+        tool_turns.select(
+            "subj", F.lit(f"<{_KGO}role>").alias("pred"),
+            F.lit('"tool_user"').alias("obj"),
+            F.lit(False).alias("del"))
+        .unionByName(tool_turns.select(
+            "subj", F.lit(f"<{_KGO}flagged>").alias("pred"),
+            F.lit('"true"').alias("obj"), F.lit(False).alias("del")))
+        .unionByName(tool_turns.select(
+            "subj", F.lit(f"<{_KGO}text>").alias("pred"),
+            F.lit(None).cast("string").alias("obj"),
+            F.lit(True).alias("del"))))
+    store.merge("kg", updates, keys=["subj", "pred"], delete_col="del")
+    return store.read("kg")
+
+
 def q_sparql_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT over the constructed KG (kgloom/sparql.py): a
     derived graph linking each conversation directly to the tools it
@@ -2559,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_asof_tool": q_transcripts_asof_tool,
         "kg_tool_intervals": q_kg_tool_intervals,
         "kg_graph_delta": q_kg_graph_delta,
+        "kg_merge_upsert": q_kg_merge_upsert,
         "text_fim_split": q_text_fim_split,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_kmv_incremental": q_sketch_kmv_incremental,
@@ -5299,6 +5333,27 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT subj, pred, obj, 'removed' AS change
         FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """
+    # MERGE INTO replay: anti-join on the merge key (subj, pred)
+    # against the touched tool-turn keys, then the upserts unioned in
+    oracles["kg_merge_upsert"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        toolturns AS (SELECT DISTINCT subj FROM tt
+                      WHERE pred = '<{_KGO}usedTool>'),
+        keys AS (SELECT subj,
+                        unnest(['<{_KGO}role>', '<{_KGO}flagged>',
+                                '<{_KGO}text>']) AS pred
+                 FROM toolturns)
+        SELECT t.subj, t.pred, t.obj
+        FROM tt t LEFT JOIN keys k
+          ON t.subj = k.subj AND t.pred = k.pred
+        WHERE k.subj IS NULL
+        UNION ALL
+        SELECT subj, '<{_KGO}role>' AS pred, '"tool_user"' AS obj
+        FROM toolturns
+        UNION ALL
+        SELECT subj, '<{_KGO}flagged>', '"true"' FROM toolturns
     """
     # FIM replay: identical md5-seeded cut-point arithmetic
     oracles["text_fim_split"] = """

@@ -243,3 +243,85 @@ class SnapshotStore:
     def snapshots(self, table: str) -> list[str]:
         d = self._table_dir(table)
         return sorted(n for n in os.listdir(d) if n.startswith("snap-"))
+
+    # -- maintenance (Iceberg MERGE INTO / rewrite_data_files /
+    # -- expire_snapshots equivalents) -------------------------------------
+
+    def merge(self, table: str, updates: DataFrame, keys: list[str],
+              delete_col: Optional[str] = None,
+              partition_by: Optional[list[str]] = None) -> Snapshot:
+        """MERGE INTO semantics as a copy-on-write snapshot commit:
+        rows of the current snapshot whose key tuple appears in
+        ``updates`` are replaced; unmatched update rows are inserted;
+        if ``delete_col`` names a boolean column, update rows with it
+        true DELETE their key instead.  Equivalent SQL::
+
+            MERGE INTO t USING u ON <keys>
+            WHEN MATCHED AND u.del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED [AND NOT u.del] THEN INSERT *
+
+        The new snapshot's lineage records the parent, so the merge is
+        resumable/auditable like any other commit and old versions
+        stay time-travelable.  Plan shape: one LEFT ANTI join of the
+        current snapshot against the (deduplicated) update keys + one
+        union — the anti join shuffles on the merge key exactly as
+        Iceberg's copy-on-write MERGE does, and AQE sizes it; nothing
+        is collected.  ``updates`` must carry one row per key (enforce
+        upstream); the base table may be any size.
+        """
+        current = self.read(table)
+        parent = self.latest(table).snapshot_id
+        if delete_col is not None:
+            upserts = (updates.where(~F.coalesce(F.col(delete_col),
+                                                 F.lit(False)))
+                       .drop(delete_col))
+        else:
+            upserts = updates
+        touched = updates.select(*keys).distinct()
+        merged = current.join(touched, keys, "left_anti") \
+            .unionByName(upserts)
+        return self.write(table, merged, parents=[parent],
+                          partition_by=partition_by,
+                          extra_metrics={"merge_keys": keys,
+                                         "merge": True})
+
+    def compact(self, table: str, num_files: int,
+                sort_by: Optional[list[str]] = None) -> Snapshot:
+        """Iceberg ``rewrite_data_files``: rewrite the latest snapshot
+        into ``num_files`` files (optionally range-sorted by
+        ``sort_by`` for clustering/min-max pruning), committed as a
+        new snapshot with lineage — content-identical, layout-new.
+        Small-file compaction is what keeps a 100-TB table's scan
+        planning cheap after many incremental merges."""
+        current = self.read(table)
+        parent = self.latest(table).snapshot_id
+        if sort_by:
+            out = current.repartitionByRange(num_files, *sort_by)
+        else:
+            out = current.repartition(num_files)
+        return self.write(table, out, parents=[parent],
+                          extra_metrics={"compaction": True,
+                                         "target_files": num_files})
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[str]:
+        """Iceberg ``expire_snapshots``: drop all but the newest
+        ``keep_last`` snapshot directories (never the one ``_latest``
+        points at).  Returns the expired ids; time travel to them is
+        gone afterwards — call only when the retention window allows.
+        Parquet-snapshot mode only (real Iceberg expiry is the
+        catalog's job)."""
+        import shutil
+        snaps = self.snapshots(table)
+        head = self.latest(table)
+        keep = set(snaps[-max(keep_last, 1):])
+        if head is not None:
+            keep.add(head.snapshot_id)
+        expired = []
+        for snap_id in snaps:
+            if snap_id in keep:
+                continue
+            shutil.rmtree(os.path.join(self._table_dir(table), snap_id),
+                          ignore_errors=True)
+            expired.append(snap_id)
+        return expired

@@ -70,3 +70,61 @@ def test_read_at_time_travel(spark, tmp_path):
     assert [r.s for r in res.collect()] == ["a"]  # lexical form
     with pytest.raises(FileNotFoundError):
         store.read_at("kg", "snap-nope")
+
+
+def test_merge_upsert_insert_delete(spark, tmp_path):
+    from kgloom.tables import SnapshotStore
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    s0 = store.write("t", base)
+    updates = spark.createDataFrame(
+        [(2, "B", False),        # matched -> update
+         (4, "d", False),        # not matched -> insert
+         (3, None, True)],       # matched + delete marker -> delete
+        "k int, v string, del boolean")
+    s1 = store.merge("t", updates, keys=["k"], delete_col="del")
+    got = sorted(map(tuple, store.read("t").collect()))
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+    assert s1.manifest["parents"] == [s0.snapshot_id]
+    assert s1.manifest["metrics"]["merge"] is True
+    # parent snapshot still time-travelable
+    old = sorted(map(tuple, store.read_at("t", s0.snapshot_id).collect()))
+    assert old == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_without_delete_col(spark, tmp_path):
+    from kgloom.tables import SnapshotStore
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.write("t", spark.createDataFrame([(1, "a")], "k int, v string"))
+    store.merge("t", spark.createDataFrame(
+        [(1, "A"), (2, "b")], "k int, v string"), keys=["k"])
+    got = sorted(map(tuple, store.read("t").collect()))
+    assert got == [(1, "A"), (2, "b")]
+
+
+def test_compact_rewrites_layout_not_content(spark, tmp_path):
+    from kgloom.tables import SnapshotStore
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS v") \
+        .repartition(8)
+    s0 = store.write("t", df)
+    assert len(s0.manifest["partition_row_counts"]) > 1
+    s1 = store.compact("t", 1)
+    assert len(s1.manifest["partition_row_counts"]) == 1
+    assert s1.manifest["row_count"] == 1000
+    assert s1.manifest["parents"] == [s0.snapshot_id]
+    a = sorted(map(tuple, store.read_at("t", s0.snapshot_id).collect()))
+    b = sorted(map(tuple, store.read("t").collect()))
+    assert a == b
+
+
+def test_expire_snapshots_keeps_latest(spark, tmp_path):
+    from kgloom.tables import SnapshotStore
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    ids = [store.write("t", spark.createDataFrame([(i,)], "k int"))
+           .snapshot_id for i in range(4)]
+    expired = store.expire_snapshots("t", keep_last=2)
+    assert expired == ids[:2]
+    assert store.snapshots("t") == ids[2:]
+    assert store.read("t").count() == 1  # latest unharmed
