@@ -1122,6 +1122,19 @@ def q_kg_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool": "http://kg.example/tool/"})
 
 
+def q_kg_jsonld_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic flat JSON-LD serialization of the
+    turn KG (kgloom/exec/jsonld.py — a format the reference enumerates
+    but leaves unimplemented, formats.rs:20-29): one flattened node
+    object per subject, keys @id < @type < sorted predicate IRIs,
+    values sorted by rendered JSON — determinism makes the TEXT itself
+    oracle-checkable; two grouping shuffles, JVM-only string assembly,
+    no Python."""
+    from kgloom.exec.jsonld import jsonld_nodes
+    triples = q_transcripts_turn_triples(spark, sf_dir)
+    return jsonld_nodes(triples)
+
+
 def q_sparql_kg_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL VALUES with UNDEF cells over the constructed KG
     (kgloom/sparql.py): inline data tags user turns "u", matches
@@ -2635,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_group_expr": q_sparql_kg_group_expr,
         "sparql_kg_having_agg": q_sparql_kg_having_agg,
         "kg_turtle_render": q_kg_turtle_render,
+        "kg_jsonld_render": q_kg_jsonld_render,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
@@ -5742,6 +5756,29 @@ def oracle_sql() -> dict[str, str]:
                 f"regexp_extract({col}, '{pat}', 1)")
         return "CASE " + " ".join(arms) + f" ELSE {col} END"
 
+    # flat JSON-LD replay: same value-object rendering and
+    # @id/"pred":[...] assembly, string_agg ORDER BY for both sorts
+    # (turn triples carry no rdf:type, so the @type branch is exact
+    # here via the pytest term-kind suite, not this oracle)
+    oracles["kg_jsonld_render"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),
+        c AS (SELECT subj,
+                     substr(pred, 2, len(pred) - 2) AS k,
+                     CASE WHEN obj LIKE '<%'
+                          THEN '{{"@id":"' || substr(obj, 2, len(obj) - 2)
+                                 || '"}}'
+                          ELSE '{{"@value":' || obj || '}}' END AS v
+              FROM tt),
+        po AS (SELECT subj, k,
+                      string_agg(v, ',' ORDER BY v) AS vs
+               FROM c GROUP BY subj, k)
+        SELECT subj,
+               '{{"@id":"' || substr(subj, 2, len(subj) - 2) || '",' ||
+               string_agg('"' || k || '":[' || vs || ']', ','
+                          ORDER BY k) || '}}' AS jsonld
+        FROM po GROUP BY subj
+    """
     oracles["kg_turtle_render"] = f"""
         WITH tr AS ({TRANSCRIPTS_SQL}),
         tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION})),

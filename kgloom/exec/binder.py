@@ -352,13 +352,14 @@ class SparkBinder:
         triple (RMLTC0009a empty join key), null graph suppresses the
         quad; RDF set semantics via distinct."""
         if op.format not in (DataFormat.NQUADS, DataFormat.NTRIPLES,
-                             DataFormat.TTL):
+                             DataFormat.TTL, DataFormat.JSONLD):
             raise BindError(
                 f"serializer format {op.format} not implemented "
                 "(reference implements NTriples+NQuads only, and "
-                "enumerates TTL as unimplemented — serializer/"
-                "mod.rs:39-56; TTL is implemented HERE via the "
-                "distributed writer in kgloom/exec/ttl.py)")
+                "enumerates TTL/JSONLD as unimplemented — serializer/"
+                "mod.rs:39-56; TTL and JSONLD are implemented HERE via "
+                "the distributed writers in kgloom/exec/ttl.py and "
+                "kgloom/exec/jsonld.py)")
         quads: list = []
         for raw_line in op.template.splitlines():
             line = raw_line.strip()
@@ -419,6 +420,9 @@ def write_sinks(results: list[SinkResult]) -> dict[str, DataFrame]:
                 from .ttl import turtle_document_lines
                 lines = turtle_document_lines(
                     r.dataframe, cfg.get("prefixes"))
+            elif r.format == DataFormat.JSONLD:
+                from .jsonld import jsonld_document_lines
+                lines = jsonld_document_lines(r.dataframe)
             else:
                 lines = to_nquads_lines(r.dataframe)
             lines.write.mode("overwrite").text(path)
