@@ -53,7 +53,8 @@ and scalar expressions (the BIND expression language), ``LIMIT`` /
 their own grouping and slice, then natural-joined into the enclosing
 group; the outer prologue's prefixes stay in scope), ``ASK`` via
 :func:`sparql_ask` (a limit-1 probe) — plus
-``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
+``CONSTRUCT { template } WHERE { ... }`` (and the §10.2.3
+``CONSTRUCT WHERE { bgp }`` shorthand) via :func:`sparql_construct`,
 which returns a quad DataFrame (so a query result is itself a KG the
 engine can serialize, re-query, or feed to another mapping), and
 property paths in the predicate position: sequence ``p1/p2``, inverse
@@ -2329,17 +2330,32 @@ def _parse_construct(text: str):
     if m is None:
         raise SparqlError("not a CONSTRUCT query")
     i = m.end()
-    if i >= len(text) or text[i] != "{":
-        raise SparqlError("CONSTRUCT must be followed by a { template }")
-    template_src, j = _take_braced(text, i)
-    wm = re.match(r"\s*WHERE\s*", text[j:], re.IGNORECASE)
-    if wm is None:
-        raise SparqlError("CONSTRUCT template must be followed by WHERE")
-    k = j + wm.end()
-    if k >= len(text) or text[k] != "{":
-        raise SparqlError("WHERE must be followed by a { group }")
-    body, l = _take_braced(text, k)
-    tail = text[l:]
+    sm = re.match(r"WHERE\s*", text[i:], re.IGNORECASE)
+    if sm is not None:
+        # §10.2.3 CONSTRUCT WHERE shorthand: the WHERE pattern IS the
+        # template — legal only for a plain BGP
+        k = i + sm.end()
+        if k >= len(text) or text[k] != "{":
+            raise SparqlError("WHERE must be followed by a { group }")
+        body, l = _take_braced(text, k)
+        if re.search(r"\b(FILTER|OPTIONAL|UNION|GRAPH|BIND|VALUES|"
+                     r"MINUS|SELECT|SERVICE)\b|\{", body, re.IGNORECASE):
+            raise SparqlError(
+                "CONSTRUCT WHERE shorthand allows only a basic graph "
+                "pattern (SPARQL 1.1 §10.2.3)")
+        template_src, tail = body, text[l:]
+    else:
+        if i >= len(text) or text[i] != "{":
+            raise SparqlError("CONSTRUCT must be followed by a { template }")
+        template_src, j = _take_braced(text, i)
+        wm = re.match(r"\s*WHERE\s*", text[j:], re.IGNORECASE)
+        if wm is None:
+            raise SparqlError("CONSTRUCT template must be followed by WHERE")
+        k = j + wm.end()
+        if k >= len(text) or text[k] != "{":
+            raise SparqlError("WHERE must be followed by a { group }")
+        body, l = _take_braced(text, k)
+        tail = text[l:]
 
     template = _parse_triples(template_src, prefixes)
     if not template:

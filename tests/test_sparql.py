@@ -1870,3 +1870,29 @@ def test_having_sum_expression(quads):
         ORDER BY ?s
     """).collect()
     assert all(r.t >= 30 for r in rows) and len(rows) == 2
+
+
+def test_construct_where_shorthand(quads):
+    """§10.2.3: CONSTRUCT WHERE { bgp } uses the pattern as the
+    template — equivalent to spelling the template out."""
+    from kgloom.sparql import sparql_construct
+    short = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT WHERE {{ ?s ex:age ?age . }}
+    """)
+    full = sparql_construct(quads, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:age ?age . }} WHERE {{ ?s ex:age ?age . }}
+    """)
+    a = sorted(map(tuple, short.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_construct_where_shorthand_rejects_non_bgp(quads):
+    from kgloom.sparql import SparqlError, sparql_construct
+    with pytest.raises(SparqlError, match="basic graph pattern"):
+        sparql_construct(quads, f"""
+            PREFIX ex: <{EX}>
+            CONSTRUCT WHERE {{ ?s ex:age ?age . FILTER(?age > 26) }}
+        """)
