@@ -352,14 +352,17 @@ class SparkBinder:
         triple (RMLTC0009a empty join key), null graph suppresses the
         quad; RDF set semantics via distinct."""
         if op.format not in (DataFormat.NQUADS, DataFormat.NTRIPLES,
-                             DataFormat.TTL, DataFormat.JSONLD):
+                             DataFormat.TTL, DataFormat.JSONLD,
+                             DataFormat.CSV, DataFormat.JSON):
             raise BindError(
                 f"serializer format {op.format} not implemented "
-                "(reference implements NTriples+NQuads only, and "
-                "enumerates TTL/JSONLD as unimplemented — serializer/"
+                "(reference implements NTriples+NQuads only and "
+                "enumerates the rest as unimplemented — serializer/"
                 "mod.rs:39-56; TTL and JSONLD are implemented HERE via "
                 "the distributed writers in kgloom/exec/ttl.py and "
-                "kgloom/exec/jsonld.py)")
+                "kgloom/exec/jsonld.py, CSV/JSON as Spark-native "
+                "encodings of the structured quad table at the FILE "
+                "sink)")
         quads: list = []
         for raw_line in op.template.splitlines():
             line = raw_line.strip()
@@ -418,14 +421,23 @@ def write_sinks(results: list[SinkResult]) -> dict[str, DataFrame]:
                 raise BindError("file target without path")
             if r.format == DataFormat.TTL:
                 from .ttl import turtle_document_lines
-                lines = turtle_document_lines(
-                    r.dataframe, cfg.get("prefixes"))
+                turtle_document_lines(r.dataframe, cfg.get("prefixes")) \
+                    .write.mode("overwrite").text(path)
             elif r.format == DataFormat.JSONLD:
                 from .jsonld import jsonld_document_lines
-                lines = jsonld_document_lines(r.dataframe)
+                jsonld_document_lines(r.dataframe) \
+                    .write.mode("overwrite").text(path)
+            elif r.format == DataFormat.CSV:
+                # the reference's default DataFormat: the structured
+                # quad table itself, Spark-native distributed CSV
+                r.dataframe.write.mode("overwrite") \
+                    .option("header", "true").csv(path)
+            elif r.format == DataFormat.JSON:
+                # one JSON object per quad row (Spark-native JSON lines)
+                r.dataframe.write.mode("overwrite").json(path)
             else:
-                lines = to_nquads_lines(r.dataframe)
-            lines.write.mode("overwrite").text(path)
+                to_nquads_lines(r.dataframe) \
+                    .write.mode("overwrite").text(path)
         elif r.target.target_type == IOType.TABLE:
             r.dataframe.write.mode(cfg.get("mode", "overwrite")) \
                 .parquet(cfg["path"])
