@@ -1122,6 +1122,25 @@ def q_kg_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool": "http://kg.example/tool/"})
 
 
+def q_kg_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification
+    (kgloom/ops/temporal.py:allen_relation/allen_pairs, Allen CACM
+    1983): each user's per-event-type activity span [min ts, max ts]
+    is an interval; every event-type pair within a user classifies
+    into one of the 13 relations, aggregated to (type_a, type_b,
+    relation, n_pairs).  One bounded aggregate + an equi-join on
+    user_id with a per-key pair set capped by the event-type
+    vocabulary — scales out in users; the oracle replays the same
+    normative CASE ladder."""
+    from kgloom.ops.temporal import allen_pairs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.max("ts").alias("valid_to"))
+    pairs = allen_pairs(iv, ["user_id"], "event_type")
+    return (pairs.groupBy("id_a", "id_b", "relation")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
 def q_kg_jsonld_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed deterministic flat JSON-LD serialization of the
     turn KG (kgloom/exec/jsonld.py — a format the reference enumerates
@@ -2649,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg_having_agg": q_sparql_kg_having_agg,
         "kg_turtle_render": q_kg_turtle_render,
         "kg_jsonld_render": q_kg_jsonld_render,
+        "kg_allen_relations": q_kg_allen_relations,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
@@ -5756,6 +5776,32 @@ def oracle_sql() -> dict[str, str]:
                 f"regexp_extract({col}, '{pat}', 1)")
         return "CASE " + " ".join(arms) + f" ELSE {col} END"
 
+    # Allen ladder replay: the CASE order is normative (module
+    # docstring kgloom/ops/temporal.py:allen_relation)
+    oracles["kg_allen_relations"] = """
+        WITH iv AS (SELECT user_id, event_type,
+                           MIN(ts) AS s, MAX(ts) AS e
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type AS id_a, b.event_type AS id_b,
+                CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                     WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+                     WHEN a.s = b.s THEN 'started_by'
+                     WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+                     WHEN a.e = b.e THEN 'finished_by'
+                     WHEN a.e = b.s THEN 'meets'
+                     WHEN b.e = a.s THEN 'met_by'
+                     WHEN a.e < b.s THEN 'before'
+                     WHEN b.e < a.s THEN 'after'
+                     WHEN a.s > b.s AND a.e < b.e THEN 'during'
+                     WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                     WHEN a.s < b.s THEN 'overlaps'
+                     ELSE 'overlapped_by' END AS relation
+              FROM iv a JOIN iv b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type)
+        SELECT id_a, id_b, relation, COUNT(*) AS n_pairs
+        FROM p GROUP BY 1, 2, 3
+    """
     # flat JSON-LD replay: same value-object rendering and
     # @id/"pred":[...] assembly, string_agg ORDER BY for both sorts
     # (turn triples carry no rdf:type, so the @type branch is exact

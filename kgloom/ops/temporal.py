@@ -260,3 +260,58 @@ def cohort_retention(events: DataFrame, user: str = "user_id",
         (F.datediff(F.col("__aw"), F.col("cohort_week")) / 7)
         .cast("int").alias("week_offset"))
         .agg(F.count_distinct(F.col("u")).alias("n_users")))
+
+
+def allen_relation(s1, e1, s2, e2):
+    """Column expression classifying two intervals into the 13 Allen
+    interval-algebra relations (Allen, CACM 1983 — public literature).
+    Inputs are the two intervals' endpoints (any orderable type; both
+    engines of a cross-engine oracle must share the evaluation order,
+    so the CASE ladder below is the normative order: equality forms
+    first, then meets, then disjoint, then containment, then overlap).
+    The ladder is exhaustive and inverse-consistent (rel(a,b) is
+    always the Allen inverse of rel(b,a)) for PROPER intervals
+    (s < e); degenerate point intervals still classify
+    deterministically but fall outside the classical 13-relation
+    algebra (a point at another interval's endpoint reads as
+    meets/finishes depending on side)."""
+    return (
+        F.when((s1 == s2) & (e1 == e2), "equals")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2), "started_by")
+        .when((e1 == e2) & (s1 > s2), "finishes")
+        .when((e1 == e2), "finished_by")
+        .when(e1 == s2, "meets")
+        .when(e2 == s1, "met_by")
+        .when(e1 < s2, "before")
+        .when(e2 < s1, "after")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when(s1 < s2, "overlaps")
+        .otherwise("overlapped_by"))
+
+
+def allen_pairs(df: DataFrame, keys: list[str], id_col: str,
+                from_col: str = "valid_from",
+                to_col: str = "valid_to") -> DataFrame:
+    """All ordered interval pairs within each key group (``id_a <
+    id_b``), classified by Allen relation: ``(*keys, id_a, id_b,
+    relation)``.
+
+    The pair join is an equi-join on ``keys`` — per-key interval sets
+    are small in temporal-KG practice (one entity's versions), so the
+    quadratic blow-up is bounded per key while the number of keys
+    scales out; skewed hot keys fall to AQE.  No Python, no collects.
+    """
+    a = df.select(*keys, F.col(id_col).alias("id_a"),
+                  F.col(from_col).alias("__s1"),
+                  F.col(to_col).alias("__e1"))
+    b = df.select(*keys, F.col(id_col).alias("id_b"),
+                  F.col(from_col).alias("__s2"),
+                  F.col(to_col).alias("__e2"))
+    return (a.join(b, keys)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(*keys, "id_a", "id_b",
+                    allen_relation(F.col("__s1"), F.col("__e1"),
+                                   F.col("__s2"), F.col("__e2"))
+                    .alias("relation")))
