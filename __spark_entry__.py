@@ -1122,6 +1122,29 @@ def q_kg_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool": "http://kg.example/tool/"})
 
 
+def q_kg_rdfstar_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star statement-level provenance (kgloom/ops/star.py + the
+    N-Triples-star reader grammar in kgloom/exec/rdfsource.py — no
+    RDF-star surface exists in the reference): every usedTool triple
+    is annotated ``<< turn usedTool tool >> kg:inConv conv``, the
+    annotations are serialized to N-Quads-star TEXT and parsed back
+    in-plan (to_nquads_lines → parse_nquads_lines, both pure Catalyst)
+    — the returned quads prove writer ∘ reader = identity on quoted
+    terms at corpus scale.  Map-side string work + one subj equi-join;
+    no Python."""
+    from kgloom.exec.binder import to_nquads_lines
+    from kgloom.exec.rdfsource import parse_nquads_lines
+    from kgloom.ops.star import annotate
+    tri = q_transcripts_turn_triples(spark, sf_dir)
+    used = tri.where(F.col("pred") == f"<{_KGO}usedTool>")
+    part = (tri.where(F.col("pred") == f"<{_KGO}partOf>")
+            .select("subj", F.col("obj").alias("__conv")))
+    ann = annotate(used.join(part, "subj"), f"<{_KGO}inConv>",
+                   F.col("__conv"))
+    return (parse_nquads_lines(to_nquads_lines(ann))
+            .select("subj", "pred", "obj"))
+
+
 def q_kg_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen interval-algebra classification
     (kgloom/ops/temporal.py:allen_relation/allen_pairs, Allen CACM
@@ -2669,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turtle_render": q_kg_turtle_render,
         "kg_jsonld_render": q_kg_jsonld_render,
         "kg_allen_relations": q_kg_allen_relations,
+        "kg_rdfstar_annotate": q_kg_rdfstar_annotate,
         "sparql_kg_filter": q_sparql_kg_filter,
         "sparql_kg_group_concat": q_sparql_kg_group_concat,
         "sparql_kg_nps": q_sparql_kg_nps,
@@ -5776,6 +5800,20 @@ def oracle_sql() -> dict[str, str]:
                 f"regexp_extract({col}, '{pat}', 1)")
         return "CASE " + " ".join(arms) + f" ELSE {col} END"
 
+    # RDF-star replay: the quoted-term string is deterministic
+    # assembly; the Spark side additionally round-trips through
+    # N-Quads-star text, which is the identity on these quads
+    oracles["kg_rdfstar_annotate"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL}),
+        tt AS (SELECT DISTINCT * FROM ({_TURN_TRIPLES_UNION}))
+        SELECT '<< ' || u.subj || ' ' || u.pred || ' ' || u.obj
+                 || ' >>' AS subj,
+               '<{_KGO}inConv>' AS pred,
+               p.obj AS obj
+        FROM tt u JOIN tt p ON u.subj = p.subj
+        WHERE u.pred = '<{_KGO}usedTool>'
+          AND p.pred = '<{_KGO}partOf>'
+    """
     # Allen ladder replay: the CASE order is normative (module
     # docstring kgloom/ops/temporal.py:allen_relation)
     oracles["kg_allen_relations"] = """

@@ -18,9 +18,13 @@ into them directly.
 Grammar handled (W3C N-Quads): IRI / blank-node subjects, IRI
 predicates, IRI / blank-node / literal objects (with ``\\``-escapes,
 ``@lang`` tags and ``^^<datatype>``), optional IRI / blank-node graph
-label, full-line comments, blank lines.  The object/graph split is
-unambiguous because each object alternative is matched as a COMPLETE
-term (a lone trailing IRI can never be half-object half-graph).
+label, full-line comments, blank lines — plus RDF-star (N-Triples-
+star) quoted triples ``<< s p o >>`` in subject and object position,
+ONE level deep (nested quoting is malformed; see
+:mod:`kgloom.ops.star` for the quoted-term constructors and
+decomposition).  The object/graph split is unambiguous because each
+object alternative is matched as a COMPLETE term (a lone trailing IRI
+can never be half-object half-graph).
 """
 
 from __future__ import annotations
@@ -28,14 +32,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: literal with escape-aware quoting and optional @lang / ^^<datatype>
+_LIT = (r'"(?:[^"\\]|\\.)*"'
+        r'(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?')
+#: RDF-star quoted triple ``<< s p o >>`` (N-Triples-star; ONE level —
+#: nested quoting is rejected as malformed).  Structured term-by-term,
+#: so ``>>`` inside an inner literal parses correctly.
+_QT = (r'<<\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+'
+       r'(?:<[^>]*>|_:\S+|' + _LIT + r')\s*>>')
 # line → (subject, predicate, object-and-maybe-graph); the lazy middle
 # group backtracks past "." characters inside literals because the
 # terminating "." must be followed only by whitespace
-_LINE_RE = r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$'
+_LINE_RE = (r'^\s*(' + _QT + r'|<[^>]*>|_:\S+)\s+(<[^>]*>)'
+            r'\s+(.*?)\s*\.\s*$')
 # object-and-maybe-graph → (object, graph); object = IRI | bnode |
-# literal with escape-aware quoting and optional @lang / ^^<datatype>
-_OBJ_RE = (r'^(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
-           r'(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?)'
+# quoted triple | literal
+_OBJ_RE = (r'^(' + _QT + r'|<[^>]*>|_:\S+|' + _LIT + r')'
            r'(?:\s+(<[^>]*>|_:\S+))?$')
 
 

@@ -1,0 +1,77 @@
+"""RDF-star quoted triples: constructors (kgloom/ops/star.py), the
+N-Triples-star reader grammar (kgloom/exec/rdfsource.py), and the
+serializer round trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgloom.exec.binder import to_nquads_lines
+from kgloom.exec.rdfsource import parse_nquads_lines
+from kgloom.ops.star import (annotate, deconstruct, is_quoted,
+                             quote_triple, unquote_triple)
+
+TRIPLES = [
+    ("<http://ex/t1>", "<http://ex/usedTool>", "<http://ex/bash>"),
+    ("<http://ex/t2>", "<http://ex/note>", '"has >> inside"'),
+    ("_:b0", "<http://ex/note>", '"fr text"@fr'),
+]
+
+
+@pytest.fixture()
+def tri(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+
+
+def test_quote_unquote_identity(spark, tri):
+    q = tri.select(quote_triple(F.col("subj"), F.col("pred"),
+                                F.col("obj")).alias("qt"),
+                   "subj", "pred", "obj")
+    rows = q.select("subj", "pred", "obj",
+                    unquote_triple(F.col("qt")).alias("u"),
+                    is_quoted(F.col("qt")).alias("isq")).collect()
+    for r in rows:
+        assert r.isq
+        assert (r.u.subj, r.u.pred, r.u.obj) == (r.subj, r.pred, r.obj)
+
+
+def test_is_quoted_false_for_plain_terms(spark, tri):
+    rows = tri.select(is_quoted(F.col("subj")).alias("a"),
+                      is_quoted(F.col("obj")).alias("b")).collect()
+    assert not any(r.a or r.b for r in rows)
+
+
+def test_annotation_roundtrip_through_nquads_text(spark, tri):
+    ann = annotate(tri, "<http://ex/conf>", F.lit('"0.9"'))
+    lines = to_nquads_lines(ann)
+    back = parse_nquads_lines(lines)
+    got = sorted(map(tuple, back.select("subj", "pred", "obj").collect()))
+    want = sorted(map(tuple, ann.select("subj", "pred", "obj").collect()))
+    assert got == want and len(got) == 3
+
+
+def test_deconstruct_joins_back(spark, tri):
+    ann = annotate(tri, "<http://ex/conf>", F.lit('"0.9"'))
+    flat = deconstruct(ann)
+    got = sorted((r.inner_subj, r.inner_pred, r.inner_obj, r.obj)
+                 for r in flat.collect())
+    assert got == sorted((s, p, o, '"0.9"') for s, p, o in TRIPLES)
+
+
+def test_quoted_object_position_parses(spark):
+    line = ('<http://ex/s> <http://ex/saw> '
+            '<< <http://ex/a> <http://ex/b> "c d" >> <http://ex/g> .')
+    df = spark.createDataFrame([(line,)], "value string")
+    r = parse_nquads_lines(df).collect()[0]
+    assert r.subj == "<http://ex/s>"
+    assert r.obj == '<< <http://ex/a> <http://ex/b> "c d" >>'
+    assert r.graph == "<http://ex/g>"
+
+
+def test_nested_quoting_is_malformed(spark):
+    line = ('<< << <http://ex/a> <http://ex/b> "c" >> '
+            '<http://ex/p> "x" >> <http://ex/q> "y" .')
+    df = spark.createDataFrame([(line,)], "value string")
+    assert parse_nquads_lines(df, mode="permissive").count() == 0
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises(Exception, match="malformed"):
+        parse_nquads_lines(df, mode="failfast").collect()
