@@ -712,6 +712,33 @@ def q_sparql_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sparql_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-star over an RDF-star KG (kgloom/sparql.py
+    QuotedPattern + kgloom/ops/star.py): the turn KG plus statement-
+    level provenance ``<< turn usedTool tool >> kg:inConv conv``; the
+    query matches the quoted-triple pattern in subject position,
+    decomposes it in-plan (regexp_extract, codegen), unifies ?turn
+    with the asserted role pattern, and projects lexical forms.  The
+    reference has no RDF-star surface at all."""
+    from kgloom.ops.star import annotate
+    from kgloom.sparql import sparql_select
+    tri = q_transcripts_turn_triples(spark, sf_dir)
+    used = tri.where(F.col("pred") == f"<{_KGO}usedTool>")
+    part = (tri.where(F.col("pred") == f"<{_KGO}partOf>")
+            .select("subj", F.col("obj").alias("__conv")))
+    ann = annotate(used.join(part, "subj"), f"<{_KGO}inConv>",
+                   F.col("__conv"))
+    kg = tri.withColumn("graph", F.lit(None).cast("string")) \
+        .unionByName(ann)
+    return sparql_select(kg, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT ?turn ?tool ?conv ?role WHERE {
+          << ?turn kg:usedTool ?tool >> kg:inConv ?conv .
+          ?turn kg:role ?role .
+        }
+    """)
+
+
 def q_sparql_kg_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL OPTIONAL over the constructed KG (kgloom/sparql.py): every
     turn with its role, plus the tool it used when one exists — the
@@ -2670,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_chat_render": q_transcripts_chat_render,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "sparql_kg_select": q_sparql_kg_select,
+        "sparql_kg_star": q_sparql_kg_star,
         "sparql_kg_optional": q_sparql_kg_optional,
         "sparql_kg_union": q_sparql_kg_union,
         "sparql_kg_agg": q_sparql_kg_agg,
@@ -5800,6 +5828,18 @@ def oracle_sql() -> dict[str, str]:
                 f"regexp_extract({col}, '{pat}', 1)")
         return "CASE " + " ".join(arms) + f" ELSE {col} END"
 
+    # SPARQL-star replay: every tool turn carries exactly one
+    # annotation and one role triple, so the star join is one row per
+    # tool turn in lexical forms
+    oracles["sparql_kg_star"] = f"""
+        WITH tr AS ({TRANSCRIPTS_SQL})
+        SELECT 'http://kg.example/conv/' || conv_id || '/turn/'
+                 || CAST(turn_idx AS VARCHAR) AS turn,
+               'http://kg.example/tool/' || tool AS tool,
+               'http://kg.example/conv/' || conv_id AS conv,
+               role
+        FROM tr WHERE tool IS NOT NULL
+    """
     # RDF-star replay: the quoted-term string is deterministic
     # assembly; the Spark side additionally round-trips through
     # N-Quads-star text, which is the identity on these quads

@@ -124,7 +124,29 @@ class Var:
     name: str
 
 
-Term = Union[Var, str]  # non-var terms are pre-rendered strings
+@dataclass(frozen=True)
+class QuotedPattern:
+    """SPARQL-star quoted-triple pattern ``<< s p o >>`` with at least
+    one variable inside (ground quoted triples collapse to their
+    rendered string term at parse time).  Legal in subject and object
+    positions of a triple pattern and of a CONSTRUCT template."""
+
+    s: "Term"
+    p: "Term"
+    o: "Term"
+
+    def vars(self) -> set:
+        return {t.name for t in (self.s, self.p, self.o)
+                if isinstance(t, Var)}
+
+
+Term = Union[Var, "QuotedPattern", str]  # non-var terms are rendered strings
+
+#: decomposition regex for a rendered quoted-triple term (one level;
+#: mirrors kgloom/exec/rdfsource._QT and kgloom/ops/star._UNQUOTE_RE)
+_QT_RE = (r'^<<\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
+          r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+          r'(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?)\s*>>$')
 
 
 # --- property paths (predicate position only) ------------------------------
@@ -271,6 +293,7 @@ def _render_literal(lex: str, lang: Optional[str], dtype: Optional[str]) -> str:
 _TOKEN = re.compile(r"""
     \s*(?:
       (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<qt><<|>>)
     | (?P<iri><[^>]*>)
     | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>|\^\^[A-Za-z_][\w-]*:[\w-]+)?)
     | (?P<num>[+-]?[0-9]+(?:\.[0-9]+)?)
@@ -475,6 +498,35 @@ def _parse_path_expr(toks: list, i: int, prefixes: dict[str, str]):
     return PathAlt(tuple(branches)), i
 
 
+def _parse_node_term(toks, i: int, prefixes: dict[str, str]
+                     ) -> tuple[Term, int]:
+    """One subject/object term at ``toks[i]`` → (term, next index).
+    Handles SPARQL-star quoted-triple patterns ``<< s p o >>`` (one
+    level): a GROUND quoted triple collapses to its rendered string
+    term immediately, so constants flow through every existing code
+    path (INSERT DATA, equality filters); one with variables becomes a
+    :class:`QuotedPattern`."""
+    kind, val = _tok_at(toks, i)
+    if kind == "qt" and val == "<<":
+        s, i = _parse_node_term(toks, i + 1, prefixes)
+        if isinstance(s, QuotedPattern) or (isinstance(s, str)
+                                            and s.startswith("<<")):
+            raise SparqlError("nested quoted triples are unsupported")
+        pk, pv = _tok_at(toks, i + 1)
+        pred = _resolve_term(pk, pv, prefixes)
+        o, i = _parse_node_term(toks, i + 2, prefixes)
+        if isinstance(o, QuotedPattern) or (isinstance(o, str)
+                                            and o.startswith("<<")):
+            raise SparqlError("nested quoted triples are unsupported")
+        ck, cv = _tok_at(toks, i + 1)
+        if (ck, cv) != ("qt", ">>"):
+            raise SparqlError("quoted triple pattern missing '>>'")
+        if not any(isinstance(t, Var) for t in (s, pred, o)):
+            return f"<< {s} {pred} {o} >>", i + 1
+        return QuotedPattern(s, pred, o), i + 1
+    return _resolve_term(kind, val, prefixes), i
+
+
 def _parse_triples(body: str, prefixes: dict[str, str]
                    ) -> list[tuple[Term, Term, Term]]:
     """Triple patterns with ``;`` predicate lists and ``,`` object
@@ -487,13 +539,12 @@ def _parse_triples(body: str, prefixes: dict[str, str]
         if kind == "punct" and val == ".":
             i += 1
             continue
-        subj = _resolve_term(kind, val, prefixes)
+        subj, i = _parse_node_term(toks, i, prefixes)
         i += 1
         while True:  # predicate lists (';')
             pred, i = _parse_path_expr(toks, i, prefixes)
             while True:  # object lists (',')
-                ok_, ov = _tok_at(toks, i)
-                obj = _resolve_term(ok_, ov, prefixes)
+                obj, i = _parse_node_term(toks, i, prefixes)
                 patterns.append((subj, pred, obj))
                 i += 1
                 if i < len(toks) and toks[i] == ("punct", ","):
@@ -1669,7 +1720,12 @@ def _order_patterns(patterns: list[tuple[Term, Term, Term]]
 
     def pvars(pat) -> set:
         s, p, o = pat
-        vs = {t.name for t in (s, o) if isinstance(t, Var)}
+        vs = set()
+        for t in (s, o):
+            if isinstance(t, Var):
+                vs.add(t.name)
+            elif isinstance(t, QuotedPattern):
+                vs |= t.vars()
         if isinstance(p, Var):
             vs.add(p.name)
         return vs
@@ -1713,6 +1769,9 @@ def _exec_bgp(quads: DataFrame,
                 raise SparqlError(
                     "property paths inside GRAPH ?var are unsupported "
                     "(use a constant graph IRI)")
+            if isinstance(s, QuotedPattern) or isinstance(o, QuotedPattern):
+                raise SparqlError(
+                    "quoted triple patterns cannot anchor a property path")
             df = _exec_path_pattern(quads, s, p, o)
             result = df if result is None else _join_shared(result, df)
             continue
@@ -1720,17 +1779,33 @@ def _exec_bgp(quads: DataFrame,
         positions = {"subj": s, "pred": p, "obj": o}
         if isinstance(graph_term, Var):
             positions["graph"] = graph_term
-        bound: dict[str, str] = {}
+        bound: dict = {}  # var name → binding expression
         cols = []
-        for pos, term in positions.items():
+
+        def _bind(term, expr):
+            """Unify a pattern term against a column expression: a new
+            var binds it, a repeated var equates it, a constant
+            filters on it."""
+            nonlocal df
             if isinstance(term, Var):
                 if term.name in bound:  # same var twice in one pattern
-                    df = df.where(F.col(pos) == F.col(bound[term.name]))
+                    df = df.where(expr.eqNullSafe(bound[term.name]))
                 else:
-                    bound[term.name] = pos
-                    cols.append(F.col(pos).alias(term.name))
+                    bound[term.name] = expr
+                    cols.append(expr.alias(term.name))
             else:
-                df = df.where(F.col(pos) == F.lit(term))
+                df = df.where(expr == F.lit(term))
+
+        for pos, term in positions.items():
+            if isinstance(term, QuotedPattern):
+                # SPARQL-star: the position holds a rendered quoted
+                # triple; decompose in-plan (regexp_extract, codegen)
+                # and unify the inner terms like any others
+                df = df.where(F.col(pos).rlike(_QT_RE))
+                for idx, sub in enumerate((term.s, term.p, term.o), 1):
+                    _bind(sub, F.regexp_extract(F.col(pos), _QT_RE, idx))
+            else:
+                _bind(term, F.col(pos))
         if cols:
             df = df.select(*cols)
         else:
@@ -2361,11 +2436,13 @@ def _parse_construct(text: str):
     if not template:
         raise SparqlError("empty CONSTRUCT template")
     for (s, p, _o) in template:
-        if not isinstance(s, Var) and s.startswith('"'):
+        if isinstance(s, str) and s.startswith('"'):
             raise SparqlError("CONSTRUCT template subject cannot be a literal")
         if isinstance(p, Path):
             raise SparqlError(
                 "property paths are not allowed in a CONSTRUCT template")
+        if isinstance(p, QuotedPattern):
+            raise SparqlError("CONSTRUCT template predicate must be an IRI")
         if not isinstance(p, Var) and not p.startswith("<"):
             raise SparqlError("CONSTRUCT template predicate must be an IRI")
     group = _parse_group(body, prefixes)
@@ -2412,15 +2489,27 @@ def _instantiate_template(sol: DataFrame, template,
         g = entry[3] if len(entry) > 3 else None
         with_graph = len(entry) > 3
         cols = []
-        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+
+        def tcol(term):
             if isinstance(term, Var):
                 if term.name not in sol.columns:
                     raise SparqlError(
                         f"{what} references unbound "
                         f"variable ?{term.name}")
-                cols.append(F.col(term.name).alias(pos))
+                return F.col(term.name)
+            return F.lit(term)
+
+        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if isinstance(term, QuotedPattern):
+                # CONSTRUCT-star: instantiate the quoted term from the
+                # solution (concat null-propagates, so an unbound inner
+                # var skips the instantiation via the keep filter)
+                cols.append(F.concat(
+                    F.lit("<< "), tcol(term.s), F.lit(" "),
+                    tcol(term.p), F.lit(" "), tcol(term.o),
+                    F.lit(" >>")).alias(pos))
             else:
-                cols.append(F.lit(term).alias(pos))
+                cols.append(tcol(term).alias(pos))
         keep = (F.col("subj").isNotNull()
                 & F.col("pred").isNotNull()
                 & F.col("obj").isNotNull()

@@ -75,3 +75,76 @@ def test_nested_quoting_is_malformed(spark):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
     with pytest.raises(Exception, match="malformed"):
         parse_nquads_lines(df, mode="failfast").collect()
+
+
+# --- SPARQL-star ------------------------------------------------------------
+
+@pytest.fixture()
+def star_kg(spark, tri):
+    """Asserted triples + RDF-star annotations over them."""
+    ann = annotate(tri, "<http://ex/conf>",
+                   F.concat(F.lit('"c-'), F.col("subj"), F.lit('"')))
+    base = tri.withColumn("graph", F.lit(None).cast("string"))
+    return base.unionByName(ann)
+
+
+def test_sparql_star_bgp_subject(spark, star_kg):
+    from kgloom.sparql import sparql_select
+    rows = sparql_select(star_kg, """
+        SELECT ?s ?o ?c WHERE {
+          << ?s <http://ex/note> ?o >> <http://ex/conf> ?c .
+        } ORDER BY ?s
+    """).collect()
+    assert [(r.s, r.o) for r in rows] == [
+        ("_:b0", "fr text"),  # lexical forms projected
+        ("http://ex/t2", 'has >> inside')]
+
+
+def test_sparql_star_join_with_asserted(spark, star_kg):
+    """Inner vars unify with the asserted graph across patterns."""
+    from kgloom.sparql import sparql_select
+    rows = sparql_select(star_kg, """
+        SELECT ?s ?tool ?c WHERE {
+          ?s <http://ex/usedTool> ?tool .
+          << ?s <http://ex/usedTool> ?tool >> <http://ex/conf> ?c .
+        }
+    """).collect()
+    assert len(rows) == 1 and rows[0].tool == "http://ex/bash"
+
+
+def test_sparql_star_ground_quoted_term(spark, star_kg):
+    from kgloom.sparql import sparql_select
+    rows = sparql_select(star_kg, """
+        SELECT ?c WHERE {
+          << <http://ex/t1> <http://ex/usedTool> <http://ex/bash> >>
+            <http://ex/conf> ?c .
+        }
+    """).collect()
+    assert [r.c for r in rows] == ["c-<http://ex/t1>"]
+
+
+def test_construct_star_emits_annotations(spark, tri):
+    from kgloom.sparql import sparql_construct
+    base = tri.withColumn("graph", F.lit(None).cast("string"))
+    out = sparql_construct(base, """
+        CONSTRUCT { << ?s <http://ex/note> ?o >> <http://ex/src> "kg" }
+        WHERE { ?s <http://ex/note> ?o . }
+    """)
+    got = sorted(map(tuple,
+                     out.select("subj", "pred", "obj").collect()))
+    assert got == [
+        ('<< <http://ex/t2> <http://ex/note> "has >> inside" >>',
+         "<http://ex/src>", '"kg"'),
+        ('<< _:b0 <http://ex/note> "fr text"@fr >>',
+         "<http://ex/src>", '"kg"'),
+    ]
+
+
+def test_sparql_star_nested_rejected(spark, star_kg):
+    from kgloom.sparql import SparqlError, sparql_select
+    with pytest.raises(SparqlError, match="nested"):
+        sparql_select(star_kg, """
+            SELECT ?c WHERE {
+              << << ?a ?b ?x >> ?p ?o >> <http://ex/conf> ?c .
+            }
+        """)
