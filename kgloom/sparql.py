@@ -19,7 +19,10 @@ with or without aggregates; bare GROUP BY = distinct keys) and
 ``HAVING``
 (SAMPLE returns the lexical minimum, GROUP_CONCAT concatenates in
 sorted order — both deterministic refinements of the
-implementation-defined spec points), basic graph patterns with ``;`` predicate lists
+implementation-defined spec points), SPARQL-star quoted-triple
+patterns ``<< s p o >>`` in subject/object positions of BGPs and
+CONSTRUCT templates (one level; ground quoted triples collapse to
+constant terms), basic graph patterns with ``;`` predicate lists
 and ``,`` object lists, ``OPTIONAL`` groups, ``{ ... } UNION
 { ... }``, nested ``{}`` groups, ``GRAPH ?g|<iri> { ... }`` named-graph
 scoping (the default BGP matches the union of all graphs; a GRAPH
