@@ -1738,7 +1738,12 @@ def q_curate_dsir(spark, sf_dir):
     no Python, replayed exactly by the DuckDB twin."""
     from pyspark.sql import functions as F
     from kgloom.ops.curate import dsir_sample
-    docs = _docs(spark, sf_dir)
+    # the testdata table is one parquet file: without a repartition
+    # the gram explode runs single-task (A/B at sf0.1: 4.7s -> 2.2s);
+    # a real corpus arrives pre-split, a single-file one should be
+    # spread before the explosion exactly like this
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
     target = docs.where(F.col("lang") == "en")
     return dsir_sample(docs, target, 100, n_buckets=256)
 

@@ -253,8 +253,22 @@ def dsir_weights(raw: DataFrame, target: DataFrame, *,
     space tokenization (the empty string is its own token), so the
     weight pass is a plain inner join on bucket.
     """
+    from .cache import tracked_persist
+
+    # ONE pass over the raw corpus: per-(doc, bucket) gram counts —
+    # bounded at |docs| x min(doc grams, n_buckets) rows, far smaller
+    # than the gram explosion itself — feeds BOTH the raw model
+    # estimate and the per-document weight sum (tracked persist, so
+    # the explode runs once; release via
+    # kgloom.ops.cache.unpersist_tracked())
+    db = tracked_persist(
+        raw.select(id_col, F.explode(_grams(text_col)).alias("__g"))
+           .select(id_col, _md5_bucket(F.col("__g"),
+                                       n_buckets).alias("bucket"))
+           .groupBy(id_col, "bucket")
+           .agg(F.count(F.lit(1)).alias("__n")))
     tgt = _bucket_counts(target, text_col, n_buckets)
-    rawc = _bucket_counts(raw, text_col, n_buckets)
+    rawc = db.groupBy("bucket").agg(F.sum("__n").alias("__c"))
     tt = tgt.agg(F.sum("__c").alias("__tt"))
     tr = rawc.agg(F.sum("__c").alias("__tr"))
     a = F.lit(float(smoothing))
@@ -268,12 +282,10 @@ def dsir_weights(raw: DataFrame, target: DataFrame, *,
                       / (F.col("__tt") + ab))
                 - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a)
                         / (F.col("__tr") + ab))).alias("__lam")))
-    per_doc = (raw.select(id_col, F.explode(_grams(text_col)).alias("__g"))
-               .select(id_col,
-                       _md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
-               .join(F.broadcast(lam), "bucket")
+    per_doc = (db.join(F.broadcast(lam), "bucket")
                .groupBy(id_col)
-               .agg(F.sum("__lam").alias("dsir_logw")))
+               .agg(F.sum(F.col("__n") * F.col("__lam"))
+                    .alias("dsir_logw")))
     return per_doc
 
 
