@@ -1318,8 +1318,11 @@ def q_dedup_substring_spans(spark, sf_dir):
     — a boilerplate span shared by millions of docs is one stats row,
     never an all-pairs blow-up; integer outputs keep the oracle
     exact."""
-    return D.duplicate_spans(_docs(spark, sf_dir), span_len=5,
-                             min_docs=2)
+    # single-file testdata: spread before the window explode (A/B at
+    # sf0.1: 5.0s -> 1.5s; same note as q_curate_dsir)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return D.duplicate_spans(docs, span_len=5, min_docs=2)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
