@@ -210,3 +210,35 @@ def test_hard_negative_band_filters_before_window(spark):
     # Spark 4 pushes the rank<=k limit into the window sort
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round5_session2_ops_jvm_only(spark):
+    """The session's new operator families stay in codegen: JSON-LD
+    rendering, RDF-star quote/decompose + SPARQL-star matching, DSIR
+    weighting, repeated-span detection, Allen classification — no
+    Python evaluation nodes anywhere."""
+    import __spark_entry__ as em
+    qs = em.queries()
+    for name in ["kg_jsonld_render", "kg_rdfstar_annotate",
+                 "sparql_kg_star", "curate_dsir",
+                 "dedup_substring_spans", "kg_allen_relations"]:
+        plan = explain_str(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_dsir_broadcasts_lambda_table(spark):
+    """The per-bucket log-ratio table is bounded (n_buckets rows) and
+    must ride the per-document weight join as a broadcast — the only
+    scalable shape for a corpus-scale weight pass."""
+    import __spark_entry__ as em
+    plan = explain_str(em.queries()["curate_dsir"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_no_cartesian(spark):
+    """MERGE INTO = anti join on the merge key + union; never a
+    cartesian/nested-loop product."""
+    import __spark_entry__ as em
+    plan = explain_str(em.queries()["kg_merge_upsert"](spark, SF))
+    assert "CartesianProduct" not in plan
