@@ -213,12 +213,15 @@ class TranscriptPipeline:
 
     def run(self, transcripts: Optional[DataFrame] = None,
             resume: bool = False, with_nquads: bool = False,
-            ontology: Optional[DataFrame] = None) -> PipelineResult:
+            ontology: Optional[DataFrame] = None,
+            with_provenance: bool = False) -> PipelineResult:
         """Run (or resume) the staged pipeline.  ``ontology`` — an
         optional (subj, pred, obj) schema-triple DataFrame; when given,
         a fifth checkpointed stage materializes the RDFS ρdf closure of
         the triple stage under it (kgloom/ops/reasoning.py) and the
-        result carries it as ``.closure``.  The closure stage's lineage
+        result carries it as ``.closure``.  ``with_provenance`` adds a
+        checkpointed RDF-star annotation stage
+        (``<< s p o >> kg:fromSnapshot "<triples snapshot id>"``).  The closure stage's lineage
         includes a content hash of the ontology, so editing the
         ontology invalidates the snapshot while a mere re-run resumes."""
         t_start = time.time()
@@ -286,6 +289,24 @@ class TranscriptPipeline:
             closure = self.store.read("closure")
             metrics["closure_triples"] = c_snap.manifest["row_count"]
             metrics["snapshots"]["closure"] = c_snap.snapshot_id
+        if with_provenance:
+            # statement-level lineage as RDF-star: every triple of the
+            # committed triples snapshot is annotated
+            # << s p o >> kg:fromSnapshot "snap-id" — auditable
+            # provenance that travels WITH the graph (serializable,
+            # star-queryable via SPARQL-star), keyed to the exact
+            # snapshot so incremental re-runs yield distinguishable
+            # annotation sets.  Map-side string work only.
+            from ..ops.star import annotate
+            p_snap = self._stage(
+                "provenance", parents=[t_snap.snapshot_id],
+                build=lambda: annotate(
+                    triples.select("subj", "pred", "obj"),
+                    f"<{KG}ontology/fromSnapshot>",
+                    F.lit(f'"{t_snap.snapshot_id}"')),
+                resume=resume)
+            metrics["provenance_triples"] = p_snap.manifest["row_count"]
+            metrics["snapshots"]["provenance"] = p_snap.snapshot_id
         if with_nquads:
             from ..exec.binder import to_nquads_lines
             self._stage("nquads", parents=[t_snap.snapshot_id],

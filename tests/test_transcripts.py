@@ -241,3 +241,33 @@ def test_pipeline_closure_stage_resume_and_invalidation(spark, turns,
         res.metrics["snapshots"]["closure"]
     assert res3.metrics["snapshots"]["triples"] == \
         res.metrics["snapshots"]["triples"]  # upstream stages untouched
+
+
+def test_pipeline_provenance_stage(spark, turns, tmp_path):
+    """with_provenance=True adds a checkpointed RDF-star annotation
+    stage: one << s p o >> kg:fromSnapshot "snap" triple per triple,
+    keyed to the triples snapshot id, SPARQL-star queryable."""
+    from kgloom.transcripts.pipeline import TranscriptPipeline
+    pipe = TranscriptPipeline(spark, str(tmp_path / "store"),
+                              shuffle_partitions=8)
+    res = pipe.run(transcripts=turns, with_provenance=True)
+    assert res.metrics["provenance_triples"] == res.metrics["triples"]
+    ann = pipe.store.read("provenance")
+    t_snap = res.metrics["snapshots"]["triples"]
+    row = ann.limit(1).collect()[0]
+    assert row.subj.startswith("<< ") and row.subj.endswith(" >>")
+    assert row.obj == f'"{t_snap}"'
+    # star-queryable: count annotations for partOf statements
+    from kgloom.sparql import sparql_select
+    n = sparql_select(ann, """
+        PREFIX kg: <http://kg.example/ontology/>
+        SELECT (COUNT(?s) AS ?n) WHERE {
+          << ?s kg:partOf ?c >> kg:fromSnapshot ?snap .
+        }
+    """).collect()[0].n
+    assert n == res.triples.where(
+        F.col("pred") == "<http://kg.example/ontology/partOf>").count()
+    # resume reuses the snapshot
+    res2 = pipe.run(resume=True, with_provenance=True)
+    assert res2.metrics["snapshots"]["provenance"] == \
+        res.metrics["snapshots"]["provenance"]
