@@ -1751,6 +1751,18 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_curate_group_sample(spark, sf_dir):
+    """Exact-count deterministic per-group sampling
+    (kgloom/ops/curate.py:per_group_sample): the 100 smallest
+    md5(doc_id||salt) ranks per language — "k docs per stratum" with
+    rerun/parallelism-stable membership.  One window shuffle; the
+    DuckDB twin is the same ROW_NUMBER over the same rank."""
+    from kgloom.ops.curate import per_group_sample
+    return per_group_sample(_docs(spark, sf_dir), key="doc_id",
+                            group="lang", k=100,
+                            salt="gs1").select("doc_id", "lang")
+
+
 def q_pack_concat_chunk(spark, sf_dir):
     """Concat-and-chunk sequence packing (kgloom/ops/packing.py): the
     GPT-style pretraining scheme — per md5 bucket, documents in doc_id
@@ -2757,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_temperature_mix": q_curate_temperature_mix,
         "curate_hash_split": q_curate_hash_split,
         "curate_dsir": q_curate_dsir,
+        "curate_group_sample": q_curate_group_sample,
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
@@ -4617,6 +4630,18 @@ def oracle_sql() -> dict[str, str]:
                         < '{_hex_threshold(0.9)}' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents
+        """,
+        # exact per-group top-k by the same md5 rank + key tiebreak
+        "curate_group_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                           || 'gs1'), 1, 8), doc_id)
+                       AS rn
+              FROM documents)
+            WHERE rn <= 100
         """,
         # DSIR replay: hashed unigram+bigram models, add-1 smoothing,
         # md5-derived Gumbel, same (rounded score, doc_id) cut

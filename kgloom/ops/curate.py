@@ -318,3 +318,25 @@ def dsir_sample(raw: DataFrame, target: DataFrame, k: int, *,
         F.round(F.col("dsir_logw") + gumbel, 6).alias("dsir_score"))
     return (scored.orderBy(F.desc("dsir_score"), F.col(id_col))
             .limit(k))
+
+
+def per_group_sample(df: DataFrame, key: str, group: str, k: int,
+                     salt: str = "") -> DataFrame:
+    """Keep a deterministic sample of exactly min(k, |group|) rows per
+    group: the k smallest md5(key ‖ salt) ranks — "give me 10k docs
+    per language", rerun-stable and engine-portable like
+    :func:`stratified_sample`, but with an exact per-group COUNT
+    rather than an expected rate.
+
+    One window shuffle partitioned by the group; the in-group sort is
+    by the 8-hex rank with the key as tiebreak, so ranks are total.
+    For huge groups with tiny k, pre-thin with ``stratified_sample``
+    at a safe rate (e.g. 4k/|group|) before the exact cut — the
+    standard two-phase top-k; the exact window stays the same.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(group).orderBy(
+        _hash_rank(F.col(key), salt), F.col(key))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))

@@ -101,3 +101,26 @@ def test_salt_changes_the_draw_not_the_weights(spark, frames):
          for r in dsir_sample(raw, target, 6, n_buckets=64,
                               salt="b").collect()}
     assert a == b  # k = n: same docs, same weights, any salt
+
+
+def test_per_group_sample_exact_counts_and_determinism(spark):
+    from kgloom.ops.curate import per_group_sample
+    rows = [(i, "g%d" % (i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out1 = per_group_sample(df, "k", "g", 5).collect()
+    out2 = per_group_sample(df.repartition(7), "k", "g", 5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    from collections import Counter
+    counts = Counter(r.g for r in out1)
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # small groups keep everything
+    tiny = per_group_sample(df.where("k < 4"), "k", "g", 5).collect()
+    assert len(tiny) == 4
+    # the kept set is the k smallest md5 ranks per group
+    import hashlib
+    for g in ("g0", "g1", "g2"):
+        members = [k for k, gg in rows if gg == g]
+        want = sorted(members, key=lambda k: (
+            hashlib.md5(str(k).encode()).hexdigest()[:8], k))[:5]
+        got = sorted(r.k for r in out1 if r.g == g)
+        assert got == sorted(want)
