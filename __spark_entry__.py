@@ -1751,6 +1751,24 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_curate_label_vote(spark, sf_dir):
+    """Weak-supervision majority vote (kgloom/ops/label.py; Ratner et
+    al. VLDB 2018): three deterministic labeling functions
+    (length-based keep/drop, English keep, source blocklist drop) vote
+    per document; the aggregator emits the majority with
+    lexicographic tie-break, total votes, and the winner-vs-runner-up
+    margin.  LFs are map-side CASEs; aggregation = one explode + one
+    partial-combining groupBy + one window — all keyed on doc_id."""
+    from kgloom.ops.label import apply_lfs, majority_label
+    lf = apply_lfs(_docs(spark, sf_dir), {
+        "lf_len": F.when(F.col("n_chars") >= 150, "keep")
+                   .when(F.col("n_chars") < 80, "drop"),
+        "lf_en": F.when(F.col("lang") == "en", "keep"),
+        "lf_src": F.when(F.col("source").isin("src0", "src1"), "drop"),
+    })
+    return majority_label(lf, "doc_id", ["lf_en", "lf_len", "lf_src"])
+
+
 def q_curate_group_sample(spark, sf_dir):
     """Exact-count deterministic per-group sampling
     (kgloom/ops/curate.py:per_group_sample): the 100 smallest
@@ -2770,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_hash_split": q_curate_hash_split,
         "curate_dsir": q_curate_dsir,
         "curate_group_sample": q_curate_group_sample,
+        "curate_label_vote": q_curate_label_vote,
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
@@ -4630,6 +4649,34 @@ def oracle_sql() -> dict[str, str]:
                         < '{_hex_threshold(0.9)}' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents
+        """,
+        # weak-supervision replay: same CASE LFs, same majority with
+        # lexicographic tie-break and runner-up margin
+        "curate_label_vote": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars >= 150 THEN 'keep'
+                          WHEN n_chars < 80 THEN 'drop' END AS l1,
+                     CASE WHEN lang = 'en' THEN 'keep' END AS l2,
+                     CASE WHEN source IN ('src0', 'src1')
+                          THEN 'drop' END AS l3
+              FROM documents),
+            v AS (SELECT doc_id, unnest([l1, l2, l3]) AS label
+                  FROM base),
+            vm AS (SELECT doc_id, label, COUNT(*) AS n_votes
+                   FROM v WHERE label IS NOT NULL GROUP BY 1, 2),
+            r AS (SELECT doc_id, label, n_votes,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY n_votes DESC, label) AS rn,
+                         SUM(n_votes) OVER (PARTITION BY doc_id)
+                           AS n_total,
+                         LEAD(n_votes) OVER (PARTITION BY doc_id
+                           ORDER BY n_votes DESC, label) AS nx
+                  FROM vm)
+            SELECT doc_id, label, n_votes,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   n_votes - COALESCE(nx, 0) AS margin
+            FROM r WHERE rn = 1
         """,
         # exact per-group top-k by the same md5 rank + key tiebreak
         "curate_group_sample": """

@@ -1,0 +1,53 @@
+"""Weak-supervision vote aggregation (kgloom/ops/label.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgloom.ops.label import apply_lfs, majority_label, vote_matrix
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 100), (2, 50), (3, 200)], ["id", "x"])
+    return apply_lfs(df, {
+        "lf_big": F.when(F.col("x") >= 100, "keep"),
+        "lf_small": F.when(F.col("x") < 40, "drop"),
+        "lf_mid": F.when(F.col("x").between(40, 150), "keep"),
+        "lf_contra": F.when(F.col("x") == 100, "drop"),
+    })
+
+
+def test_vote_matrix_counts(spark, labeled):
+    vm = {(r.id, r.label): r.n_votes
+          for r in vote_matrix(labeled, "id",
+                               ["lf_big", "lf_small", "lf_mid",
+                                "lf_contra"]).collect()}
+    assert vm == {(0, "drop"): 1, (1, "keep"): 2, (1, "drop"): 1,
+                  (2, "keep"): 1, (3, "keep"): 1}
+
+
+def test_majority_with_margin_and_ties(spark, labeled):
+    out = {r.id: r for r in majority_label(
+        labeled, "id",
+        ["lf_big", "lf_small", "lf_mid", "lf_contra"]).collect()}
+    assert out[1].label == "keep" and out[1].margin == 1 \
+        and out[1].n_total == 3
+    assert out[0].label == "drop" and out[0].margin == 1
+    assert out[3].label == "keep" and out[3].margin == 1
+
+
+def test_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame([(0,)], ["id"])
+    lf = apply_lfs(df, {"a": F.lit("zebra"), "b": F.lit("apple")})
+    out = majority_label(lf, "id", ["a", "b"]).collect()[0]
+    assert out.label == "apple" and out.margin == 0
+
+
+def test_all_abstain_dropped_and_min_votes(spark):
+    df = spark.createDataFrame([(0,), (1,)], ["id"])
+    lf = apply_lfs(df, {
+        "a": F.when(F.col("id") == 1, "keep"),
+        "b": F.lit(None).cast("string")})
+    assert majority_label(lf, "id", ["a", "b"]).count() == 1
+    assert majority_label(lf, "id", ["a", "b"], min_votes=2).count() == 0
