@@ -1751,6 +1751,22 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_text_normalize(spark, sf_dir):
+    """Pre-tokenization text normalization
+    (kgloom/ops/textstats.py:normalize_text): control-char strip,
+    zero-width strip, whitespace collapse, trim — idempotent, pure
+    Catalyst.  The query dirties each document deterministically
+    (padding, tabs, a control char) before normalizing so the
+    transforms are actually exercised; the DuckDB twin applies the
+    same regexes with the 'g' flag."""
+    from kgloom.ops.textstats import normalize_text
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("  "), F.col("text"),
+                 F.lit("\t xy ")).alias("text"))
+    return normalize_text(docs)
+
+
 def q_curate_label_vote(spark, sf_dir):
     """Weak-supervision majority vote (kgloom/ops/label.py; Ratner et
     al. VLDB 2018): three deterministic labeling functions
@@ -2789,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dsir": q_curate_dsir,
         "curate_group_sample": q_curate_group_sample,
         "curate_label_vote": q_curate_label_vote,
+        "text_normalize": q_text_normalize,
         "pack_concat_chunk": q_pack_concat_chunk,
         "pack_greedy": q_pack_greedy,
         "text_token_stats": q_text_token_stats,
@@ -4649,6 +4666,24 @@ def oracle_sql() -> dict[str, str]:
                         < '{_hex_threshold(0.9)}' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents
+        """,
+        # same normalization regexes, DuckDB 'g' flag = Spark's
+        # replace-all default
+        "text_normalize": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     '  ' || text || CHR(9) || ' x' || CHR(1) || 'y '
+                       AS text
+              FROM documents)
+            SELECT doc_id,
+                   TRIM(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]',
+                         '', 'g'),
+                       '[\u200b\u200c\u200d\ufeff]', '', 'g'),
+                     '\\s+', ' ', 'g')) AS text
+            FROM dirty
         """,
         # weak-supervision replay: same CASE LFs, same majority with
         # lexicographic tie-break and runner-up margin

@@ -335,3 +335,30 @@ def quality_logit(docs: DataFrame,
         logit = logit + F.col(name) * F.lit(float(w[name]))
     return feats.select("doc_id", logit.alias("logit")) \
         .withColumn("keep", F.col("logit") > 0)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   lowercase: bool = False) -> DataFrame:
+    """Corpus text normalization — the standard pre-tokenization
+    cleanup pass, entirely in Catalyst (no Python, map-side):
+
+    1. strip C0/C1 control characters (except \\t \\n, which become
+       spaces with all other whitespace in step 3)
+    2. strip zero-width / BOM code points (ZWSP ZWNJ ZWJ BOM)
+    3. collapse every whitespace run to a single space
+    4. trim; optional lowercase
+
+    Returns the input with ``text_col`` replaced.  Idempotent
+    (normalize ∘ normalize = normalize, pinned by test), so re-running
+    a resumed pipeline stage cannot change data.  Unicode NFC is
+    deliberately out of scope for the JVM path (no Catalyst builtin);
+    layer an Arrow UDF upstream when canonical composition matters.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", "")
+    c = F.regexp_replace(c, r"[​‌‍﻿]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return docs.withColumn(text_col, c)

@@ -51,3 +51,28 @@ def test_all_abstain_dropped_and_min_votes(spark):
         "b": F.lit(None).cast("string")})
     assert majority_label(lf, "id", ["a", "b"]).count() == 1
     assert majority_label(lf, "id", ["a", "b"], min_votes=2).count() == 0
+
+
+# --- normalize_text ---------------------------------------------------------
+
+def test_normalize_text_rules_and_idempotence(spark):
+    from kgloom.ops.textstats import normalize_text
+    rows = [
+        (0, "  a\tb\n\nc  "),
+        (1, "x\x00\x01y\x7fz"),
+        (2, "a​‌b﻿c"),
+        (3, "Mixed CASE  Words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert out[0] == "a b c"
+    assert out[1] == "xyz"
+    assert out[2] == "abc"
+    assert out[3] == "Mixed CASE Words"
+    low = {r.doc_id: r.text
+           for r in normalize_text(df, lowercase=True).collect()}
+    assert low[3] == "mixed case words"
+    once = normalize_text(df)
+    twice = normalize_text(once)
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
