@@ -1751,6 +1751,25 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dedup resolution
+    (kgloom/ops/dedup.py:keep_best_in_clusters over
+    near_duplicate_clusters): from every LSH-connected near-duplicate
+    cluster keep the longest document (score = n_chars), ties to the
+    smallest doc_id — the RefinedWeb-style keep-best policy instead of
+    keep-min-id.  One join + one window on cluster_id on top of the
+    exact-dedup-first clustering; the DuckDB twin nests the full
+    recursive-CTE clustering replay."""
+    from kgloom.ops.dedup import (keep_best_in_clusters,
+                                  near_duplicate_clusters)
+    docs = _docs(spark, sf_dir)
+    clusters = near_duplicate_clusters(docs)
+    scores = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("score"))
+    return keep_best_in_clusters(clusters, scores)
+
+
 def q_text_normalize(spark, sf_dir):
     """Pre-tokenization text normalization
     (kgloom/ops/textstats.py:normalize_text): control-char strip,
@@ -2796,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_contamination": q_dedup_contamination,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
@@ -6103,5 +6123,21 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(n_chars, 0.5)  AS p50,
                quantile_cont(n_chars, 0.75) AS p75
         FROM documents GROUP BY lang
+    """
+    # keep-best resolution: the clustering replay nested as a CTE,
+    # then the same (score DESC NULLS LAST, doc_id) window cut
+    oracles["dedup_keep_best"] = f"""
+        WITH clus AS ({oracles["dedup_clusters"]}),
+        s AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(n_chars AS BIGINT) AS score
+              FROM documents)
+        SELECT doc_id, cluster_id, score, n_members FROM (
+          SELECT c.doc_id, c.cluster_id, s.score,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY s.score DESC NULLS LAST, c.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id)
+                   AS n_members
+          FROM clus c LEFT JOIN s USING (doc_id))
+        WHERE rn = 1
     """
     return oracles

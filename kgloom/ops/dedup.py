@@ -381,3 +381,31 @@ def duplicate_spans(docs: DataFrame, span_len: int = 5,
                  F.sum(F.when(F.col("span_docs") >= min_docs, 1)
                         .otherwise(0)).alias("n_dup_windows"),
                  F.max("span_docs").alias("max_span_docs")))
+
+
+def keep_best_in_clusters(clusters: DataFrame, scores: DataFrame,
+                          score_col: str = "score") -> DataFrame:
+    """The production near-dedup RESOLUTION policy: from each
+    near-duplicate cluster keep the highest-``score_col`` document
+    (quality-aware — Penedo et al.'s RefinedWeb and similar corpus
+    pipelines keep the best member, not the smallest id), ties broken
+    by the lexicographically smallest doc_id.
+
+    ``clusters`` is (doc_id, cluster_id) — the
+    :func:`near_duplicate_clusters` output — and ``scores`` is
+    (doc_id, score_col); documents missing a score sort last (null).
+    Returns (doc_id, cluster_id, score_col, n_members).  One join +
+    one window over cluster_id — both shuffles on the cluster key;
+    a boilerplate mega-cluster is one partition's window, bounded by
+    the same exact-dedup-first collapse that bounds the clustering.
+    """
+    from pyspark.sql.window import Window
+    joined = clusters.join(scores, "doc_id", "left")
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.col(score_col).desc_nulls_last(), F.col("doc_id"))
+    return (joined
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(
+                Window.partitionBy("cluster_id")))
+            .where(F.col("__rn") == 1)
+            .select("doc_id", "cluster_id", score_col, "n_members"))

@@ -41,3 +41,21 @@ def test_shared_run_marks_both_docs(out):
 def test_unique_doc_is_clean(out):
     assert out[2].n_dup_windows == 0
     assert out[2].max_span_docs == 1
+
+
+def test_keep_best_in_clusters(spark):
+    from kgloom.ops.dedup import keep_best_in_clusters
+    clusters = spark.createDataFrame(
+        [("1", "c1"), ("2", "c1"), ("3", "c1"),
+         ("4", "c2"), ("9", "solo")],
+        ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame(
+        [("1", 0.5), ("2", 0.9), ("3", 0.9), ("4", 0.1)],
+        ["doc_id", "score"])
+    out = {r.cluster_id: r
+           for r in keep_best_in_clusters(clusters, scores).collect()}
+    # c1: 2 and 3 tie at 0.9 -> smaller doc_id wins
+    assert out["c1"].doc_id == "2" and out["c1"].n_members == 3
+    assert out["c2"].doc_id == "4"
+    # unscored singleton survives with null score
+    assert out["solo"].doc_id == "9" and out["solo"].score is None
