@@ -1751,6 +1751,27 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_kg_rdf_merge(spark, sf_dir):
+    """RDF merge with blank-node standardization
+    (kgloom/ops/star.py:rdf_merge; RDF 1.1 Semantics §5.1): two
+    bnode-subject description graphs over the same documents — a
+    plain union would wrongly identify the same-labelled bnodes
+    across graphs; the merge standardizes them apart per input tag.
+    Map-side term rewriting + one distinct."""
+    from kgloom.ops.star import rdf_merge
+    docs = _docs(spark, sf_dir)
+    bnode = F.concat(F.lit("_:d"), F.col("doc_id").cast("string"))
+    g1 = docs.select(bnode.alias("subj"),
+                     F.lit(f"<{_KGO}lang>").alias("pred"),
+                     F.concat(F.lit('"'), F.col("lang"),
+                              F.lit('"')).alias("obj"))
+    g2 = docs.select(bnode.alias("subj"),
+                     F.lit(f"<{_KGO}source>").alias("pred"),
+                     F.concat(F.lit('"'), F.col("source"),
+                              F.lit('"')).alias("obj"))
+    return rdf_merge({"a": g1, "b": g2})
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dedup resolution
     (kgloom/ops/dedup.py:keep_best_in_clusters over
@@ -2816,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "kg_rdf_merge": q_kg_rdf_merge,
         "dedup_contamination": q_dedup_contamination,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "curation_pipeline": q_curation_pipeline,
@@ -6123,6 +6145,19 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(n_chars, 0.5)  AS p50,
                quantile_cont(n_chars, 0.75) AS p75
         FROM documents GROUP BY lang
+    """
+    # RDF merge replay: per-graph bnode tags then set union
+    oracles["kg_rdf_merge"] = f"""
+        SELECT DISTINCT * FROM (
+          SELECT '_:a.d' || CAST(doc_id AS VARCHAR) AS subj,
+                 '<{_KGO}lang>' AS pred,
+                 '"' || lang || '"' AS obj
+          FROM documents
+          UNION ALL
+          SELECT '_:b.d' || CAST(doc_id AS VARCHAR),
+                 '<{_KGO}source>',
+                 '"' || source || '"'
+          FROM documents)
     """
     # keep-best resolution: the clustering replay nested as a CTE,
     # then the same (score DESC NULLS LAST, doc_id) window cut

@@ -19,6 +19,8 @@ silently misparsing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,3 +83,47 @@ def deconstruct(annotations: DataFrame) -> DataFrame:
                     inner["pred"].alias("inner_pred"),
                     inner["obj"].alias("inner_obj"),
                     "pred", "obj"))
+
+
+def standardize_bnodes(df: DataFrame, tag: str) -> DataFrame:
+    """Prefix every blank-node label with ``tag`` in subject/object
+    position (``_:x`` → ``_:tag.x``) — the blank-node renaming step of
+    an RDF merge (RDF 1.1 Semantics §5.1: merging graphs requires
+    standardizing apart their blank nodes; a plain union would
+    incorrectly identify same-labelled bnodes from different graphs).
+    Map-side regexp_replace; quoted triples' INNER bnode terms are
+    rewritten too (same replacement applies inside the ``<< … >>``
+    rendering via unquote → rename → requote); literal CONTENT is
+    never touched — renaming applies only to whole bnode terms, so a
+    literal like ``"see _:b"`` passes through unchanged."""
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_-]*", tag):
+        raise ValueError(f"unsafe bnode tag {tag!r}")
+
+    def fix_term(col):
+        return F.when(
+            col.startswith("_:"),
+            F.concat(F.lit(f"_:{tag}."),
+                     F.substring(col, 3, 1 << 30))).otherwise(col)
+
+    def fix(col):
+        inner = unquote_triple(col)
+        requoted = quote_triple(fix_term(inner["subj"]), inner["pred"],
+                                fix_term(inner["obj"]))
+        return F.when(is_quoted(col), requoted).otherwise(fix_term(col))
+
+    out = df.withColumn("subj", fix(F.col("subj"))) \
+            .withColumn("obj", fix(F.col("obj")))
+    return out
+
+
+def rdf_merge(graphs: dict[str, DataFrame]) -> DataFrame:
+    """RDF merge of named inputs: each graph's blank nodes are
+    standardized apart under its (sorted) tag, then the union is taken
+    with set semantics.  IRIs and literals are shared across graphs
+    (they denote globally); only bnode identity is graph-scoped."""
+    parts = [standardize_bnodes(g, tag)
+             for tag, g in sorted(graphs.items())]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -148,3 +148,39 @@ def test_sparql_star_nested_rejected(spark, star_kg):
               << << ?a ?b ?x >> ?p ?o >> <http://ex/conf> ?c .
             }
         """)
+
+
+# --- RDF merge / bnode standardization --------------------------------------
+
+def test_standardize_bnodes_terms_only(spark):
+    from kgloom.ops.star import standardize_bnodes
+    df = spark.createDataFrame(
+        [("_:b0", "<http://ex/p>", '"see _:b0 here"'),
+         ("<http://ex/s>", "<http://ex/p>", "_:b0"),
+         ('<< _:b0 <http://ex/p> "x" >>', "<http://ex/conf>", '"0.9"')],
+        ["subj", "pred", "obj"])
+    got = sorted(map(tuple,
+                     standardize_bnodes(df, "g1")
+                     .select("subj", "pred", "obj").collect()))
+    assert got == sorted([
+        ("_:g1.b0", "<http://ex/p>", '"see _:b0 here"'),  # literal kept
+        ("<http://ex/s>", "<http://ex/p>", "_:g1.b0"),
+        ('<< _:g1.b0 <http://ex/p> "x" >>', "<http://ex/conf>",
+         '"0.9"'),
+    ])
+
+
+def test_rdf_merge_keeps_colliding_bnodes_apart(spark):
+    from kgloom.ops.star import rdf_merge
+    g1 = spark.createDataFrame(
+        [("_:b", "<http://ex/name>", '"alice"')],
+        ["subj", "pred", "obj"])
+    g2 = spark.createDataFrame(
+        [("_:b", "<http://ex/name>", '"bob"')],
+        ["subj", "pred", "obj"])
+    merged = rdf_merge({"a": g1, "b": g2}).collect()
+    subs = sorted(r.subj for r in merged)
+    assert subs == ["_:a.b", "_:b.b"]  # two distinct individuals
+    # a plain union would have ONE bnode with two names
+    with pytest.raises(ValueError):
+        rdf_merge({"bad tag!": g1})
