@@ -737,12 +737,14 @@ def _parse_filter_expr(text: str, prefixes: dict[str, str]):
             if vm is None:
                 raise SparqlError("BOUND takes a single variable")
             return ("bound", vm.group(1))
-        if fn in ("isiri", "isuri", "isliteral", "isblank"):
+        if fn in ("isiri", "isuri", "isliteral", "isblank",
+                  "istriple"):
             vm = re.match(r"^\?([A-Za-z_]\w*)$", inner.strip())
             if vm is None:
                 raise SparqlError(f"{fn} takes a single variable")
             kind = {"isiri": "iri", "isuri": "iri",
-                    "isliteral": "literal", "isblank": "blank"}[fn]
+                    "isliteral": "literal", "isblank": "blank",
+                    "istriple": "triple"}[fn]
             return ("isa", kind, vm.group(1))
         raise SparqlError(f"unsupported FILTER function {fn!r}")
     im = re.match(r"^\?([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*\(", text,
@@ -839,9 +841,12 @@ def _filter_col(node, result_cols: list[str],
         return c.isNotNull()
     if kind == "isa":
         if node[1] == "iri":
-            return c.startswith("<")
+            # a quoted triple also starts with "<" — exclude it
+            return c.startswith("<") & ~c.rlike(_QT_RE)
         if node[1] == "literal":
             return c.startswith('"')
+        if node[1] == "triple":  # SPARQL-star isTRIPLE
+            return c.rlike(_QT_RE)
         return c.startswith("_:")
     if kind == "lang":
         tag = node[2]
@@ -902,6 +907,9 @@ _EXPR_FUNCS: dict[str, object] = {
     "encode_for_uri": 1, "abs": 1, "ceil": 1, "floor": 1, "round": 1,
     "md5": 1, "sha1": 1, "sha256": 1, "if": 3,
     "lang": 1, "datatype": 1, "strlang": 2, "strdt": 2,
+    # SPARQL-star accessors/constructor (RDF-star CG report sec. 7)
+    "triple": 3, "subject": 1, "predicate": 1, "object": 1,
+    "istriple": 1,
 }
 
 
@@ -1525,8 +1533,11 @@ def parse_sparql(text: str,
 #: (aggregate outputs) as well as rendered-term strings.
 def _lexical(col: F.Column) -> F.Column:
     col = col.cast("string")
-    return (F.when(col.startswith("<"),
-                   F.regexp_extract(col, r"^<(.*)>$", 1))
+    # quoted triples have no lexical form — project them verbatim
+    # (checked before the IRI branch: "<< " also starts with "<")
+    return (F.when(col.startswith("<<"), col)
+            .when(col.startswith("<"),
+                  F.regexp_extract(col, r"^<(.*)>$", 1))
             .when(col.startswith('"'),
                   F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1))
             .otherwise(col))
@@ -2015,6 +2026,23 @@ def _expr_compile(e: Expr) -> tuple[F.Column, str]:
         dtl = _lexical(dtc) if dtk == "term" else dtc
         return F.concat(F.lit('"'), _escape_lit(lex(args[0])),
                         F.lit('"^^<'), dtl, F.lit(">")), "term"
+    if func == "triple":
+        # TRIPLE(s, p, o) -> the quoted-triple term; any null input
+        # nulls the concat (SPARQL error propagation)
+        return F.concat(F.lit("<< "), _expr_term(args[0]), F.lit(" "),
+                        _expr_term(args[1]), F.lit(" "),
+                        _expr_term(args[2]), F.lit(" >>")), "term"
+    if func in ("subject", "predicate", "object"):
+        t = _expr_term(args[0])
+        idx = {"subject": 1, "predicate": 2, "object": 3}[func]
+        # type error (not a quoted triple) -> unbound (null)
+        return F.nullif(F.regexp_extract(t, _QT_RE, idx),
+                        F.lit("")), "term"
+    if func == "istriple":
+        t = _expr_term(args[0])
+        return (F.when(t.isNull(), F.lit(None).cast("string"))
+                .when(t.rlike(_QT_RE), F.lit("true"))
+                .otherwise(F.lit("false"))), "str"
     raise SparqlError(f"unsupported function {func!r}")  # pragma: no cover
 
 

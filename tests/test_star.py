@@ -184,3 +184,37 @@ def test_rdf_merge_keeps_colliding_bnodes_apart(spark):
     # a plain union would have ONE bnode with two names
     with pytest.raises(ValueError):
         rdf_merge({"bad tag!": g1})
+
+
+def test_sparql_star_builtins(spark, star_kg):
+    """TRIPLE / SUBJECT / PREDICATE / OBJECT / isTRIPLE (RDF-star CG
+    report §7) in BIND and FILTER."""
+    from kgloom.sparql import sparql_select
+    rows = sparql_select(star_kg, """
+        SELECT ?t ?s2 ?p2 ?o2 WHERE {
+          ?t <http://ex/conf> ?c .
+          FILTER(isTRIPLE(?t))
+          BIND(SUBJECT(?t) AS ?s2)
+          BIND(PREDICATE(?t) AS ?p2)
+          BIND(OBJECT(?t) AS ?o2)
+        } ORDER BY ?t
+    """).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.t.startswith("<< ") and r.p2 is not None
+    # TRIPLE() reconstructs the quoted term from its parts
+    rows2 = sparql_select(star_kg, """
+        SELECT ?t ?qt WHERE {
+          ?t <http://ex/conf> ?c .
+          BIND(TRIPLE(SUBJECT(?t), PREDICATE(?t), OBJECT(?t)) AS ?qt)
+        }
+    """).collect()
+    assert len(rows2) == 3 and all(r.qt == r.t for r in rows2)
+    # SUBJECT of a non-triple is unbound -> row dropped by FILTER
+    n = sparql_select(star_kg, """
+        SELECT ?s WHERE {
+          ?s <http://ex/usedTool> ?o .
+          FILTER(isTRIPLE(?s))
+        }
+    """).count()
+    assert n == 0
