@@ -218,3 +218,20 @@ def test_sparql_star_builtins(spark, star_kg):
         }
     """).count()
     assert n == 0
+
+
+def test_update_insert_data_quoted_triple(spark):
+    """SPARQL-star Update: a GROUND quoted triple collapses to a
+    constant term at parse time, so INSERT DATA carries annotations."""
+    from kgloom.sparql import sparql_update
+    quads = spark.createDataFrame(
+        [("<http://e/a>", "<http://e/p>", '"1"', None)],
+        "subj string, pred string, obj string, graph string")
+    out = sparql_update(quads, '''
+        INSERT DATA { << <http://e/a> <http://e/p> "1" >>
+                        <http://e/conf> "0.8" }
+    ''')
+    got = sorted(map(tuple, out.collect()))
+    assert ('<< <http://e/a> <http://e/p> "1" >>',
+            "<http://e/conf>", '"0.8"', None) in got
+    assert len(got) == 2
