@@ -1751,6 +1751,34 @@ def q_curate_dsir(spark, sf_dir):
     return dsir_sample(docs, target, 100, n_buckets=256)
 
 
+def q_dedup_stream_gate(spark, sf_dir):
+    """Streaming near-dup ingest gate, batch-replayed
+    (kgloom/streaming/neardedup.py:flag_against — the exact
+    foreachBatch recurrence driven over three deterministic arrival
+    batches): a document is rejected iff it LSH-collides with an
+    earlier-arrived document; ``via_history`` attributes the hit to a
+    prior batch.  Ids are re-keyed '{batch}-{zero-padded id}' so
+    arrival order == string id order and the stream rule equals the
+    batch drop-the-larger-id rule, which the DuckDB twin replays from
+    the same md5 MinHash bands."""
+    from kgloom.streaming.neardedup import flag_against
+    docs = _docs(spark, sf_dir)
+    sid = F.concat((F.col("doc_id") % 3).cast("string"), F.lit("-"),
+                   F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+    hist = None
+    outs = []
+    for b in range(3):
+        batch = (docs.where(F.col("doc_id") % 3 == b)
+                 .select(sid.alias("doc_id"), "text"))
+        flags, bands = flag_against(hist, batch)
+        outs.append(flags)
+        hist = bands if hist is None else hist.unionByName(bands)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_kg_rdf_merge(spark, sf_dir):
     """RDF merge with blank-node standardization
     (kgloom/ops/star.py:rdf_merge; RDF 1.1 Semantics §5.1): two
@@ -2837,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_stream_gate": q_dedup_stream_gate,
         "kg_rdf_merge": q_kg_rdf_merge,
         "dedup_contamination": q_dedup_contamination,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -6145,6 +6174,52 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(n_chars, 0.5)  AS p50,
                quantile_cont(n_chars, 0.75) AS p75
         FROM documents GROUP BY lang
+    """
+    # streaming-gate replay: same MinHash bands; dropped iff a
+    # smaller string id shares a cell, via_history iff that id is in
+    # an earlier arrival batch (the id's batch prefix)
+    oracles["dedup_stream_gate"] = """
+        WITH d AS (SELECT CAST(doc_id % 3 AS VARCHAR) || '-'
+                            || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                            AS doc_id,
+                          text
+                   FROM documents),
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                 FROM d),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(
+                          generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' ')))
+                          AS shingle
+                 FROM toks WHERE len(t) >= 3) u),
+        sig AS (SELECT doc_id,
+                  MIN(substr(md5('0|' || shingle), 1, 16)) AS h0,
+                  MIN(substr(md5('1|' || shingle), 1, 16)) AS h1,
+                  MIN(substr(md5('2|' || shingle), 1, 16)) AS h2,
+                  MIN(substr(md5('3|' || shingle), 1, 16)) AS h3,
+                  MIN(substr(md5('4|' || shingle), 1, 16)) AS h4,
+                  MIN(substr(md5('5|' || shingle), 1, 16)) AS h5,
+                  MIN(substr(md5('6|' || shingle), 1, 16)) AS h6,
+                  MIN(substr(md5('7|' || shingle), 1, 16)) AS h7
+                FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0 || '|' || h1 AS band_key
+          FROM sig
+          UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+          UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+          UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+        dd AS (SELECT DISTINCT b.doc_id
+               FROM bands a JOIN bands b USING (band, band_key)
+               WHERE a.doc_id < b.doc_id),
+        hh AS (SELECT DISTINCT b.doc_id
+               FROM bands a JOIN bands b USING (band, band_key)
+               WHERE substr(a.doc_id, 1, 1) < substr(b.doc_id, 1, 1))
+        SELECT d.doc_id,
+               dd.doc_id IS NOT NULL AS is_dup,
+               hh.doc_id IS NOT NULL AS via_history
+        FROM d LEFT JOIN dd ON d.doc_id = dd.doc_id
+               LEFT JOIN hh ON d.doc_id = hh.doc_id
     """
     # RDF merge replay: per-graph bnode tags then set union
     oracles["kg_rdf_merge"] = f"""
