@@ -1598,6 +1598,32 @@ def q_graph_reach_synopsis(spark, sf_dir):
     return reach_synopsis(nxt.unionByName(tool), radius=6, k=8)
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Truncated outward harmonic centrality
+    (kgloom/ops/graph.py:harmonic_centrality; Boldi & Vigna 2014):
+    H(v) = Σ_r (|B_r|−|B_{r−1}|)/r over the turn-succession DAG,
+    radius 4, with ball sizes from the exact-by-mergeability KMV
+    synopsis (k=8) — same recurrence as q_graph_reach_synopsis plus a
+    one-row-per-node accumulator.  The DuckDB twin enumerates every
+    ≤4-hop ball and replays the identical per-radius estimate and
+    harmonic sum."""
+    from pyspark.sql.window import Window
+    from kgloom.ops.graph import harmonic_centrality
+    turns = transcripts_from_events(spark, sf_dir)
+    turn_iri = F.concat(F.lit("<http://kg.example/conv/"),
+                        F.col("conv_id"), F.lit("/turn/"),
+                        F.col("turn_idx").cast("string"), F.lit(">"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (turns.select(turn_iri.alias("src"),
+                        F.lead(turn_iri).over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()))
+    tool = (turns.where(F.col("tool").isNotNull())
+            .select(turn_iri.alias("src"),
+                    F.concat(F.lit("<http://kg.example/tool/"),
+                             F.col("tool"), F.lit(">")).alias("dst")))
+    return harmonic_centrality(nxt.unionByName(tool), radius=4, k=8)
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank (round-4, kgloom/ops/graph.py:
     personalized_pagerank): random-walk-with-restart to the TOOL
@@ -2900,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
         "graph_reach_synopsis": q_graph_reach_synopsis,
+        "graph_harmonic": q_graph_harmonic,
         "graph_ppr": q_graph_ppr,
         "ann_rp_sketch": q_ann_rp_sketch,
         "graph_kg_profile": q_graph_kg_profile,
@@ -5914,6 +5941,59 @@ def oracle_sql() -> dict[str, str]:
     # reach-ball replay: enumerate each node's <=6-hop ball (unique
     # paths on the turn DAG), then the same md5 k-minima arithmetic —
     # equal to the engine's 6-round fold by KMV mergeability
+    # harmonic replay: per-radius balls from the same hop-tracked
+    # CTE, identical KMV estimate per radius, LAG-differenced sum
+    oracles["graph_harmonic"] = f"""
+        WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+        iri AS (SELECT conv_id, turn_idx, tool,
+                       '<http://kg.example/conv/' || conv_id || '/turn/'
+                         || CAST(turn_idx AS VARCHAR) || '>' AS t
+                FROM tr),
+        e0 AS (SELECT t AS src,
+                      LEAD(t) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS dst
+               FROM iri
+               UNION ALL
+               SELECT t, '<http://kg.example/tool/' || tool || '>'
+               FROM iri WHERE tool IS NOT NULL),
+        e AS (SELECT DISTINCT src, dst FROM e0
+              WHERE dst IS NOT NULL AND src <> dst),
+        n AS (SELECT src AS node FROM e
+              UNION SELECT dst FROM e),
+        ball(root, node, hop) AS (
+            SELECT node, node, 0 FROM n
+            UNION ALL
+            SELECT ball.root, e.dst, hop + 1
+            FROM ball JOIN e ON e.src = ball.node
+            WHERE hop < 4),
+        bm AS (SELECT root, node, MIN(hop) AS hop
+               FROM ball GROUP BY 1, 2),
+        rad AS (SELECT unnest(generate_series(0, 4)) AS r),
+        h AS (SELECT bm.root, rad.r,
+                     CAST('0x' || substr(md5(bm.node), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM bm JOIN rad ON bm.hop <= rad.r),
+        rr AS (SELECT root, r, f,
+                      ROW_NUMBER() OVER (PARTITION BY root, r
+                                         ORDER BY f) AS rn
+               FROM h),
+        m AS (SELECT root, r, CAST(COUNT(*) AS BIGINT) AS n_minima,
+                     MAX(f) AS f_k
+              FROM rr WHERE rn <= 8 GROUP BY 1, 2),
+        est AS (SELECT root, r,
+                       CASE WHEN n_minima < 8
+                            THEN CAST(n_minima AS DOUBLE)
+                            ELSE 7.0 / f_k END AS est
+                FROM m),
+        d AS (SELECT root, r, est,
+                     LAG(est) OVER (PARTITION BY root ORDER BY r)
+                       AS pe
+              FROM est)
+        SELECT root AS node,
+               ROUND(SUM((est - pe) / r), 6) AS harmonic
+        FROM d WHERE r >= 1
+        GROUP BY root
+    """
     oracles["graph_reach_synopsis"] = f"""
         WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
         iri AS (SELECT conv_id, turn_idx, tool,

@@ -76,3 +76,40 @@ def test_normalize_text_rules_and_idempotence(spark):
     twice = normalize_text(once)
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+# --- harmonic centrality ----------------------------------------------------
+
+def test_harmonic_centrality_exact_small_graph(spark):
+    """k larger than any ball -> KMV is exact, so H equals the true
+    truncated harmonic sum computed by hand."""
+    from kgloom.ops.graph import harmonic_centrality
+    # path a->b->c->d plus a->c shortcut
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        ["src", "dst"])
+    got = {r.node: r.harmonic
+           for r in harmonic_centrality(edges, radius=3,
+                                        k=64).collect()}
+    import math
+    # out-balls: a reaches b(1) c(1) d(2); b: c(1) d(2); c: d(1); d: -
+    want = {
+        "a": 1 + 1 + 1 / 2,
+        "b": 1 + 1 / 2,
+        "c": 1.0,
+        "d": 0.0,
+    }
+    for n, h in want.items():
+        assert got[n] == pytest.approx(round(h, 6), abs=1e-6), n
+
+
+def test_harmonic_centrality_monotone_nonnegative(spark):
+    from kgloom.ops.graph import harmonic_centrality
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 23}") for i in range(23)],
+        ["src", "dst"])
+    out = harmonic_centrality(edges, radius=4, k=4).collect()
+    assert all(r.harmonic >= 0 for r in out)
+    # n19's only edge is the self-loop 7·19+1 ≡ 19 (mod 23), which the
+    # operator drops — 22 nodes carry edges
+    assert len(out) == 22
