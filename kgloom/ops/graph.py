@@ -1060,8 +1060,11 @@ def harmonic_centrality(edges: DataFrame, radius: int, k: int = 16,
              .otherwise(F.lit(float(k - 1)) / F.col("__fk"))
              .alias("est"))
 
-    prev = est_of(reach)
-    acc = prev.select("node", F.lit(0.0).alias("h")).localCheckpoint()
+    # collect one (node, r, est) slice per radius off the CHECKPOINTED
+    # reach states and difference them in a single window at the end —
+    # no per-round accumulator joins/materializations (the first cut
+    # checkpointed an acc join chain every round: 23s vs 8s at sf0.1)
+    ests = [est_of(reach).select("node", F.lit(0).alias("r"), "est")]
     for r in range(1, radius + 1):
         prop = (adj.join(reach.withColumnRenamed("node", "b"), "b")
                 .select(F.col("a").alias("node"), "__f"))
@@ -1069,12 +1072,15 @@ def harmonic_centrality(edges: DataFrame, radius: int, k: int = 16,
                  .withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") <= k).drop("__rn")
                  .localCheckpoint())
-        cur = est_of(reach)
-        acc = (acc.join(prev.withColumnRenamed("est", "__pe"), "node")
-               .join(cur.withColumnRenamed("est", "__ce"), "node")
-               .select("node",
-                       (F.col("h") + (F.col("__ce") - F.col("__pe"))
-                        / F.lit(float(r))).alias("h"))
-               .localCheckpoint())
-        prev = cur
-    return acc.select("node", F.round("h", 6).alias("harmonic"))
+        ests.append(est_of(reach).select("node", F.lit(r).alias("r"),
+                                         "est"))
+    allr = ests[0]
+    for e2 in ests[1:]:
+        allr = allr.unionByName(e2)
+    wr = Window.partitionBy("node").orderBy("r")
+    return (allr.withColumn("__pe", F.lag("est").over(wr))
+            .where(F.col("r") >= 1)
+            .groupBy("node")
+            .agg(F.round(F.sum((F.col("est") - F.col("__pe"))
+                               / F.col("r").cast("double")), 6)
+                 .alias("harmonic")))
