@@ -297,6 +297,7 @@ _TOKEN = re.compile(r"""
     \s*(?:
       (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<qt><<|>>)
+    | (?P<ann>\{\||\|\})
     | (?P<iri><[^>]*>)
     | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>|\^\^[A-Za-z_][\w-]*:[\w-]+)?)
     | (?P<num>[+-]?[0-9]+(?:\.[0-9]+)?)
@@ -550,6 +551,43 @@ def _parse_triples(body: str, prefixes: dict[str, str]
                 obj, i = _parse_node_term(toks, i, prefixes)
                 patterns.append((subj, pred, obj))
                 i += 1
+                if i < len(toks) and toks[i] == ("ann", "{|"):
+                    # SPARQL-star annotation syntax: the block's
+                    # predicate-object list hangs off the QUOTED form
+                    # of the triple just parsed (asserted + annotated)
+                    if isinstance(pred, Path):
+                        raise SparqlError(
+                            "annotation on a property-path pattern")
+                    if not any(isinstance(t, Var)
+                               for t in (subj, pred, obj)):
+                        qs: Term = f"<< {subj} {pred} {obj} >>"
+                    else:
+                        qs = QuotedPattern(subj, pred, obj)
+                    i += 1
+                    while True:
+                        mpred, i = _parse_path_expr(toks, i, prefixes)
+                        if isinstance(mpred, Path):
+                            raise SparqlError(
+                                "annotation predicate must be an IRI "
+                                "or variable")
+                        while True:
+                            mobj, i = _parse_node_term(toks, i,
+                                                       prefixes)
+                            patterns.append((qs, mpred, mobj))
+                            i += 1
+                            if i < len(toks) and                                     toks[i] == ("punct", ","):
+                                i += 1
+                                continue
+                            break
+                        if i < len(toks) and toks[i] == ("punct", ";"):
+                            i += 1
+                            continue
+                        break
+                    if not (i < len(toks)
+                            and toks[i] == ("ann", "|}")):
+                        raise SparqlError(
+                            "annotation block missing '|}'")
+                    i += 1
                 if i < len(toks) and toks[i] == ("punct", ","):
                     i += 1
                     continue
@@ -1059,7 +1097,7 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> GroupPattern:
             in_str = True
             i += 1
             continue
-        if ch == "{":
+        if ch == "{" and not (i + 1 < n and text[i + 1] == "|"):
             chunks.append(text[chunk_start:i])
             inner, j = _take_braced(text, i)
             if re.match(r"\s*SELECT\b", inner, re.IGNORECASE):

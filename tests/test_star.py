@@ -235,3 +235,54 @@ def test_update_insert_data_quoted_triple(spark):
     assert ('<< <http://e/a> <http://e/p> "1" >>',
             "<http://e/conf>", '"0.8"', None) in got
     assert len(got) == 2
+
+
+def test_annotation_syntax_select(spark, star_kg):
+    """SPARQL-star annotation syntax: ?s ?p ?o {| m v |} matches the
+    asserted triple AND its annotation in one pattern."""
+    from kgloom.sparql import sparql_select
+    rows = sparql_select(star_kg, """
+        SELECT ?s ?o ?c WHERE {
+          ?s <http://ex/note> ?o {| <http://ex/conf> ?c |} .
+        } ORDER BY ?s
+    """).collect()
+    # both note triples are asserted AND annotated
+    assert [(r.s, r.o) for r in rows] == [
+        ("_:b0", "fr text"), ("http://ex/t2", "has >> inside")]
+    assert all(r.c.startswith("c-") for r in rows)
+    # equivalent to spelling asserted + quoted patterns separately
+    manual = sparql_select(star_kg, """
+        SELECT ?s ?o ?c WHERE {
+          ?s <http://ex/note> ?o .
+          << ?s <http://ex/note> ?o >> <http://ex/conf> ?c .
+        } ORDER BY ?s
+    """).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in manual]
+
+
+def test_annotation_syntax_construct(spark, tri):
+    """CONSTRUCT templates accept annotation syntax: emits the
+    asserted triple plus its annotation."""
+    from kgloom.sparql import sparql_construct
+    base = tri.withColumn("graph", F.lit(None).cast("string"))
+    out = sparql_construct(base, """
+        CONSTRUCT {
+          ?s <http://ex/note> ?o {| <http://ex/src> "kg" |}
+        }
+        WHERE { ?s <http://ex/note> ?o . }
+    """)
+    got = sorted(map(tuple, out.select("subj", "pred", "obj").collect()))
+    assert ("_:b0", "<http://ex/note>", '"fr text"@fr') in got
+    assert ('<< _:b0 <http://ex/note> "fr text"@fr >>',
+            "<http://ex/src>", '"kg"') in got
+    assert len(got) == 4  # 2 asserted + 2 annotations
+
+
+def test_annotation_block_errors(spark, star_kg):
+    from kgloom.sparql import SparqlError, sparql_select
+    with pytest.raises(SparqlError, match="missing"):
+        sparql_select(star_kg, """
+            SELECT ?c WHERE {
+              ?s <http://ex/note> ?o {| <http://ex/conf> ?c .
+            }
+        """)
