@@ -1624,6 +1624,32 @@ def q_graph_harmonic(spark, sf_dir):
     return harmonic_centrality(nxt.unionByName(tool), radius=4, k=8)
 
 
+def q_graph_eff_diameter(spark, sf_dir):
+    """0.9-effective diameter of the turn-succession DAG
+    (kgloom/ops/graph.py:effective_diameter — THE HyperANF deliverable,
+    Boldi et al. 2011): interpolated radius where the neighborhood
+    function N(r) reaches 90% of its max, ball sizes from the
+    deterministic KMV recurrence (k=8, radius 4).  The distance
+    distribution is 5 scalars; nothing node-sized reaches the driver.
+    The DuckDB twin enumerates the balls and replays the same sums and
+    interpolation."""
+    from pyspark.sql.window import Window
+    from kgloom.ops.graph import effective_diameter
+    turns = transcripts_from_events(spark, sf_dir)
+    turn_iri = F.concat(F.lit("<http://kg.example/conv/"),
+                        F.col("conv_id"), F.lit("/turn/"),
+                        F.col("turn_idx").cast("string"), F.lit(">"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (turns.select(turn_iri.alias("src"),
+                        F.lead(turn_iri).over(w).alias("dst"))
+           .where(F.col("dst").isNotNull()))
+    tool = (turns.where(F.col("tool").isNotNull())
+            .select(turn_iri.alias("src"),
+                    F.concat(F.lit("<http://kg.example/tool/"),
+                             F.col("tool"), F.lit(">")).alias("dst")))
+    return effective_diameter(nxt.unionByName(tool), max_radius=4, k=8)
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank (round-4, kgloom/ops/graph.py:
     personalized_pagerank): random-walk-with-restart to the TOOL
@@ -2927,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "graph_reach_synopsis": q_graph_reach_synopsis,
         "graph_harmonic": q_graph_harmonic,
+        "graph_eff_diameter": q_graph_eff_diameter,
         "graph_ppr": q_graph_ppr,
         "ann_rp_sketch": q_ann_rp_sketch,
         "graph_kg_profile": q_graph_kg_profile,
@@ -5941,6 +5968,61 @@ def oracle_sql() -> dict[str, str]:
     # reach-ball replay: enumerate each node's <=6-hop ball (unique
     # paths on the turn DAG), then the same md5 k-minima arithmetic —
     # equal to the engine's 6-round fold by KMV mergeability
+    # effective-diameter replay: same per-radius KMV estimates,
+    # same neighborhood-function sums and 0.9 interpolation
+    oracles["graph_eff_diameter"] = f"""
+        WITH RECURSIVE tr AS ({TRANSCRIPTS_SQL}),
+        iri AS (SELECT conv_id, turn_idx, tool,
+                       '<http://kg.example/conv/' || conv_id || '/turn/'
+                         || CAST(turn_idx AS VARCHAR) || '>' AS t
+                FROM tr),
+        e0 AS (SELECT t AS src,
+                      LEAD(t) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS dst
+               FROM iri
+               UNION ALL
+               SELECT t, '<http://kg.example/tool/' || tool || '>'
+               FROM iri WHERE tool IS NOT NULL),
+        e AS (SELECT DISTINCT src, dst FROM e0
+              WHERE dst IS NOT NULL AND src <> dst),
+        n AS (SELECT src AS node FROM e
+              UNION SELECT dst FROM e),
+        ball(root, node, hop) AS (
+            SELECT node, node, 0 FROM n
+            UNION ALL
+            SELECT ball.root, e.dst, hop + 1
+            FROM ball JOIN e ON e.src = ball.node
+            WHERE hop < 4),
+        bm AS (SELECT root, node, MIN(hop) AS hop
+               FROM ball GROUP BY 1, 2),
+        rad AS (SELECT unnest(generate_series(0, 4)) AS r),
+        h AS (SELECT bm.root, rad.r,
+                     CAST('0x' || substr(md5(bm.node), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS f
+              FROM bm JOIN rad ON bm.hop <= rad.r),
+        rr AS (SELECT root, r, f,
+                      ROW_NUMBER() OVER (PARTITION BY root, r
+                                         ORDER BY f) AS rn
+               FROM h),
+        m AS (SELECT root, r, CAST(COUNT(*) AS BIGINT) AS n_minima,
+                     MAX(f) AS f_k
+              FROM rr WHERE rn <= 8 GROUP BY 1, 2),
+        est AS (SELECT root, r,
+                       CASE WHEN n_minima < 8
+                            THEN CAST(n_minima AS DOUBLE)
+                            ELSE 7.0 / f_k END AS est
+                FROM m),
+        nf AS (SELECT r, SUM(est) AS nr FROM est GROUP BY r),
+        mx AS (SELECT MAX(nr) AS m FROM nf),
+        dd AS (SELECT r, nr, LAG(nr) OVER (ORDER BY r) AS pe FROM nf),
+        hit AS (SELECT r, nr, pe FROM dd, mx
+                WHERE nr >= 0.9 * m ORDER BY r LIMIT 1)
+        SELECT CASE WHEN r = 0 THEN 0.0
+                    ELSE ROUND(r - 1 + (0.9 * (SELECT m FROM mx) - pe)
+                                 / (nr - pe), 6) END AS eff_diameter,
+               ROUND((SELECT m FROM mx), 6) AS total_pairs
+        FROM hit
+    """
     # harmonic replay: per-radius balls from the same hop-tracked
     # CTE, identical KMV estimate per radius, LAG-differenced sum
     oracles["graph_harmonic"] = f"""

@@ -113,3 +113,27 @@ def test_harmonic_centrality_monotone_nonnegative(spark):
     # n19's only edge is the self-loop 7·19+1 ≡ 19 (mod 23), which the
     # operator drops — 22 nodes carry edges
     assert len(out) == 22
+
+
+def test_effective_diameter_path_graph(spark):
+    """Path a->b->c->d->e, k large -> exact N(r); check against hand
+    computation with 0.9-quantile interpolation."""
+    from kgloom.ops.graph import effective_diameter
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"])
+    row = effective_diameter(edges, max_radius=4, k=64).collect()[0]
+    # N(0)=5, N(1)=9, N(2)=12, N(3)=14, N(4)=15; 0.9*15=13.5
+    # straddles r=2 (12) and r=3 (14): eff = 2 + (13.5-12)/(14-12)
+    assert row.total_pairs == 15.0
+    assert row.eff_diameter == pytest.approx(2.75, abs=1e-6)
+
+
+def test_effective_diameter_complete_graph_is_one_or_less(spark):
+    from kgloom.ops.graph import effective_diameter
+    nodes = [f"n{i}" for i in range(5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b],
+        ["src", "dst"])
+    row = effective_diameter(edges, max_radius=3, k=64).collect()[0]
+    assert row.eff_diameter <= 1.0
